@@ -1,0 +1,166 @@
+"""Masked-popcount column sweeps over the packed genome x k-mer bit matrix.
+
+This is the single hot kernel that powers SCM utility scoring, CART impurity,
+and split risk precomputation — the TPU-native replacement for the reference's
+Cython ``inplace_popcount_64`` + ``KmerRuleClassifications.sum_rows``
+(``bin/kover/core/kover/learning/common/rules.py:201-267``,
+``popcount.pyx:31-95``).
+
+Layout
+------
+The on-device matrix is uint32-packed, MSB-first: row ``w`` holds genomes
+``[32w, 32w+32)``; genome ``g`` is bit ``31 - (g % 32)`` of row ``g // 32``.
+The on-disk (reference-compatible) format packs rows of 64 genomes into
+uint64 words; :func:`u64_matrix_to_u32` converts between the two — row ``w``
+of the uint64 matrix splits into uint32 rows ``2w`` (high half, genomes
+``[64w, 64w+32)``) and ``2w+1`` (low half).
+
+The sweep computes, for ``C`` row-selection masks at once::
+
+    counts[c, k] = sum_w popcount(matrix[w, k] & masks[c, w])
+
+i.e. for each k-mer column, how many selected genomes contain the k-mer.
+Computing several masks per pass amortizes the HBM read of the matrix (the
+reference reads the full matrix once per mask). Absence-rule counts are
+derived on the host as ``n_selected - presence`` (rules.py:265).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import build_row_mask
+
+__all__ = [
+    "BitMatrix",
+    "masked_popcount_colsum",
+    "u64_matrix_to_u32",
+    "u32_matrix_to_u64",
+]
+
+
+def u64_matrix_to_u32(m64):
+    """Split a uint64 MSB-first packed matrix into the uint32 device layout."""
+    m64 = np.ascontiguousarray(m64, dtype=np.uint64)
+    hi = (m64 >> np.uint64(32)).astype(np.uint32)
+    lo = (m64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    out = np.empty((m64.shape[0] * 2,) + m64.shape[1:], dtype=np.uint32)
+    out[0::2] = hi
+    out[1::2] = lo
+    return out
+
+
+def u32_matrix_to_u64(m32):
+    """Inverse of :func:`u64_matrix_to_u32` (pads odd row counts with zeros)."""
+    m32 = np.ascontiguousarray(m32, dtype=np.uint32)
+    n32 = m32.shape[0]
+    if n32 % 2:
+        m32 = np.concatenate([m32, np.zeros((1,) + m32.shape[1:], np.uint32)])
+    hi = m32[0::2].astype(np.uint64)
+    lo = m32[1::2].astype(np.uint64)
+    return (hi << np.uint64(32)) | lo
+
+
+@jax.jit
+def _colsum_xla(matrix, masks):
+    """counts[c, k] = sum_w popcount(matrix[w, k] & masks[c, w]); XLA path."""
+    sel = matrix[None, :, :] & masks[:, :, None]  # (C, W, K), fused by XLA
+    return jnp.sum(jax.lax.population_count(sel).astype(jnp.int32), axis=1)
+
+
+def masked_popcount_colsum(matrix, masks):
+    """Run the masked popcount column sweep.
+
+    Parameters
+    ----------
+    matrix : (W, K) uint32 array (device or host)
+    masks : (C, W) uint32 array of row-selection bitmasks
+
+    Returns
+    -------
+    (C, K) int32 presence counts.
+    """
+    matrix = jnp.asarray(matrix, dtype=jnp.uint32)
+    masks = jnp.asarray(masks, dtype=jnp.uint32)
+    if masks.ndim == 1:
+        masks = masks[None, :]
+    return _colsum_xla(matrix, masks)
+
+
+class BitMatrix:
+    """Device-resident packed presence matrix with reference `sum_rows` semantics.
+
+    Wraps a (W32, K) uint32 matrix for ``n_rows`` genomes. ``sum_rows`` mirrors
+    ``KmerRuleClassifications.sum_rows`` (reference rules.py:201-267): given
+    genome row indices, return a length ``2K`` count vector — presence-rule
+    counts followed by absence-rule counts.
+    """
+
+    def __init__(self, packed_u32, n_rows, columns_sharding=None):
+        packed_u32 = np.asarray(packed_u32) if not isinstance(
+            packed_u32, jax.Array
+        ) else packed_u32
+        if packed_u32.dtype != np.uint32:
+            raise ValueError("BitMatrix expects a uint32-packed matrix.")
+        self.n_rows = int(n_rows)
+        self.n_words = packed_u32.shape[0]
+        self.n_columns = packed_u32.shape[1]
+        if self.n_words * 32 < self.n_rows:
+            raise ValueError("Packed matrix has too few word-rows for n_rows.")
+        arr = jnp.asarray(packed_u32)
+        if columns_sharding is not None:
+            arr = jax.device_put(arr, columns_sharding)
+        self.data = arr
+
+    @classmethod
+    def from_u64(cls, m64, n_rows, **kw):
+        return cls(u64_matrix_to_u32(m64), n_rows, **kw)
+
+    @classmethod
+    def from_dense(cls, dense01, **kw):
+        """Build from a dense (n_genomes, n_kmers) 0/1 matrix (tests/small)."""
+        from ..utils import pack_binary_bytes_to_ints
+
+        dense01 = np.asarray(dense01, dtype=np.uint8)
+        packed = pack_binary_bytes_to_ints(dense01, 32)
+        return cls(packed, dense01.shape[0], **kw)
+
+    @property
+    def shape(self):
+        """(n_genomes, 2 * n_kmers) — presence + absence rules, like the ref."""
+        return self.n_rows, self.n_columns * 2
+
+    def row_mask(self, rows):
+        return build_row_mask(np.asarray(rows, dtype=np.int64), self.n_words * 32, 32)
+
+    def presence_counts(self, rows_list):
+        """Presence counts for several row sets in ONE matrix pass.
+
+        rows_list: sequence of index arrays. Returns (C, K) int64 numpy.
+        """
+        masks = np.stack([self.row_mask(r) for r in rows_list])
+        counts = masked_popcount_colsum(self.data, masks)
+        return np.asarray(jax.device_get(counts), dtype=np.int64)
+
+    def sum_rows(self, rows):
+        """Reference-compatible: length-2K vector, presence then absence counts.
+
+        Matches rules.py:201-267 including the result dtype contract (minimum
+        uint size for len(rows)).
+        """
+        from ..utils import minimum_uint_size
+
+        rows = np.asarray(rows)
+        presence = self.presence_counts([rows])[0]
+        out = np.empty(self.n_columns * 2, dtype=minimum_uint_size(max(rows.shape[0], 1)))
+        out[: self.n_columns] = presence
+        out[self.n_columns :] = rows.shape[0] - presence
+        return out
+
+    def get_columns_host(self, host_packed_u64, columns):
+        raise NotImplementedError(
+            "Column gather is a host-side operation; see learning.rules."
+        )

@@ -1,0 +1,217 @@
+"""The dataset artifact: a reference-compatible HDF5 layout.
+
+Stores the same groups/datasets/attributes as a Kover ``.kover`` file
+(``bin/kover/core/kover/dataset/create.py:196-238`` and ``ds.py:26-148``):
+
+- attrs: ``uuid``, ``genome_source_type``, ``genomic_data``,
+  ``phenotype_description``, ``phenotype_metadata_source``, ``filter``,
+  ``compression``, ``classification_type``
+- datasets: ``genome_identifiers``, ``phenotype`` (uint8 labels, attr
+  ``description``), ``phenotype_tags``, ``kmer_sequences`` (fixed-width
+  bytes), ``kmer_matrix`` (uint64 MSB-first packed, rows of 64 genomes),
+  ``kmer_by_matrix_column``, and ``splits/<name>/...`` written by
+  :mod:`grm_tpu.dataset.split`.
+
+so existing Kover datasets can be read by this framework and vice versa.
+The accessor also materializes the device-side :class:`BitMatrix` for the
+learning layer (uint32 layout, HBM-resident).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import h5py
+
+from ..ops.popcount import BitMatrix
+from ..utils import unpack_binary_bytes_from_ints
+
+__all__ = ["GrmDataset"]
+
+
+class _Phenotype:
+    def __init__(self, description, tags, metadata, metadata_source):
+        self.description = description
+        self.tags = tags
+        self.metadata = metadata
+        self.metadata_source = metadata_source
+
+
+class _Fold:
+    def __init__(self, name, grp):
+        self.name = name
+        self.train_genome_idx = grp["train_genome_idx"][...]
+        self.test_genome_idx = grp["test_genome_idx"][...]
+        self.unique_risks = grp["unique_risks"][...]
+        self.unique_risk_by_kmer = grp["unique_risk_by_kmer"][...]
+        self.unique_risk_by_anti_kmer = grp["unique_risk_by_anti_kmer"][...]
+
+
+class _Split:
+    def __init__(self, name, grp):
+        self.name = name
+        self.random_seed = grp.attrs["random_seed"]
+        self.train_proportion = grp.attrs["train_proportion"]
+        self.test_proportion = grp.attrs.get(
+            "test_proportion", 1.0 - grp.attrs["train_proportion"]
+        )
+        self.train_genome_idx = grp["train_genome_idx"][...]
+        self.test_genome_idx = grp["test_genome_idx"][...]
+        self.unique_risks = grp["unique_risks"][...]
+        self.unique_risk_by_kmer = grp["unique_risk_by_kmer"][...]
+        self.unique_risk_by_anti_kmer = grp["unique_risk_by_anti_kmer"][...]
+        if "folds" in grp:
+            self.folds = [
+                _Fold(name, grp["folds"][name]) for name in sorted(grp["folds"])
+            ]
+        else:
+            self.folds = []
+
+    def __str__(self):
+        return (
+            "%s   Train genomes: %d (%.3f)   Test genomes: %d (%.3f)   "
+            "Folds: %d   Random Seed: %d"
+            % (
+                self.name,
+                len(self.train_genome_idx),
+                self.train_proportion,
+                len(self.test_genome_idx),
+                self.test_proportion,
+                len(self.folds),
+                self.random_seed,
+            )
+        )
+
+
+class GrmDataset:
+    """Read-mostly accessor over the HDF5 dataset artifact."""
+
+    def __init__(self, path):
+        self.path = str(path)
+        self._bit_matrix = None
+
+    def open(self, mode="r"):
+        return h5py.File(self.path, mode)
+
+    # -- attributes ---------------------------------------------------------
+    @property
+    def uuid(self):
+        with self.open() as f:
+            return f.attrs["uuid"]
+
+    @property
+    def compression(self):
+        with self.open() as f:
+            return f.attrs["compression"]
+
+    @property
+    def kmer_filter(self):
+        with self.open() as f:
+            return f.attrs.get("filter", "nothing")
+
+    @property
+    def classification_type(self):
+        with self.open() as f:
+            return f.attrs.get("classification_type", "binary")
+
+    @property
+    def genome_source_type(self):
+        with self.open() as f:
+            return f.attrs["genome_source_type"]
+
+    @property
+    def genome_source(self):
+        with self.open() as f:
+            return f.attrs["genomic_data"]
+
+    # -- datasets -----------------------------------------------------------
+    @property
+    def genome_identifiers(self):
+        with self.open() as f:
+            ids = f["genome_identifiers"][...]
+        return np.array([v.decode() if isinstance(v, bytes) else str(v) for v in ids])
+
+    @property
+    def genome_count(self):
+        with self.open() as f:
+            return f["genome_identifiers"].shape[0]
+
+    @property
+    def kmer_count(self):
+        with self.open() as f:
+            return f["kmer_sequences"].shape[0]
+
+    @property
+    def kmer_length(self):
+        with self.open() as f:
+            return len(f["kmer_sequences"][0])
+
+    @property
+    def kmer_sequences(self):
+        with self.open() as f:
+            return f["kmer_sequences"][...]
+
+    @property
+    def kmer_by_matrix_column(self):
+        with self.open() as f:
+            return f["kmer_by_matrix_column"][...]
+
+    @property
+    def phenotype(self):
+        with self.open() as f:
+            description = f.attrs.get("phenotype_description", "NA")
+            tags = (
+                f["phenotype_tags"][...]
+                if "phenotype_tags" in f
+                else np.array([b"0", b"1"])
+            )
+            tags = np.array(
+                [t.decode() if isinstance(t, bytes) else str(t) for t in tags]
+            )
+            metadata = f["phenotype"][...] if "phenotype" in f else None
+            source = f.attrs.get("phenotype_metadata_source", "NA")
+        return _Phenotype(description, tags, metadata, source)
+
+    @property
+    def splits(self):
+        with self.open() as f:
+            if "splits" not in f:
+                return []
+            names = sorted(f["splits"])
+        return [self.get_split(n) for n in names]
+
+    def get_split(self, name):
+        with self.open() as f:
+            return _Split(name, f["splits"][name])
+
+    # -- matrices -----------------------------------------------------------
+    def kmer_matrix_u64(self):
+        """Host copy of the packed uint64 matrix (reference layout)."""
+        with self.open() as f:
+            return f["kmer_matrix"][...]
+
+    def bit_matrix(self, sharding=None):
+        """Device-resident :class:`BitMatrix` (cached)."""
+        if self._bit_matrix is None:
+            self._bit_matrix = BitMatrix.from_u64(
+                self.kmer_matrix_u64(), self.genome_count, columns_sharding=sharding
+            )
+        return self._bit_matrix
+
+    def get_matrix_columns(self, columns):
+        """Unpacked presence columns (n_genomes, len(columns)) uint8.
+
+        The host-side analogue of ``KmerRuleClassifications.get_columns``
+        (rules.py:135-171) for model prediction paths: columns may include
+        absence-rule indices (>= kmer_count), which are returned inverted.
+        """
+        columns = np.asarray(columns, dtype=np.int64)
+        n_kmers = self.kmer_count
+        base_cols = np.where(columns >= n_kmers, columns - n_kmers, columns)
+        invert = columns >= n_kmers
+        uniq, inverse = np.unique(base_cols, return_inverse=True)
+        with self.open() as f:
+            packed = f["kmer_matrix"][:, uniq.tolist()]
+        dense = unpack_binary_bytes_from_ints(packed)[: self.genome_count]
+        dense = dense[:, inverse]
+        dense[:, invert] = 1 - dense[:, invert]
+        return dense

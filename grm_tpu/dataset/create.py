@@ -1,0 +1,369 @@
+"""Dataset creation: from contigs / reads / presence-TSV.
+
+Mirrors the reference creation semantics (``create.py:65-523``) with the
+C++ multidsk/dsk2kover subprocess stages replaced by the on-device k-mer
+pipeline (:mod:`grm_tpu.kmer`):
+
+- metadata parsing: labels sorted alphabetically -> numeric uint8, binary
+  vs multiclass (<=255 classes), genomes missing metadata discarded with a
+  warning (``create.py:65-116``);
+- genomes sorted by label before matrix construction (``create.py:190-194``;
+  we use a stable argsort so the order is deterministic);
+- matrix packed as uint64 rows of 64 genomes, MSB-first, chunked
+  ``(1, min(K, 100000))`` with optional gzip (``create.py:38-41, 224-230``);
+- k-mer columns in sorted canonical order with an identity
+  ``kmer_by_matrix_column`` (the from_tsv behaviour, ``create.py:269``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from time import time
+from uuid import uuid1
+
+import numpy as np
+import h5py
+
+from ..kmer.counter import count_fasta, count_reads_dir
+from ..kmer.matrix import build_presence_matrix
+from ..ops.kmer import n_words_for_k
+from ..utils import minimum_uint_size, pack_binary_bytes_to_ints
+
+__all__ = ["from_contigs", "from_reads", "from_tsv", "parse_metadata"]
+
+KMER_MATRIX_PACKING_SIZE = 64
+KMER_MATRIX_DTYPE = np.uint64
+PHENOTYPE_LABEL_DTYPE = np.uint8
+BLOCK_SIZE = 100000
+
+
+def _callbacks(warning_callback, error_callback, progress_callback):
+    if warning_callback is None:
+        warning_callback = lambda w: logging.warning(w)
+    if error_callback is None:
+
+        def error_callback(exception):
+            raise exception
+
+    if progress_callback is None:
+        progress_callback = lambda t, p: None
+    return warning_callback, error_callback, progress_callback
+
+
+def parse_metadata(metadata_path, matrix_genome_ids, warning_callback=None,
+                   error_callback=None):
+    """Parse ``genome_id<whitespace>label`` metadata (create.py:65-116)."""
+    warning_callback, error_callback, _ = _callbacks(
+        warning_callback, error_callback, None
+    )
+    with open(metadata_path) as f:
+        pairs = [l.split() for l in f if l.strip()]
+    md_genome_ids = [p[0] for p in pairs]
+    md_genome_labels = [p[1] for p in pairs]
+    md_unique_labels, indices = np.unique(md_genome_labels, return_inverse=True)
+
+    # Backward-compat: raw 0/1 labels keep their numeric identity; otherwise
+    # sort labels alphabetically for consistent indices across datasets.
+    if not (
+        len(md_unique_labels) == 2
+        and "0" in md_unique_labels
+        and "1" in md_unique_labels
+    ):
+        md_unique_labels = np.sort(md_unique_labels)
+        label_to_index = {l: i for i, l in enumerate(md_unique_labels)}
+        indices = np.array([label_to_index[l] for l in md_genome_labels])
+
+    if len(md_unique_labels) < 2:
+        error_callback(Exception("The dataset must contain at least 2 different phenotypes"))
+    elif len(md_unique_labels) > 255:
+        error_callback(Exception("The dataset can contain at most 255 different phenotypes"))
+    classification_type = "binary" if len(md_unique_labels) == 2 else "multiclass"
+
+    numerical_labels = np.arange(0, len(md_unique_labels))
+    md_genome_labels = numerical_labels[indices]
+
+    if len(md_genome_ids) > len(set(md_genome_ids)):
+        error_callback(Exception("The metadata contains multiple values for the same genome."))
+
+    matrix_genome_ids = list(matrix_genome_ids)
+    only_matrix = set(matrix_genome_ids) - set(md_genome_ids)
+    if only_matrix:
+        warning_callback(
+            "Missing metadata for %d genomes (%s). These genomes will be discarded."
+            % (len(only_matrix), ", ".join(sorted(only_matrix)))
+        )
+    only_metadata = set(md_genome_ids) - set(matrix_genome_ids)
+    if only_metadata:
+        warning_callback(
+            "The metadata contains values for %d genomes that are not in the "
+            "genomic data (%s)." % (len(only_metadata), ", ".join(sorted(only_metadata)))
+        )
+
+    matrix_set = set(matrix_genome_ids)
+    keep = [
+        (g, l)
+        for g, l in zip(md_genome_ids, md_genome_labels)
+        if g in matrix_set
+    ]
+    if not keep:
+        error_callback(Exception("No genomes with both genomic data and metadata."))
+    genome_ids, labels = zip(*keep)
+    return (
+        np.array(genome_ids),
+        np.array(labels, dtype=np.uint8),
+        np.asarray(md_unique_labels),
+        classification_type,
+    )
+
+
+def _init_h5(output_path, source_type, genomic_data, phenotype_description,
+             phenotype_metadata_path, gzip):
+    f = h5py.File(output_path, "w")
+    f.attrs["created"] = time()
+    f.attrs["uuid"] = str(uuid1())
+    f.attrs["genome_source_type"] = source_type
+    f.attrs["genomic_data"] = str(genomic_data)
+    f.attrs["phenotype_description"] = (
+        phenotype_description if phenotype_description is not None else "NA"
+    )
+    f.attrs["phenotype_metadata_source"] = (
+        str(phenotype_metadata_path) if phenotype_metadata_path is not None else "NA"
+    )
+    f.attrs["compression"] = "gzip (level %d)" % gzip
+    return f
+
+
+def _write_metadata(f, genome_ids, phenotype_description, phenotype_metadata_path,
+                    gzip, warning_callback, error_callback):
+    """Returns (sorted genome_ids, labels or None)."""
+    compression = "gzip" if gzip > 0 else None
+    compression_opts = gzip if gzip > 0 else None
+    labels = None
+    if phenotype_description is not None:
+        genome_ids, labels, label_tags, classification_type = parse_metadata(
+            phenotype_metadata_path, genome_ids, warning_callback, error_callback
+        )
+        f.attrs["classification_type"] = classification_type
+        # Sort genomes by label for optimal performance (create.py:190-194);
+        # stable sort for deterministic tie order.
+        sorter = np.argsort(labels, kind="stable")
+        genome_ids = genome_ids[sorter]
+        labels = labels[sorter]
+        phenotype = f.create_dataset(
+            "phenotype", data=labels, dtype=PHENOTYPE_LABEL_DTYPE
+        )
+        phenotype.attrs["description"] = phenotype_description
+        f.create_dataset(
+            "phenotype_tags",
+            data=np.array([str(t).encode() for t in label_tags]),
+            compression=compression,
+            compression_opts=compression_opts,
+        )
+    else:
+        genome_ids = np.asarray(genome_ids)
+        f.attrs["classification_type"] = "binary"
+        f.create_dataset(
+            "phenotype_tags",
+            data=np.array([b"0", b"1"]),
+            compression=compression,
+            compression_opts=compression_opts,
+        )
+    f.create_dataset(
+        "genome_identifiers",
+        data=np.array([str(g).encode() for g in genome_ids]),
+        compression=compression,
+        compression_opts=compression_opts,
+    )
+    return genome_ids, labels
+
+
+def _write_matrix(f, km, gzip, progress_callback):
+    compression = "gzip" if gzip > 0 else None
+    compression_opts = gzip if gzip > 0 else None
+    n_kmers = km.n_kmers
+    k = km.k
+    block = max(1, min(n_kmers, BLOCK_SIZE))
+
+    kmer_strings = km.kmer_strings()
+    f.create_dataset(
+        "kmer_sequences",
+        data=np.array([s.encode() for s in kmer_strings], dtype="S%d" % k),
+        compression=compression,
+        compression_opts=compression_opts,
+    )
+    f.create_dataset(
+        "kmer_by_matrix_column",
+        data=np.arange(n_kmers),
+        dtype=minimum_uint_size(max(n_kmers, 1)),
+        compression=compression,
+        compression_opts=compression_opts,
+    )
+    f.create_dataset(
+        "kmer_matrix",
+        data=km.matrix,
+        dtype=KMER_MATRIX_DTYPE,
+        compression=compression,
+        compression_opts=compression_opts,
+        chunks=(1, block),
+    )
+    progress_callback("Creating", 1.0)
+
+
+def from_contigs(contig_list_path, output_path, kmer_size, filter_singleton=False,
+                 phenotype_description=None, phenotype_metadata_path=None, gzip=4,
+                 warning_callback=None, error_callback=None, progress_callback=None):
+    """Create a dataset from assembled genomes (reference create.py:278-396).
+
+    ``contig_list_path``: two-column file, ``genome_id<whitespace>fasta_path``.
+    ``filter_singleton``: apply the dsk2kover singleton filter.
+    """
+    warning_callback, error_callback, progress_callback = _callbacks(
+        warning_callback, error_callback, progress_callback
+    )
+    n_words_for_k(kmer_size)  # validate k
+
+    with open(contig_list_path) as fh:
+        contig_file_by_genome_id = dict(l.split() for l in fh if l.strip())
+    for g_id, contig_file in contig_file_by_genome_id.items():
+        if not os.path.exists(contig_file):
+            error_callback(
+                IOError(
+                    "The contig file for genome %s cannot be found: %s"
+                    % (g_id, contig_file)
+                )
+            )
+
+    f = _init_h5(output_path, "contigs", contig_list_path, phenotype_description,
+                 phenotype_metadata_path, gzip)
+    f.attrs["filter"] = "singleton" if filter_singleton else "nothing"
+    genome_ids, _ = _write_metadata(
+        f, list(contig_file_by_genome_id), phenotype_description,
+        phenotype_metadata_path, gzip, warning_callback, error_callback
+    )
+
+    genome_kmers = []
+    for i, gid in enumerate(genome_ids):
+        progress_callback("K-mer counting", float(i) / len(genome_ids))
+        genome_kmers.append(
+            count_fasta(contig_file_by_genome_id[str(gid)], kmer_size, genome_id=str(gid))
+        )
+    progress_callback("K-mer counting", 1.0)
+
+    km = build_presence_matrix(genome_kmers, filter_singleton=filter_singleton)
+    _write_matrix(f, km, gzip, progress_callback)
+    f.close()
+
+
+def from_reads(reads_list_path, output_path, kmer_size, abundance_min=1,
+               filter_singleton=False, phenotype_description=None,
+               phenotype_metadata_path=None, gzip=4, warning_callback=None,
+               error_callback=None, progress_callback=None):
+    """Create a dataset from read directories (reference create.py:399-523)."""
+    warning_callback, error_callback, progress_callback = _callbacks(
+        warning_callback, error_callback, progress_callback
+    )
+    n_words_for_k(kmer_size)
+
+    with open(reads_list_path) as fh:
+        reads_dir_by_genome_id = dict(l.split() for l in fh if l.strip())
+    for g_id, read_dir in reads_dir_by_genome_id.items():
+        if not os.path.exists(read_dir):
+            error_callback(
+                IOError(
+                    "The read directory for genome %s cannot be found: %s"
+                    % (g_id, read_dir)
+                )
+            )
+
+    f = _init_h5(output_path, "reads", reads_list_path, phenotype_description,
+                 phenotype_metadata_path, gzip)
+    f.attrs["filter"] = "singleton" if filter_singleton else "nothing"
+    genome_ids, _ = _write_metadata(
+        f, list(reads_dir_by_genome_id), phenotype_description,
+        phenotype_metadata_path, gzip, warning_callback, error_callback
+    )
+
+    genome_kmers = []
+    for i, gid in enumerate(genome_ids):
+        progress_callback("K-mer counting", float(i) / len(genome_ids))
+        genome_kmers.append(
+            count_reads_dir(
+                reads_dir_by_genome_id[str(gid)], kmer_size,
+                abundance_min=abundance_min, genome_id=str(gid)
+            )
+        )
+    progress_callback("K-mer counting", 1.0)
+
+    km = build_presence_matrix(genome_kmers, filter_singleton=filter_singleton)
+    _write_matrix(f, km, gzip, progress_callback)
+    f.close()
+
+
+def from_tsv(tsv_path, output_path, phenotype_description=None,
+             phenotype_metadata_path=None, gzip=4, warning_callback=None,
+             error_callback=None, progress_callback=None):
+    """Create a dataset from a presence TSV (reference create.py:119-275).
+
+    The TSV has header ``kmers\\t<id1>...`` and one 0/1 row per k-mer — the
+    format written by Ray Surveyor / :func:`grm_tpu.kmer.matrix.matrix_to_tsv`.
+    """
+    import pandas as pd
+
+    warning_callback, error_callback, progress_callback = _callbacks(
+        warning_callback, error_callback, progress_callback
+    )
+    if (phenotype_description is None) != (phenotype_metadata_path is None):
+        raise ValueError(
+            "If a phenotype is specified, it must have a description and a "
+            "metadata file."
+        )
+
+    reader = pd.read_csv(tsv_path, sep="\t", index_col=0, iterator=True, engine="c")
+    genome_ids = reader.get_chunk(1).columns.values
+    del reader
+    if len(set(genome_ids)) < len(genome_ids):
+        error_callback(Exception("The genomic data contains genomes with the same identifier."))
+
+    f = _init_h5(output_path, "tsv", tsv_path, phenotype_description,
+                 phenotype_metadata_path, gzip)
+    genome_ids, _ = _write_metadata(
+        f, list(genome_ids), phenotype_description, phenotype_metadata_path,
+        gzip, warning_callback, error_callback
+    )
+
+    # Stream TSV blocks, transpose to genome-major, bit-pack (create.py:240-271).
+    compression = "gzip" if gzip > 0 else None
+    compression_opts = gzip if gzip > 0 else None
+    df_iter = pd.read_csv(tsv_path, sep="\t", index_col=0, chunksize=BLOCK_SIZE)
+
+    blocks_kmers, blocks_packed = [], []
+    kmer_len = None
+    for chunk in df_iter:
+        kmers_data = chunk.index.values.astype(str)
+        if kmer_len is None:
+            kmer_len = len(kmers_data[0])
+        dense = chunk[genome_ids].T.values.astype(np.uint8)
+        blocks_kmers.append(np.array([s.encode() for s in kmers_data], dtype="S%d" % kmer_len))
+        blocks_packed.append(
+            pack_binary_bytes_to_ints(dense, KMER_MATRIX_PACKING_SIZE)
+        )
+    kmer_seqs = np.concatenate(blocks_kmers)
+    packed = np.concatenate(blocks_packed, axis=1)
+    n_kmers = kmer_seqs.shape[0]
+    block = max(1, min(n_kmers, BLOCK_SIZE))
+
+    f.create_dataset("kmer_sequences", data=kmer_seqs, compression=compression,
+                     compression_opts=compression_opts)
+    f.create_dataset(
+        "kmer_by_matrix_column",
+        data=np.arange(n_kmers),
+        dtype=minimum_uint_size(max(n_kmers, 1)),
+        compression=compression,
+        compression_opts=compression_opts,
+    )
+    f.create_dataset("kmer_matrix", data=packed, dtype=KMER_MATRIX_DTYPE,
+                     compression=compression, compression_opts=compression_opts,
+                     chunks=(1, block))
+    progress_callback("Creating", 1.0)
+    f.close()

@@ -1,0 +1,107 @@
+"""Per-genome canonical k-mer counting — the DSK / multidsk equivalent.
+
+The reference shells out to the GATB-based C++ ``dsk``/``multidsk`` binaries
+(``bin/kover/core/kover/dataset/tools/kmer_count.py:23-53``,
+``src/app.py:1356-1416``) to produce per-genome k-mer count sets. Here the
+counting runs on-device via :mod:`grm_tpu.ops.kmer`; the host streams FASTA /
+FASTQ files, 2-bit-encodes them and collects sorted distinct canonical k-mers
+(contigs mode) or k-mer counts with a min-abundance filter (reads mode,
+matching multidsk's ``-abundance-min`` flag semantics).
+"""
+
+from __future__ import annotations
+
+import gzip as _gzip
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops.kmer import encode_contigs, n_words_for_k, sorted_kmers_np
+from ..utils import fasta_to_sequences
+
+__all__ = ["GenomeKmers", "count_fasta", "count_reads_dir", "fastq_to_sequences"]
+
+READS_EXTENSIONS = (".fastq", ".fastq.gz")
+
+
+@dataclass
+class GenomeKmers:
+    """Sorted distinct canonical k-mers of one genome.
+
+    ``kmers``: (n, n_words) uint32, big-endian word order, sorted ascending.
+    ``counts``: occurrence counts (only retained for reads mode).
+    """
+
+    genome_id: str
+    k: int
+    kmers: np.ndarray
+    counts: np.ndarray | None = None
+
+    @property
+    def n_kmers(self):
+        return self.kmers.shape[0]
+
+
+def count_fasta(path, k, genome_id=None, keep_counts=False):
+    """Count canonical k-mers of a FASTA genome (contigs mode).
+
+    Equivalent to ``dsk -file <genome> -kmer-size K`` on an assembly
+    (src/app.py:1372): every distinct canonical k-mer is reported; k-mers
+    never span contig boundaries.
+    """
+    contigs = fasta_to_sequences(path)
+    codes = encode_contigs(contigs)
+    if keep_counts:
+        kmers, counts = sorted_kmers_np(codes, k, return_counts=True)
+        return GenomeKmers(genome_id or _stem(path), k, kmers, counts)
+    kmers = sorted_kmers_np(codes, k)
+    return GenomeKmers(genome_id or _stem(path), k, kmers)
+
+
+def fastq_to_sequences(path):
+    """Read sequences from a FASTQ (optionally gzipped) file."""
+    opener = _gzip.open if str(path).endswith(".gz") else open
+    seqs = []
+    with opener(path, "rt") as f:
+        for i, line in enumerate(f):
+            if i % 4 == 1:
+                seqs.append(line.strip().upper())
+    return seqs
+
+
+def count_reads_dir(read_dir, k, abundance_min=1, genome_id=None):
+    """Count canonical k-mers over all FASTQ files of one genome (reads mode).
+
+    Mirrors the reference reads path (create.py:479-499): every
+    ``.fastq``/``.fastq.gz`` in the directory contributes reads; k-mers seen
+    fewer than ``abundance_min`` times are dropped (multidsk
+    ``-abundance-min``, kmer_count.py:47).
+    """
+    files = sorted(
+        os.path.join(read_dir, f)
+        for f in os.listdir(read_dir)
+        if f.endswith(READS_EXTENSIONS)
+    )
+    if not files:
+        raise IOError("No FASTQ files found in %s" % read_dir)
+    seqs = []
+    for f in files:
+        seqs.extend(fastq_to_sequences(f))
+    codes = encode_contigs(seqs)
+    kmers, counts = sorted_kmers_np(codes, k, return_counts=True)
+    keep = counts >= abundance_min
+    return GenomeKmers(
+        genome_id or os.path.basename(os.path.normpath(read_dir)),
+        k,
+        kmers[keep],
+        counts[keep],
+    )
+
+
+def _stem(path):
+    base = os.path.basename(str(path))
+    for ext in (".gz",):
+        if base.endswith(ext):
+            base = base[: -len(ext)]
+    return os.path.splitext(base)[0]

@@ -1,0 +1,191 @@
+"""Union k-mer space + packed presence matrix — the dsk2kover / Ray Surveyor role.
+
+The reference merges per-genome DSK count files into the genome x k-mer
+presence matrix with the stripped C++ ``dsk2kover`` binary
+(``tools/kmer_pack.py:23-36``) or builds it with MPI Ray Surveyor
+(``src/app.py:1280-1354``). Here the merge is a vectorized union over the
+per-genome sorted k-mer sets, and the matrix is emitted in the reference's
+packed layout: rows = uint64 words of 64 genomes (MSB-first), columns =
+k-mers in sorted canonical order (``create.py:38-41, 224-230`` semantics).
+
+The singleton filter (``filter="singleton"``) drops k-mers present in exactly
+one genome (``bin/kover/kover:144-147``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops.kmer import decode_kmers, n_words_for_k
+
+__all__ = [
+    "KmerMatrix",
+    "build_presence_matrix",
+    "matrix_to_tsv",
+    "counts_to_tsv",
+    "read_matrix_tsv",
+    "kmer_rows_sort_key",
+]
+
+
+def kmer_rows_sort_key(kmers):
+    """A lexicographically-sortable 1-column key view of (n, nw) uint32 rows.
+
+    Words are big-endian significant (word 0 most significant), so a memcmp
+    over big-endian bytes equals numeric/DNA lexicographic order. For nw<=2
+    a uint64 key is returned (fast path); otherwise a void (memcmp) view.
+    """
+    kmers = np.ascontiguousarray(kmers, dtype=np.uint32)
+    nw = kmers.shape[1]
+    if nw == 1:
+        return kmers[:, 0].copy()
+    if nw == 2:
+        return (kmers[:, 0].astype(np.uint64) << np.uint64(32)) | kmers[:, 1].astype(
+            np.uint64
+        )
+    be = np.ascontiguousarray(kmers.astype(">u4"))
+    return be.view("V%d" % (4 * nw)).reshape(-1)
+
+
+@dataclass
+class KmerMatrix:
+    """Packed presence matrix over the union k-mer space.
+
+    ``kmers``: (K, nw) uint32 sorted canonical k-mers (the column order).
+    ``matrix``: (ceil(G/64), K) uint64, genome g = bit 63-(g%64) of row g//64.
+    ``genome_ids``: list of genome identifiers (row order).
+    """
+
+    k: int
+    kmers: np.ndarray
+    matrix: np.ndarray
+    genome_ids: list
+
+    @property
+    def n_genomes(self):
+        return len(self.genome_ids)
+
+    @property
+    def n_kmers(self):
+        return self.kmers.shape[0]
+
+    def kmer_strings(self):
+        return decode_kmers(self.kmers, self.k)
+
+    def dense(self):
+        from ..utils import unpack_binary_bytes_from_ints
+
+        return unpack_binary_bytes_from_ints(self.matrix)[: self.n_genomes]
+
+
+def build_presence_matrix(genome_kmers, filter_singleton=False, k=None):
+    """Merge per-genome sorted k-mer sets into the packed presence matrix.
+
+    Parameters
+    ----------
+    genome_kmers : sequence of :class:`~grm_tpu.kmer.counter.GenomeKmers`
+    filter_singleton : drop k-mers present in exactly one genome
+        (dsk2kover ``-filter singleton``, ``bin/kover/kover:144-147``).
+
+    Returns a :class:`KmerMatrix`. Column order is global sorted canonical
+    order — deterministic and shard-invariant, unlike DSK's internal hash
+    order.
+    """
+    if not genome_kmers:
+        raise ValueError("At least one genome is required.")
+    if k is None:
+        k = genome_kmers[0].k
+    if any(g.k != k for g in genome_kmers):
+        raise ValueError("All genomes must be counted with the same k.")
+    nw = n_words_for_k(k)
+    n_genomes = len(genome_kmers)
+
+    sizes = [g.n_kmers for g in genome_kmers]
+    all_rows = np.concatenate(
+        [g.kmers for g in genome_kmers]
+        + [np.zeros((0, nw), np.uint32)]  # keep dtype/shape for empty input
+    )
+    keys = kmer_rows_sort_key(all_rows)
+    union_keys, inverse = np.unique(keys, return_inverse=True)
+
+    # Map union keys back to (K, nw) rows: take the first occurrence of each.
+    first_occurrence = np.zeros(union_keys.shape[0], dtype=np.int64)
+    # np.unique returns sorted keys; scatter any representative index.
+    first_occurrence[inverse] = np.arange(all_rows.shape[0])
+    union_kmers = all_rows[first_occurrence]
+
+    n_kmers = union_keys.shape[0]
+    n_words64 = -(-n_genomes // 64)
+    matrix = np.zeros((n_words64, n_kmers), dtype=np.uint64)
+    genome_counts = np.zeros(n_kmers, dtype=np.int64)
+
+    offset = 0
+    for g_idx, g in enumerate(genome_kmers):
+        cols = inverse[offset : offset + sizes[g_idx]]
+        offset += sizes[g_idx]
+        word = g_idx // 64
+        bit = np.uint64(1) << np.uint64(63 - (g_idx % 64))
+        matrix[word, cols] |= bit
+        genome_counts[cols] += 1
+
+    if filter_singleton:
+        keep = genome_counts != 1
+        union_kmers = union_kmers[keep]
+        matrix = matrix[:, keep]
+
+    return KmerMatrix(
+        k=k,
+        kmers=np.ascontiguousarray(union_kmers),
+        matrix=matrix,
+        genome_ids=[g.genome_id for g in genome_kmers],
+    )
+
+
+def matrix_to_tsv(km, path):
+    """Write the reference-compatible presence TSV.
+
+    Format consumed by ``kover dataset create from-tsv`` (create.py:121-137,
+    241-269): header ``kmers\\t<id1>\\t<id2>...``, one row per k-mer with
+    binary presence values — the same artifact Ray Surveyor's
+    ``-write-kmer-matrix`` produces for the reference pipeline.
+    """
+    dense = km.dense()  # (G, K)
+    strings = km.kmer_strings()
+    with open(path, "w") as f:
+        f.write("kmers\t" + "\t".join(str(g) for g in km.genome_ids) + "\n")
+        for j, s in enumerate(strings):
+            f.write(s + "\t" + "\t".join("1" if v else "0" for v in dense[:, j]) + "\n")
+
+
+def counts_to_tsv(genome, path):
+    """Write one genome's k-mer counts as ``kmer\\tcount`` lines (DSK parity)."""
+    strings = decode_kmers(genome.kmers, genome.k)
+    counts = (
+        genome.counts
+        if genome.counts is not None
+        else np.ones(genome.n_kmers, dtype=np.int64)
+    )
+    with open(path, "w") as f:
+        for s, c in zip(strings, counts):
+            f.write("%s\t%d\n" % (s, int(c)))
+
+
+def read_matrix_tsv(path):
+    """Read a presence TSV back: (genome_ids, kmer_strings, dense (G, K))."""
+    with open(path) as f:
+        header = f.readline().rstrip("\n").split("\t")
+        genome_ids = header[1:]
+        kmer_strings = []
+        rows = []
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if not parts or parts == [""]:
+                continue
+            kmer_strings.append(parts[0])
+            rows.append([1 if v != "0" else 0 for v in parts[1:]])
+    dense = np.array(rows, dtype=np.uint8).T if rows else np.zeros(
+        (len(genome_ids), 0), np.uint8
+    )
+    return genome_ids, kmer_strings, dense

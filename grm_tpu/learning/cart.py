@@ -1,0 +1,361 @@
+"""CART decision-tree learner over k-mer presence rules.
+
+Mirrors the reference (``learning/learners/cart.py``): class-importance
+altered priors (Breiman 1984 section 4.4), Gini / cross-entropy impurity
+computed *vectorized over all k-mers at once*, empty-child splits forbidden
+(+inf), BFS growth with max_depth / min_samples_split / purity stopping, and
+minimal cost-complexity pruning producing the (alpha, tree) sequence.
+
+TPU mapping: the per-class ``sum_rows`` calls (cart.py:129-135, 194-196)
+become ONE multi-mask masked-popcount pass per node split — all classes'
+left-child counts in a single sweep of the HBM-resident bit matrix. The
+impurity arithmetic stays host-side float64 for exact selection parity.
+"""
+
+from __future__ import annotations
+
+import logging
+from collections import deque
+from copy import deepcopy
+from math import ceil
+
+import numpy as np
+
+from .tree import ProbabilisticTreeNode
+
+__all__ = ["DecisionTreeClassifier", "prune_tree"]
+
+UTIL_BLOCK_SIZE = 1000000
+
+
+class DecisionTreeClassifier:
+    def __init__(self, criterion, max_depth, min_samples_split, class_importance):
+        supported_criteria = ["gini", "cross-entropy"]
+        if criterion not in supported_criteria:
+            raise ValueError(
+                "The supporting splitting criteria are: %s." % str(supported_criteria)
+            )
+        self.criterion = criterion
+        if max_depth < 1:
+            raise ValueError("The maximum tree depth must be greater than 1.")
+        self.max_depth = max_depth
+        if min_samples_split < 2.0:
+            raise ValueError(
+                "The minimum number of examples used to split a node must be 2 or greater."
+            )
+        self.min_samples_split = int(min_samples_split)
+        self.class_importance = class_importance
+        self.decision_tree = None
+
+    def fit(self, rules, rule_classifications, example_idx, rule_blacklist=None,
+            tiebreaker=None, level_callback=None, split_callback=None):
+        if level_callback is None:
+            level_callback = lambda x: None
+        if split_callback is None:
+            split_callback = lambda x, y: None
+        if tiebreaker is None:
+            tiebreaker = lambda x: x
+        if rule_blacklist is None:
+            rule_blacklist = []
+        rule_blacklist = np.asarray(rule_blacklist, dtype=np.int64)
+
+        classes = sorted(example_idx)
+        n_total_class_examples = {c: float(len(example_idx[c])) for c in classes}
+
+        # Altered priors: importance-weighted class priors (Breiman 4.4,
+        # reference cart.py:71-77).
+        total = sum(n_total_class_examples.values())
+        priors = {c: n_total_class_examples[c] / total for c in classes}
+        denum = sum(self.class_importance[c] * priors[c] for c in classes)
+        altered_priors = {
+            c: self.class_importance[c] * priors[c] / denum for c in classes
+        }
+
+        def _gini_impurity(n_examples_by_class, multiply_by_node_proba=False):
+            """Gini diversity index; works on scalars or per-k-mer vectors
+            (cart.py:85-110)."""
+            p_j_t = {
+                c: 1.0 * altered_priors[c] * n_examples_by_class[c]
+                / n_total_class_examples[c]
+                for c in n_examples_by_class
+            }
+            p_t = sum(p_j_t.values())
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p_j_given_t = {c: np.divide(p_j_t[c], p_t) for c in p_j_t}
+            gini = sum(
+                p_j_given_t[i] * p_j_given_t[j]
+                for i in p_j_given_t
+                for j in p_j_given_t
+                if i != j
+            )
+            return gini * (p_t if multiply_by_node_proba else 1.0)
+
+        def _cross_entropy(n_class_examples, multiply_by_node_proba=False):
+            """(cart.py:167-176)"""
+            p_class_node = {
+                c: 1.0 * altered_priors[c] * n_class_examples[c]
+                / n_total_class_examples[c]
+                for c in n_class_examples
+            }
+            node_resubstitution_estimate = sum(p_class_node.values())
+            with np.errstate(divide="ignore", invalid="ignore"):
+                p_class_given_node = {
+                    c: np.divide(p_class_node[c], node_resubstitution_estimate)
+                    for c in p_class_node
+                }
+                diversity_index = -1.0 * sum(
+                    np.nan_to_num(p_class_given_node[c] * np.log(p_class_given_node[c]))
+                    for c in p_class_given_node
+                )
+            return diversity_index * (
+                node_resubstitution_estimate if multiply_by_node_proba else 1.0
+            )
+
+        def _left_right_counts(node_example_idx):
+            """All classes' left-child (k-mer present) counts in ONE device pass."""
+            node_classes = [c for c in classes]
+            counts = rule_classifications.presence_counts(
+                [node_example_idx[c] for c in node_classes]
+            )
+            left = {
+                c: counts[i].astype(np.float64) for i, c in enumerate(node_classes)
+            }
+            right = {
+                c: float(len(node_example_idx[c])) - left[c] for c in node_classes
+            }
+            return left, right
+
+        def _gini_rule_score(node_example_idx):
+            """(cart.py:112-161) — presence rules only (first half)."""
+            left, right = _left_right_counts(node_example_idx)
+            n_kmers = next(iter(left.values())).shape[0]
+            BLOCK = 100000
+            gini = np.zeros(n_kmers)
+            n_blocks = int(ceil(1.0 * n_kmers / BLOCK))
+            for i in range(n_blocks):
+                sl = slice(i * BLOCK, (i + 1) * BLOCK)
+                gini[sl] = _gini_impurity(
+                    {c: ex[sl] for c, ex in left.items()}, True
+                )
+                gini[sl] += _gini_impurity(
+                    {c: ex[sl] for c, ex in right.items()}, True
+                )
+            gini[sum(left.values()) == 0] = np.inf
+            gini[sum(right.values()) == 0] = np.inf
+            return gini
+
+        def _cross_entropy_rule_score(node_example_idx):
+            """(cart.py:178-207) — note the reference only includes classes
+            with a non-empty example set (`if example_idx[c].size`)."""
+            nonempty = {
+                c: idx for c, idx in node_example_idx.items() if len(idx)
+            }
+            counts = rule_classifications.presence_counts(
+                [nonempty[c] for c in sorted(nonempty)]
+            )
+            left = {
+                c: counts[i].astype(np.float64)
+                for i, c in enumerate(sorted(nonempty))
+            }
+            right = {
+                c: float(len(nonempty[c])) - left[c] for c in left
+            }
+            xent = _cross_entropy(left, True)
+            xent = xent + _cross_entropy(right, True)
+            xent[sum(left.values()) == 0] = np.inf
+            xent[sum(right.values()) == 0] = np.inf
+            return xent
+
+        if self.criterion == "gini":
+            get_criterion = _gini_impurity
+            score_rules = _gini_rule_score
+        else:
+            get_criterion = _cross_entropy
+            score_rules = _cross_entropy_rule_score
+        node_type = ProbabilisticTreeNode
+
+        def _find_best_split(node):
+            """(cart.py:219-250)"""
+            node_example_idx = node.class_examples_idx
+            rules_criterion = score_rules(node_example_idx)
+            if len(rule_blacklist):
+                rules_criterion[rule_blacklist] = np.inf
+            if np.min(rules_criterion) == np.inf:
+                return None, None, None, None
+            candidate_rules_idx = np.where(
+                rules_criterion == np.min(rules_criterion)
+            )[0]
+            best_rules_idx = tiebreaker(candidate_rules_idx)
+            selected_rule_idx = int(best_rules_idx[0])
+
+            rule_preds = rule_classifications.get_columns(selected_rule_idx)
+            left = {
+                c: node_example_idx[c][rule_preds[node_example_idx[c]] == 1]
+                for c in node_example_idx
+            }
+            right = {
+                c: node_example_idx[c][rule_preds[node_example_idx[c]] == 0]
+                for c in node_example_idx
+            }
+            return selected_rule_idx, best_rules_idx, left, right
+
+        root = node_type(
+            class_examples_idx=example_idx,
+            depth=0,
+            criterion_value=get_criterion(n_total_class_examples),
+            class_priors=altered_priors,
+            total_n_examples_by_class=n_total_class_examples,
+        )
+
+        nodes_to_split = deque([root])
+        runtime_infos = {}
+        current_depth = -1
+        min_samples_split = max(self.min_samples_split, 2)
+
+        while len(nodes_to_split) > 0:
+            node = nodes_to_split.popleft()
+            if node.depth != current_depth:
+                current_depth = node.depth
+                runtime_infos["depth"] = current_depth
+                if current_depth > 0:
+                    level_callback(runtime_infos)
+                if current_depth == self.max_depth:
+                    break  # last-level nodes stay leaves
+            if 1.0 in node.class_proportions.values():
+                continue  # pure leaf
+            if node.n_examples < min_samples_split:
+                continue
+
+            (selected_rule_idx, equivalent_rule_idx, left_idx, right_idx) = (
+                _find_best_split(node)
+            )
+            if selected_rule_idx is None:
+                continue
+
+            node.rule = rules[selected_rule_idx]
+            left_n = {c: len(idx) for c, idx in left_idx.items()}
+            right_n = {c: len(idx) for c, idx in right_idx.items()}
+
+            node.left_child = node_type(
+                parent=node,
+                class_examples_idx=left_idx,
+                depth=node.depth + 1,
+                criterion_value=get_criterion(left_n),
+                class_priors=altered_priors,
+                total_n_examples_by_class=n_total_class_examples,
+            )
+            node.right_child = node_type(
+                parent=node,
+                class_examples_idx=right_idx,
+                depth=node.depth + 1,
+                criterion_value=get_criterion(right_n),
+                class_priors=altered_priors,
+                total_n_examples_by_class=n_total_class_examples,
+            )
+            # Unnormalized rule importance = impurity decrease (cart.py:325-329).
+            node.rule.importance = (
+                node.breiman_info.p_t * node.criterion_value
+                - node.left_child.breiman_info.p_t * node.left_child.criterion_value
+                - node.right_child.breiman_info.p_t * node.right_child.criterion_value
+            )
+            split_callback(node, equivalent_rule_idx)
+            nodes_to_split.append(node.left_child)
+            nodes_to_split.append(node.right_child)
+            runtime_infos["model"] = root
+
+        self.decision_tree = root
+
+    def predict(self, X):
+        if not self._is_fitted():
+            raise RuntimeError("The classifier must be fitted before predicting.")
+        return self.decision_tree.predict(X)
+
+    def predict_proba(self, X):
+        if not self._is_fitted():
+            raise RuntimeError("The classifier must be fitted before predicting.")
+        return self.decision_tree.predict_proba(X)
+
+    def _is_fitted(self):
+        return self.decision_tree is not None
+
+
+def prune_tree(tree):
+    """Minimal cost-complexity pruning -> (alphas, trees) (cart.py:362-470).
+
+    Iterative implementations of the reference's recursive passes (no
+    recursion limits), with identical np.allclose comparisons.
+    """
+
+    def _get_leaf_parents(root):
+        leaf_parents = []
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            if not node.is_leaf:
+                if node.left_child.is_leaf and node.right_child.is_leaf:
+                    leaf_parents.append(node)
+                else:
+                    stack.append(node.left_child)
+                    stack.append(node.right_child)
+        return leaf_parents
+
+    def _initial_pruning(root):
+        """Collapse zero-gain leaf parents (Tmax -> T1, cart.py:367-401)."""
+        parents = _get_leaf_parents(root)
+        while parents:
+            node = parents.pop()
+            if np.allclose(
+                node.breiman_info.R_t,
+                node.left_child.breiman_info.R_t + node.right_child.breiman_info.R_t,
+            ):
+                node.rule = None
+                node.left_child = None
+                node.right_child = None
+                if (
+                    not node.is_root
+                    and node.parent.left_child.is_leaf
+                    and node.parent.right_child.is_leaf
+                ):
+                    parents.append(node.parent)
+
+    def _find_weakest_links(node):
+        """(cart.py:403-429)"""
+        if node.is_leaf:
+            return np.inf, [node]
+        RTt = sum(l.breiman_info.R_t for l in node.leaves)
+        current_gt = float(node.breiman_info.R_t - RTt) / (len(node.leaves) - 1)
+        left_min_gt, left_links = _find_weakest_links(node.left_child)
+        right_min_gt, right_links = _find_weakest_links(node.right_child)
+
+        if np.allclose(current_gt, min(left_min_gt, right_min_gt)):
+            if np.allclose(left_min_gt, right_min_gt):
+                return current_gt, [node] + left_links + right_links
+            return current_gt, [node] + (
+                left_links if left_min_gt < right_min_gt else right_links
+            )
+        elif current_gt < min(left_min_gt, right_min_gt):
+            return current_gt, [node]
+        elif np.allclose(left_min_gt, right_min_gt):
+            return left_min_gt, left_links + right_links
+        elif left_min_gt > right_min_gt:
+            return right_min_gt, right_links
+        else:
+            return left_min_gt, left_links
+
+    tree = deepcopy(tree)
+    _initial_pruning(tree)
+    T1 = tree
+
+    sequence = [(0, T1)]
+    current = T1
+    while not current.is_leaf:
+        current = deepcopy(current)
+        min_gt, weakest_links = _find_weakest_links(current)
+        for n in weakest_links:
+            n.rule = None
+            n.left_child = None
+            n.right_child = None
+        sequence.append((min_gt, current))
+
+    alphas, trees = zip(*sequence)
+    return alphas, trees

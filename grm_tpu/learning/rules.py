@@ -1,0 +1,99 @@
+"""Rule lists and the device-backed rule-classification engine.
+
+``KmerRuleClassifications`` replaces the reference's HDF5-block +
+Cython-popcount engine (``learning/common/rules.py:99-267``) with the
+device-resident :class:`~grm_tpu.ops.popcount.BitMatrix`:
+
+- ``sum_rows(rows)`` — one masked-popcount sweep on device; returns the
+  length-2K presence+absence count vector with the reference's dtype contract;
+- ``presence_counts(rows_list)`` — several row sets in a single matrix pass
+  (the reference rereads the matrix once per call);
+- ``get_columns(columns)`` — host-side gather of a few columns from the HDF5
+  matrix (model prediction paths), with absence-rule inversion.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import minimum_uint_size
+
+__all__ = ["LazyKmerRuleList", "KmerRuleClassifications"]
+
+from .models import KmerRule
+
+
+class LazyKmerRuleList:
+    """Virtual list of 2K rules: first half presence, second half absence.
+
+    Mirrors reference rules.py:57-79: ``rules[i]`` materializes a
+    :class:`KmerRule` with the k-mer sequence looked up lazily.
+    """
+
+    def __init__(self, dataset):
+        self._dataset = dataset
+        self._n_kmers = dataset.kmer_count
+        self.n_rules = self._n_kmers * 2
+        self._seq_cache = {}
+
+    def _sequence(self, kmer_idx):
+        if kmer_idx not in self._seq_cache:
+            with self._dataset.open() as f:
+                kmer_by_col = f["kmer_by_matrix_column"][kmer_idx]
+                seq = f["kmer_sequences"][kmer_by_col]
+            self._seq_cache[kmer_idx] = seq.decode() if isinstance(seq, bytes) else str(seq)
+        return self._seq_cache[kmer_idx]
+
+    def __getitem__(self, idx):
+        idx = int(idx)
+        if idx >= self.n_rules:
+            raise ValueError(
+                "Index %d is out of range for list of size %d" % (idx, self.n_rules)
+            )
+        rule_type = "absence" if idx >= self._n_kmers else "presence"
+        kmer_idx = idx % self._n_kmers
+        return KmerRule(kmer_idx, self._sequence(kmer_idx), rule_type)
+
+    def __len__(self):
+        return self.n_rules
+
+
+class KmerRuleClassifications:
+    """Device-backed rule classifications over the packed k-mer matrix."""
+
+    def __init__(self, dataset, n_rows=None):
+        self.dataset = dataset
+        self.n_rows = int(n_rows if n_rows is not None else dataset.genome_count)
+        self.bit_matrix = dataset.bit_matrix()
+        self.n_kmers = self.bit_matrix.n_columns
+
+    @property
+    def shape(self):
+        return self.n_rows, self.n_kmers * 2
+
+    def presence_counts(self, rows_list):
+        return self.bit_matrix.presence_counts(rows_list)
+
+    def sum_rows(self, rows):
+        """Reference contract (rules.py:201-267): presence then absence counts."""
+        rows = np.asarray(rows)
+        presence = self.bit_matrix.presence_counts([rows])[0]
+        out = np.empty(self.n_kmers * 2,
+                       dtype=minimum_uint_size(max(rows.shape[0], 1)))
+        out[: self.n_kmers] = presence
+        out[self.n_kmers:] = rows.shape[0] - presence
+        return out
+
+    def get_columns(self, columns):
+        """Unpacked rule columns for all genomes (absence rules inverted).
+
+        Accepts an int or a list/array of rule indices in [0, 2K).
+        Mirrors rules.py:135-171.
+        """
+        columns_is_int = hasattr(columns, "__index__")
+        if columns_is_int:
+            columns = [columns.__index__()]
+        result = self.dataset.get_matrix_columns(np.asarray(columns, dtype=np.int64))
+        if columns_is_int:
+            return result.reshape(-1)
+        return result

@@ -1,0 +1,121 @@
+"""CLI end-to-end: dataset create/split/info + learn scm/tree + kmer tools."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, cwd):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GRM_PLATFORM"] = "cpu"  # sitecustomize may override JAX_PLATFORMS
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    # Share compiled XLA programs across the spawned CLI processes.
+    env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/grm_jax_cache"
+    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+    return subprocess.run(
+        [sys.executable, "-m", "grm_tpu"] + args,
+        cwd=cwd, env=env, capture_output=True, text=True, timeout=300,
+    )
+
+
+@pytest.fixture(scope="module")
+def cli_workspace(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("cli")
+    rng = np.random.RandomState(5)
+    marker = "TTGACGGCTAGCTCAGTCCTAGGTAC"
+    lines_c, lines_m = [], []
+    for i in range(12):
+        gid = "iso%02d" % i
+        bg = "".join(rng.choice(list("ACGT"), 350))
+        seq = bg[:150] + (marker if i % 2 else "") + bg[150:]
+        p = tmp_path / ("%s.fna" % gid)
+        p.write_text(">c\n%s\n" % seq)
+        lines_c.append("%s\t%s" % (gid, p))
+        lines_m.append("%s\t%s" % (gid, "resistant" if i % 2 else "susceptible"))
+    (tmp_path / "contigs.tsv").write_text("\n".join(lines_c) + "\n")
+    (tmp_path / "meta.tsv").write_text("\n".join(lines_m) + "\n")
+    return tmp_path
+
+
+def test_cli_full_pipeline(cli_workspace):
+    tmp = cli_workspace
+    r = _run(["dataset", "create", "from-contigs",
+              "--genomic-data", "contigs.tsv", "--output", "amr.h5",
+              "--kmer-size", "15", "--singleton-kmers",
+              "--phenotype-description", "test amr",
+              "--phenotype-metadata", "meta.tsv"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    assert (tmp / "amr.h5").exists()
+
+    r = _run(["dataset", "split", "--dataset", "amr.h5", "--id", "sp1",
+              "--train-size", "0.75", "--folds", "2", "--random-seed", "9"],
+             cwd=tmp)
+    assert r.returncode == 0, r.stderr
+
+    r = _run(["dataset", "info", "--dataset", "amr.h5", "--genome-count",
+              "--kmer-count", "--splits", "--phenotype-tags"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    assert "Genome count: 12" in r.stdout
+    assert "sp1" in r.stdout
+    assert "resistant, susceptible" in r.stdout
+
+    r = _run(["learn", "scm", "--dataset", "amr.h5", "--split", "sp1",
+              "--model-type", "conjunction", "disjunction",
+              "--p", "0.5", "1.0", "--max-rules", "3",
+              "--hp-choice", "cv", "--random-seed", "3",
+              "--output-dir", "scm_out"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    assert "Kover Learning Report" in r.stdout
+    results = json.loads((tmp / "scm_out" / "results.json").read_text())
+    assert results["metrics"]["test"]["risk"][0] == 0.0
+    assert results["model"]["n_rules"] >= 1
+    assert (tmp / "scm_out" / "model.fasta").exists()
+    assert (tmp / "scm_out" / "report.txt").exists()
+    assert (tmp / "scm_out" / "config.json").exists()
+
+    r = _run(["learn", "tree", "--dataset", "amr.h5", "--split", "sp1",
+              "--criterion", "gini", "--max-depth", "3",
+              "--hp-choice", "cv", "--output-dir", "tree_out"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    results = json.loads((tmp / "tree_out" / "results.json").read_text())
+    assert results["metrics"]["test"]["risk"][0] == 0.0
+    assert (tmp / "tree_out" / "model.fasta").exists()
+
+
+def test_cli_kmer_tools(cli_workspace):
+    tmp = cli_workspace
+    r = _run(["kmer", "count", "--genome", "iso01.fna", "--kmer-size", "21",
+              "--out", "counts.tsv"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    lines = (tmp / "counts.tsv").read_text().splitlines()
+    assert len(lines) > 100
+    assert all(len(l.split("\t")) == 2 for l in lines)
+    kmers = [l.split("\t")[0] for l in lines]
+    assert kmers == sorted(kmers)
+
+    r = _run(["kmer", "matrix", "--genome-list", "contigs.tsv",
+              "--kmer-size", "15", "--out", "matrix.tsv"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    header = (tmp / "matrix.tsv").read_text().splitlines()[0].split("\t")
+    assert header[0] == "kmers"
+    assert len(header) == 13
+
+
+def test_cli_errors(cli_workspace):
+    tmp = cli_workspace
+    r = _run(["dataset", "split", "--dataset", "amr.h5", "--id", "bad",
+              "--folds", "1"], cwd=tmp)
+    assert "folds must be 0 or >= 2" in r.stdout
+
+    r = _run(["learn", "scm", "--dataset", "amr.h5", "--split", "nope"],
+             cwd=tmp)
+    assert r.returncode != 0
+    assert "does not exist" in r.stdout

@@ -1,0 +1,142 @@
+"""Benchmark: SCM cross-validation compute core at published-median scale.
+
+Reproduces the compute workload of the reference's median `kover learn scm`
+run (BASELINE.md: median dataset 342 genomes x 9.6M k-mers, 5-fold CV over
+the default hyperparameter grid of 2 model types x 8 p values, max 10 rules;
+median wall-clock 355 s on CPU) using the fused on-device SCM iteration:
+masked-popcount utility sweep over the HBM-resident packed bit matrix +
+global rule argmax + packed-mask example-set updates, all in one XLA program
+per rule.
+
+Emits ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 355/seconds}
+
+vs_baseline > 1 means faster than the reference's median published learn
+wall-clock. Supporting numbers go to stderr.
+
+Environment knobs: BENCH_GENOMES, BENCH_KMERS, BENCH_FOLDS, BENCH_MAX_RULES.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_MEDIAN_LEARN_SECONDS = 355.0  # BASELINE.md, page/results/summary.json
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from grm_tpu.parallel.mesh import scm_fit_batch_device
+    from grm_tpu.utils import build_row_mask
+
+    n_genomes = int(os.environ.get("BENCH_GENOMES", 342))
+    n_kmers = int(os.environ.get("BENCH_KMERS", 9_600_000))
+    n_folds = int(os.environ.get("BENCH_FOLDS", 5))
+    max_rules = int(os.environ.get("BENCH_MAX_RULES", 10))
+    p_grid = [0.1, 0.316, 0.562, 1.0, 1.778, 3.162, 10.0, 999999.0]
+    model_types = ["conjunction", "disjunction"]
+
+    log("devices: %s" % (jax.devices(),))
+    log("workload: %d genomes x %d kmers, %d folds, grid %dx%d, max %d rules"
+        % (n_genomes, n_kmers, n_folds, len(model_types), len(p_grid), max_rules))
+
+    rng = np.random.RandomState(0)
+    w = -(-n_genomes // 32)
+    t0 = time.time()
+    matrix_host = rng.randint(0, 2 ** 31, size=(w, n_kmers), dtype=np.int64).astype(
+        np.uint32
+    )
+    # Plant a few informative columns so rule selection behaves realistically.
+    y = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
+    log("host matrix gen: %.1fs (%.0f MB)" % (time.time() - t0, matrix_host.nbytes / 1e6))
+
+    t0 = time.time()
+    matrix = jax.device_put(matrix_host)
+    matrix.block_until_ready()
+    h2d = time.time() - t0
+    log("H2D: %.2fs (%.1f GB/s)" % (h2d, matrix_host.nbytes / h2d / 1e9))
+
+    # Fold train masks (packed); CV folds partition the training set.
+    all_idx = np.arange(n_genomes)
+    rng.shuffle(all_idx)
+    n_train = int(np.ceil(0.67 * n_genomes))
+    train_idx = all_idx[:n_train]
+    fold_assign = np.arange(n_train) % n_folds
+    rng.shuffle(fold_assign)
+
+    fold_masks = []
+    for fold in range(n_folds):
+        ftr = train_idx[fold_assign != fold]
+        pos = ftr[y[ftr] == 1]
+        neg = ftr[y[ftr] == 0]
+        pm = np.zeros(w, np.uint32)
+        nm = np.zeros(w, np.uint32)
+        pmv = build_row_mask(pos, n_genomes, 32)
+        nmv = build_row_mask(neg, n_genomes, 32)
+        pm[: len(pmv)] = pmv
+        nm[: len(nmv)] = nmv
+        fold_masks.append((pm, nm))
+
+    # Build the full CV fit batch: every (model_type, p, fold) combination,
+    # disjunction = swapped masks (scm.py:69-73 semantics).
+    pos_list, neg_list, p_list = [], [], []
+    for model_type in model_types:
+        for p in p_grid:
+            for pm, nm in fold_masks:
+                if model_type == "disjunction":
+                    pos_list.append(nm)
+                    neg_list.append(pm)
+                else:
+                    pos_list.append(pm)
+                    neg_list.append(nm)
+                p_list.append(p)
+    pos_masks = jnp.asarray(np.stack(pos_list))
+    neg_masks = jnp.asarray(np.stack(neg_list))
+    ps = jnp.asarray(np.array(p_list, np.float32))
+    n_fits = len(p_list)
+
+    # Cold run (includes compile). NOTE: timings are measured through an
+    # actual device_get — block_until_ready alone is unreliable on the
+    # tunneled platform.
+    t0 = time.time()
+    out = scm_fit_batch_device(
+        matrix, pos_masks, neg_masks, ps, n_kmers, max_rules
+    )
+    _ = jax.device_get(out[1])
+    log("cold run (compile + CV grid): %.2fs" % (time.time() - t0))
+
+    # The CV grid: ONE device program for all fits, one host fetch at the end.
+    t0 = time.time()
+    rules, n_rules, n_neg_left = scm_fit_batch_device(
+        matrix, pos_masks, neg_masks, ps, n_kmers, max_rules
+    )
+    rules_h = np.asarray(jax.device_get(rules))
+    n_rules_h = np.asarray(jax.device_get(n_rules))
+    wall = time.time() - t0
+    total_steps = int(n_rules_h.sum())
+
+    rule_evals = total_steps * 2 * n_kmers
+    log("CV core: %d fits, %d fused steps in %.2fs (%.1f ms/step, %.1f G rule-evals/s)"
+        % (n_fits, total_steps, wall, 1e3 * wall / max(total_steps, 1),
+           rule_evals / wall / 1e9))
+
+    value = wall
+    print(json.dumps({
+        "metric": "scm_cv_core_wall_clock_median_dataset",
+        "value": round(value, 3),
+        "unit": "s",
+        "vs_baseline": round(REFERENCE_MEDIAN_LEARN_SECONDS / value, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""Sharded sweeps and the fused device SCM step on a virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from grm_tpu.ops.popcount import BitMatrix, masked_popcount_colsum
+from grm_tpu.parallel.mesh import (
+    make_mesh,
+    scm_device_step,
+    shard_bit_matrix,
+    sharded_presence_counts,
+)
+from grm_tpu.utils import build_row_mask, pack_binary_bytes_to_ints
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("row_devices", [1, 2])
+def test_sharded_counts_match_unsharded(rng, row_devices):
+    n_genomes, n_kmers = 100, 531  # deliberately not divisible by shards
+    dense = (rng.rand(n_genomes, n_kmers) > 0.5).astype(np.uint8)
+    packed = pack_binary_bytes_to_ints(dense, 32)
+
+    mesh = make_mesh(8, row_devices=row_devices)
+    m_sharded, k = shard_bit_matrix(packed, mesh)
+    assert k == n_kmers
+
+    rows_a = rng.choice(n_genomes, 40, replace=False)
+    rows_b = rng.choice(n_genomes, 13, replace=False)
+    w_padded = m_sharded.shape[0]
+    masks = np.zeros((2, w_padded), np.uint32)
+    for i, rows in enumerate([rows_a, rows_b]):
+        m = build_row_mask(rows, n_genomes, 32)
+        masks[i, : len(m)] = m
+
+    counts = sharded_presence_counts(m_sharded, masks, mesh)[:, :k]
+    np.testing.assert_array_equal(counts[0], dense[rows_a].sum(axis=0))
+    np.testing.assert_array_equal(counts[1], dense[rows_b].sum(axis=0))
+
+
+def _host_scm_fast(dense, y, p, max_rules):
+    """Pure-argmax (fast path) SCM reference on host."""
+    n = dense.shape[1]
+    X = np.hstack([dense, 1 - dense]).astype(np.int64)
+    pos = set(np.where(y == 1)[0])
+    neg = set(np.where(y == 0)[0])
+    chosen = []
+    while neg and len(chosen) < max_rules:
+        pos_l, neg_l = sorted(pos), sorted(neg)
+        neg_cover = (X[neg_l] == 0).sum(axis=0)
+        pos_err = (X[pos_l] == 0).sum(axis=0)
+        utility = neg_cover.astype(np.float32) - np.float32(p) * pos_err.astype(
+            np.float32
+        )
+        utility[(neg_cover == 0) & (pos_err == 0)] = -np.inf
+        best = int(np.argmax(utility))
+        chosen.append(best)
+        pos = {i for i in pos if X[i, best]}
+        neg = {i for i in neg if X[i, best]}
+    return chosen
+
+
+@pytest.mark.parametrize("sharded", [False, True])
+def test_scm_device_step_matches_host(rng, sharded):
+    n_genomes, n_kmers = 70, 300
+    dense = (rng.rand(n_genomes, n_kmers) > 0.6).astype(np.uint8)
+    y = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
+    packed = pack_binary_bytes_to_ints(dense, 32)
+
+    if sharded:
+        mesh = make_mesh(8, row_devices=2)
+        matrix, k = shard_bit_matrix(packed, mesh)
+        w = matrix.shape[0]
+    else:
+        import jax.numpy as jnp
+
+        matrix, k = jnp.asarray(packed), n_kmers
+        w = packed.shape[0]
+
+    pos_mask = np.zeros(w, np.uint32)
+    neg_mask = np.zeros(w, np.uint32)
+    pm = build_row_mask(np.where(y == 1)[0], n_genomes, 32)
+    nm = build_row_mask(np.where(y == 0)[0], n_genomes, 32)
+    pos_mask[: len(pm)] = pm
+    neg_mask[: len(nm)] = nm
+
+    p = 1.0
+    want = _host_scm_fast(dense, y, p, 4)
+    got = []
+    for _ in range(4):
+        best, util, pos_mask, neg_mask, n_neg = scm_device_step(
+            matrix, pos_mask, neg_mask, p, k
+        )
+        got.append(int(best))
+        if int(n_neg) == 0:
+            break
+    assert got == want[: len(got)]
+
+
+def test_scm_fit_batch_device_matches_host(rng):
+    """The one-dispatch batched fit (scan+while) matches the per-step path."""
+    import jax.numpy as jnp
+
+    from grm_tpu.parallel.mesh import scm_fit_batch_device
+
+    n_genomes, n_kmers = 60, 200
+    dense = (rng.rand(n_genomes, n_kmers) > 0.55).astype(np.uint8)
+    y = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
+    packed = pack_binary_bytes_to_ints(dense, 32)
+    matrix = jnp.asarray(packed)
+    w = packed.shape[0]
+
+    pm = np.zeros(w, np.uint32)
+    nm = np.zeros(w, np.uint32)
+    pmv = build_row_mask(np.where(y == 1)[0], n_genomes, 32)
+    nmv = build_row_mask(np.where(y == 0)[0], n_genomes, 32)
+    pm[: len(pmv)] = pmv
+    nm[: len(nmv)] = nmv
+
+    ps = [0.5, 1.0, 3.0]
+    pos_masks = jnp.asarray(np.stack([pm] * len(ps)))
+    neg_masks = jnp.asarray(np.stack([nm] * len(ps)))
+    rules, n_rules, n_neg_left = scm_fit_batch_device(
+        matrix, pos_masks, neg_masks, jnp.asarray(np.array(ps, np.float32)),
+        n_kmers, 5,
+    )
+    rules = np.asarray(rules)
+    n_rules = np.asarray(n_rules)
+    for i, p in enumerate(ps):
+        want = _host_scm_fast(dense, y, p, 5)
+        got = [r for r in rules[i] if r >= 0]
+        assert got == want
+        assert n_rules[i] == len(want)
+
+
+def test_scm_device_step_full_separation(rng):
+    n_genomes, n_kmers = 64, 100
+    dense = (rng.rand(n_genomes, n_kmers) > 0.5).astype(np.uint8)
+    y = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
+    dense[:, 42] = y
+    packed = pack_binary_bytes_to_ints(dense, 32)
+    mesh = make_mesh(8)
+    matrix, k = shard_bit_matrix(packed, mesh)
+
+    pos_mask = build_row_mask(np.where(y == 1)[0], n_genomes, 32).astype(np.uint32)
+    neg_mask = build_row_mask(np.where(y == 0)[0], n_genomes, 32).astype(np.uint32)
+    best, util, pos_mask, neg_mask, n_neg = scm_device_step(
+        matrix, pos_mask, neg_mask, 1.0, k
+    )
+    assert int(best) == 42
+    assert int(n_neg) == 0

@@ -43,20 +43,45 @@ class GenomeKmers:
         return self.kmers.shape[0]
 
 
-def count_fasta(path, k, genome_id=None, keep_counts=False):
+def _resolve_engine(engine):
+    """'auto' -> 'device' on an accelerator, else 'native' if built, else
+    'device' (XLA-on-CPU)."""
+    if engine != "auto":
+        return engine
+    import jax
+
+    if jax.default_backend() != "cpu":
+        return "device"
+    from ..native import bindings as nb
+
+    return "native" if nb.available() else "device"
+
+
+def _count_codes(codes, k, keep_counts, engine):
+    engine = _resolve_engine(engine)
+    if engine == "native":
+        from ..native.bindings import count_kmers_native
+
+        return count_kmers_native(codes, k, return_counts=keep_counts)
+    return sorted_kmers_np(codes, k, return_counts=keep_counts)
+
+
+def count_fasta(path, k, genome_id=None, keep_counts=False, engine="auto"):
     """Count canonical k-mers of a FASTA genome (contigs mode).
 
     Equivalent to ``dsk -file <genome> -kmer-size K`` on an assembly
     (src/app.py:1372): every distinct canonical k-mer is reported; k-mers
-    never span contig boundaries.
+    never span contig boundaries. ``engine``: 'device' (XLA), 'native'
+    (libgrmio) or 'auto'; both produce identical sorted output.
     """
     contigs = fasta_to_sequences(path)
     codes = encode_contigs(contigs)
+    out = _count_codes(codes, k, keep_counts, engine)
+    gid = genome_id or _stem(path)
     if keep_counts:
-        kmers, counts = sorted_kmers_np(codes, k, return_counts=True)
-        return GenomeKmers(genome_id or _stem(path), k, kmers, counts)
-    kmers = sorted_kmers_np(codes, k)
-    return GenomeKmers(genome_id or _stem(path), k, kmers)
+        kmers, counts = out
+        return GenomeKmers(gid, k, kmers, counts)
+    return GenomeKmers(gid, k, out)
 
 
 def fastq_to_sequences(path):
@@ -70,7 +95,7 @@ def fastq_to_sequences(path):
     return seqs
 
 
-def count_reads_dir(read_dir, k, abundance_min=1, genome_id=None):
+def count_reads_dir(read_dir, k, abundance_min=1, genome_id=None, engine="auto"):
     """Count canonical k-mers over all FASTQ files of one genome (reads mode).
 
     Mirrors the reference reads path (create.py:479-499): every
@@ -89,7 +114,7 @@ def count_reads_dir(read_dir, k, abundance_min=1, genome_id=None):
     for f in files:
         seqs.extend(fastq_to_sequences(f))
     codes = encode_contigs(seqs)
-    kmers, counts = sorted_kmers_np(codes, k, return_counts=True)
+    kmers, counts = _count_codes(codes, k, True, engine)
     keep = counts >= abundance_min
     return GenomeKmers(
         genome_id or os.path.basename(os.path.normpath(read_dir)),

@@ -80,7 +80,8 @@ class KmerMatrix:
         return unpack_binary_bytes_from_ints(self.matrix)[: self.n_genomes]
 
 
-def build_presence_matrix(genome_kmers, filter_singleton=False, k=None):
+def build_presence_matrix(genome_kmers, filter_singleton=False, k=None,
+                          engine="auto"):
     """Merge per-genome sorted k-mer sets into the packed presence matrix.
 
     Parameters
@@ -102,33 +103,51 @@ def build_presence_matrix(genome_kmers, filter_singleton=False, k=None):
     nw = n_words_for_k(k)
     n_genomes = len(genome_kmers)
 
-    sizes = [g.n_kmers for g in genome_kmers]
-    all_rows = np.concatenate(
-        [g.kmers for g in genome_kmers]
-        + [np.zeros((0, nw), np.uint32)]  # keep dtype/shape for empty input
-    )
-    keys = kmer_rows_sort_key(all_rows)
-    union_keys, inverse = np.unique(keys, return_inverse=True)
+    use_native = False
+    if engine in ("auto", "native"):
+        from ..native import bindings as nb
 
-    # Map union keys back to (K, nw) rows: take the first occurrence of each.
-    first_occurrence = np.zeros(union_keys.shape[0], dtype=np.int64)
-    # np.unique returns sorted keys; scatter any representative index.
-    first_occurrence[inverse] = np.arange(all_rows.shape[0])
-    union_kmers = all_rows[first_occurrence]
+        use_native = nb.available()
+        if engine == "native" and not use_native:
+            raise RuntimeError("native engine requested but libgrmio unavailable")
 
-    n_kmers = union_keys.shape[0]
+    if use_native:
+        # dsk2kover role: streaming N-way heap merge over the sorted lists.
+        from ..native.bindings import merge_union_native
+
+        union_kmers, genome_counts, col_arrays = merge_union_native(
+            [g.kmers for g in genome_kmers], nw
+        )
+        n_kmers = union_kmers.shape[0]
+    else:
+        sizes = [g.n_kmers for g in genome_kmers]
+        all_rows = np.concatenate(
+            [g.kmers for g in genome_kmers]
+            + [np.zeros((0, nw), np.uint32)]  # keep dtype/shape for empty input
+        )
+        keys = kmer_rows_sort_key(all_rows)
+        union_keys, inverse = np.unique(keys, return_inverse=True)
+
+        # Map union keys back to (K, nw) rows: take the first occurrence.
+        first_occurrence = np.zeros(union_keys.shape[0], dtype=np.int64)
+        first_occurrence[inverse] = np.arange(all_rows.shape[0])
+        union_kmers = all_rows[first_occurrence]
+        n_kmers = union_keys.shape[0]
+        genome_counts = np.zeros(n_kmers, dtype=np.int64)
+        col_arrays = []
+        offset = 0
+        for g_idx, g in enumerate(genome_kmers):
+            cols = inverse[offset : offset + sizes[g_idx]]
+            col_arrays.append(cols)
+            offset += sizes[g_idx]
+            genome_counts[cols] += 1
+
     n_words64 = -(-n_genomes // 64)
     matrix = np.zeros((n_words64, n_kmers), dtype=np.uint64)
-    genome_counts = np.zeros(n_kmers, dtype=np.int64)
-
-    offset = 0
-    for g_idx, g in enumerate(genome_kmers):
-        cols = inverse[offset : offset + sizes[g_idx]]
-        offset += sizes[g_idx]
+    for g_idx, cols in enumerate(col_arrays):
         word = g_idx // 64
         bit = np.uint64(1) << np.uint64(63 - (g_idx % 64))
         matrix[word, cols] |= bit
-        genome_counts[cols] += 1
 
     if filter_singleton:
         keep = genome_counts != 1

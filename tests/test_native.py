@@ -1,0 +1,92 @@
+"""Native grmio library vs Python/device oracles."""
+
+import numpy as np
+import pytest
+
+from grm_tpu.native import bindings as nb
+from grm_tpu.ops.kmer import (
+    canonical_kmers_brute,
+    decode_kmers,
+    encode_contigs,
+    sorted_kmers_np,
+)
+
+pytestmark = pytest.mark.skipif(
+    not nb.build(), reason="C++ toolchain unavailable"
+)
+
+
+def _random_seq(rng, n):
+    return "".join(rng.choice(list("ACGT"), n))
+
+
+def test_encode_fasta_matches_python(rng):
+    contigs = [_random_seq(rng, 100), "ACGTNNacgt", _random_seq(rng, 57)]
+    text = "".join(
+        ">c%d desc\n%s\n" % (i, c[: len(c) // 2] + "\n" + c[len(c) // 2:])
+        for i, c in enumerate(contigs)
+    )
+    got = nb.encode_fasta_native(text)
+    want = encode_contigs(contigs)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_encode_fastq(rng):
+    reads = [_random_seq(rng, 40), _random_seq(rng, 35)]
+    text = "".join("@r%d\n%s\n+\n%s\n" % (i, r, "I" * len(r))
+                   for i, r in enumerate(reads))
+    got = nb.encode_fastq = nb.encode_fasta_native(text, fastq=True)
+    want = encode_contigs(reads)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("k", [7, 16, 31, 33, 128])
+def test_count_kmers_matches_device(rng, k):
+    contigs = [_random_seq(rng, 300), _random_seq(rng, 200)]
+    codes = encode_contigs(contigs)
+    got = nb.count_kmers_native(codes, k)
+    want = sorted_kmers_np(codes, k)
+    np.testing.assert_array_equal(got, want)
+    assert decode_kmers(got, k) == canonical_kmers_brute(contigs, k)
+
+
+def test_count_kmers_counts(rng):
+    codes = encode_contigs(["AAAATTTTAAAA"])
+    kmers, counts = nb.count_kmers_native(codes, 4, return_counts=True)
+    _, want_counts = sorted_kmers_np(codes, 4, return_counts=True)
+    np.testing.assert_array_equal(counts, want_counts)
+
+
+def test_merge_union_matches_numpy(rng):
+    k = 15
+    from grm_tpu.ops.kmer import n_words_for_k
+
+    nw = n_words_for_k(k)
+    lists = []
+    for _ in range(5):
+        codes = encode_contigs([_random_seq(rng, rng.randint(100, 400))])
+        lists.append(sorted_kmers_np(codes, k))
+    union, counts, col_arrays = nb.merge_union_native(lists, nw)
+
+    # numpy oracle
+    allk = np.concatenate(lists)
+    from grm_tpu.kmer.matrix import kmer_rows_sort_key
+
+    keys = kmer_rows_sort_key(allk)
+    uk, inv, cnt = np.unique(keys, return_inverse=True, return_counts=True)
+    assert union.shape[0] == uk.shape[0]
+    np.testing.assert_array_equal(counts, cnt)
+    off = 0
+    for i, a in enumerate(lists):
+        np.testing.assert_array_equal(col_arrays[i], inv[off:off + len(a)])
+        off += len(a)
+
+
+def test_set_presence_bits():
+    lib = nb._load()
+    row = np.zeros(10, dtype=np.uint64)
+    cols = np.array([0, 3, 9], dtype=np.int64)
+    lib.grm_set_presence_bits(row, cols, len(cols), 5)
+    want = np.uint64(1) << np.uint64(63 - 5)
+    assert row[0] == want and row[3] == want and row[9] == want
+    assert row[1] == 0

@@ -525,6 +525,87 @@ def _cmd_kmer_matrix(argv):
 
 
 # ---------------------------------------------------------------------------
+# collect commands (PATRIC data collection, src/app.py data tabs)
+# ---------------------------------------------------------------------------
+def _cmd_collect_amr(argv):
+    parser = argparse.ArgumentParser(
+        prog="grm collect amr",
+        description="Filter the PATRIC AMR metadata table and export the "
+                    "per-dataset TSVs (full / phenotype metadata / id-name / "
+                    "description).",
+    )
+    parser.add_argument("--amr-metadata", required=True,
+                        help="Path to PATRIC_genomes_AMR.txt")
+    parser.add_argument("--species", default="All")
+    parser.add_argument("--antibiotic", default="All")
+    parser.add_argument("--drop-intermediate", action="store_true")
+    parser.add_argument("--filter-contradictions", action="store_true")
+    parser.add_argument("--numeric-phenotypes", action="store_true")
+    parser.add_argument("--list-datasets", action="store_true",
+                        help="Print available (species, antibiotic) pairs "
+                             "with >=50 Resistant and >=50 Susceptible rows.")
+    parser.add_argument("--output-dir")
+    args = parser.parse_args(argv)
+
+    from .collect.amr import AmrDatabase
+
+    db = AmrDatabase.load(args.amr_metadata)
+    if args.list_datasets:
+        listing = db.dataset_list(min_group_count=50)
+        for _, row in listing.iterrows():
+            print("%s\t%s" % (row["genome_name"], row["antibiotic"]))
+        return
+    data = db.select(
+        species=args.species, antibiotic=args.antibiotic,
+        drop_intermediate=args.drop_intermediate,
+        filter_contradictions=args.filter_contradictions,
+        numeric_phenotypes=args.numeric_phenotypes,
+    )
+    n_res = int((data["resistant_phenotype"].astype(str) == "Resistant").sum()
+                + (data["resistant_phenotype"].astype(str) == "1").sum())
+    n_sus = int((data["resistant_phenotype"].astype(str) == "Susceptible").sum()
+                + (data["resistant_phenotype"].astype(str) == "0").sum())
+    print("Total: %d (Resistant: %d, Susceptible: %d)" % (len(data), n_res, n_sus))
+    if args.output_dir:
+        folder = db.export(data, args.output_dir, args.species, args.antibiotic)
+        print("Exported TSVs to %s" % folder)
+
+
+def _cmd_collect_genomes(argv):
+    parser = argparse.ArgumentParser(
+        prog="grm collect genomes",
+        description="Download contig FASTAs (and optionally feature tables) "
+                    "from the BV-BRC FTP server.",
+    )
+    parser.add_argument("--ids", nargs="+",
+                        help="Genome identifiers (e.g. 511145.12)")
+    parser.add_argument("--ids-file", help="File with one genome id per line")
+    parser.add_argument("--dest", required=True)
+    parser.add_argument("--features", action="store_true")
+    args = parser.parse_args(argv)
+
+    from .collect.patric import download_genomes
+
+    ids = list(args.ids or [])
+    if args.ids_file:
+        with open(args.ids_file) as f:
+            ids += [l.strip() for l in f if l.strip()]
+    if not ids:
+        print("Error: no genome ids specified.")
+        sys.exit(1)
+    results, errors = download_genomes(
+        ids, args.dest, features=args.features,
+        progress_callback=_progress_printer(True),
+    )
+    print()
+    print("Downloaded %d genomes; %d errors." % (len(results), len(errors)))
+    for gid, err in errors.items():
+        print("  %s: %s" % (gid, err))
+    if errors:
+        sys.exit(1)
+
+
+# ---------------------------------------------------------------------------
 # dispatcher
 # ---------------------------------------------------------------------------
 _COMMANDS = {
@@ -535,6 +616,8 @@ _COMMANDS = {
     ("learn", "tree"): _cmd_learn_tree,
     ("kmer", "count"): _cmd_kmer_count,
     ("kmer", "matrix"): _cmd_kmer_matrix,
+    ("collect", "amr"): _cmd_collect_amr,
+    ("collect", "genomes"): _cmd_collect_genomes,
 }
 
 

@@ -33,9 +33,21 @@ def log(msg):
 
 def main():
     import jax
+
+    # Persistent compile cache: repeat bench runs (and driver rounds) skip
+    # the remote compile, whose latency is highly variable on this rig.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     import jax.numpy as jnp
 
-    from grm_tpu.parallel.mesh import scm_fit_batch_device
+    from grm_tpu.parallel.mesh import _scm_step
     from grm_tpu.utils import build_row_mask
 
     n_genomes = int(os.environ.get("BENCH_GENOMES", 342))
@@ -88,45 +100,51 @@ def main():
 
     # Build the full CV fit batch: every (model_type, p, fold) combination,
     # disjunction = swapped masks (scm.py:69-73 semantics).
-    pos_list, neg_list, p_list = [], [], []
+    fit_list = []
     for model_type in model_types:
         for p in p_grid:
             for pm, nm in fold_masks:
                 if model_type == "disjunction":
-                    pos_list.append(nm)
-                    neg_list.append(pm)
+                    fit_list.append((nm, pm, p))
                 else:
-                    pos_list.append(pm)
-                    neg_list.append(nm)
-                p_list.append(p)
-    pos_masks = jnp.asarray(np.stack(pos_list))
-    neg_masks = jnp.asarray(np.stack(neg_list))
-    ps = jnp.asarray(np.array(p_list, np.float32))
-    n_fits = len(p_list)
+                    fit_list.append((pm, nm, p))
+    n_fits = len(fit_list)
 
-    # Cold run (includes compile). NOTE: timings are measured through an
-    # actual device_get — block_until_ready alone is unreliable on the
-    # tunneled platform.
+    # Compile the single fused-step program (small HLO; the scan-over-grid
+    # program compiles unreliably through this rig's remote-compile service).
+    # Timings go through an actual device_get — block_until_ready alone is
+    # unreliable on the tunneled platform.
+    pm0, nm0, p0 = fit_list[0]
     t0 = time.time()
-    out = scm_fit_batch_device(
-        matrix, pos_masks, neg_masks, ps, n_kmers, max_rules
-    )
-    _ = jax.device_get(out[1])
-    log("cold run (compile + CV grid): %.2fs" % (time.time() - t0))
+    out = _scm_step(matrix, jnp.asarray(pm0), jnp.asarray(nm0),
+                    jnp.float32(p0), n_kmers)
+    _ = jax.device_get(out[0])
+    log("compile + first step: %.2fs" % (time.time() - t0))
 
-    # The CV grid: ONE device program for all fits, one host fetch at the end.
+    # The CV grid: per fit, chain max_rules fused steps asynchronously (no
+    # early stopping -> this performs AT LEAST the reference's sweep count;
+    # reference fits stop when negatives are exhausted). One sync at the end.
     t0 = time.time()
-    rules, n_rules, n_neg_left = scm_fit_batch_device(
-        matrix, pos_masks, neg_masks, ps, n_kmers, max_rules
-    )
-    rules_h = np.asarray(jax.device_get(rules))
-    n_rules_h = np.asarray(jax.device_get(n_rules))
+    finals = []
+    for pm, nm, p in fit_list:
+        pos_j, neg_j = jnp.asarray(pm), jnp.asarray(nm)
+        pj = jnp.float32(p)
+        best = None
+        for _ in range(max_rules):
+            best, util, pos_j, neg_j, n_neg = _scm_step(
+                matrix, pos_j, neg_j, pj, n_kmers
+            )
+        finals.append(best)
+    # Force completion of every chain with a single fetch: the stack joins
+    # all fits' final steps into one dependency.
+    finals_h = jax.device_get(jnp.stack(finals))
     wall = time.time() - t0
-    total_steps = int(n_rules_h.sum())
+    total_steps = n_fits * max_rules
 
     rule_evals = total_steps * 2 * n_kmers
-    log("CV core: %d fits, %d fused steps in %.2fs (%.1f ms/step, %.1f G rule-evals/s)"
-        % (n_fits, total_steps, wall, 1e3 * wall / max(total_steps, 1),
+    log("CV core: %d fits x %d rules = %d fused steps in %.2fs "
+        "(%.1f ms/step, %.1f G rule-evals/s)"
+        % (n_fits, max_rules, total_steps, wall, 1e3 * wall / total_steps,
            rule_evals / wall / 1e9))
 
     value = wall

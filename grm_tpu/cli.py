@@ -237,6 +237,9 @@ def _cmd_learn_scm(argv):
     parser.add_argument("--bound-max-genome-size", type=int)
     parser.add_argument("--random-seed", type=int)
     parser.add_argument("--n-cpu", "--n-cores", type=int, default=1)
+    parser.add_argument("--engine", choices=["host", "device"], default="host",
+                        help="host = exact reference selection semantics; "
+                             "device = fused on-accelerator CV/fit (fast path).")
     parser.add_argument("--output-dir", default=".")
     parser.add_argument("-x", "--progress", action="store_true")
     parser.add_argument("-v", "--verbose", action="store_true")
@@ -290,6 +293,7 @@ def _cmd_learn_scm(argv):
         n_cpu=args.n_cpu,
         random_seed=args.random_seed,
         authorized_rules=args.authorized_rules,
+        engine=args.engine,
         progress_callback=progress,
     )
     running_time = time() - start
@@ -368,6 +372,10 @@ def _cmd_learn_tree(argv):
     parser.add_argument("--hp-choice", choices=["bound", "cv"], default="cv")
     parser.add_argument("--bound-max-genome-size", type=int)
     parser.add_argument("--n-cpu", "--n-cores", type=int, default=1)
+    parser.add_argument("--engine", choices=["host", "device"], default="host",
+                        help="host = exact reference split-selection "
+                             "semantics; device = on-accelerator impurity "
+                             "argmin (fast path).")
     parser.add_argument("--output-dir", default=".")
     parser.add_argument("-x", "--progress", action="store_true")
     parser.add_argument("-v", "--verbose", action="store_true")
@@ -437,6 +445,7 @@ def _cmd_learn_tree(argv):
         parameter_selection=args.hp_choice,
         authorized_rules=args.authorized_rules,
         n_cpu=args.n_cpu,
+        engine=args.engine,
         progress_callback=progress,
     )
     running_time = time() - start

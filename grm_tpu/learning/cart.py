@@ -29,7 +29,8 @@ UTIL_BLOCK_SIZE = 1000000
 
 
 class DecisionTreeClassifier:
-    def __init__(self, criterion, max_depth, min_samples_split, class_importance):
+    def __init__(self, criterion, max_depth, min_samples_split, class_importance,
+                 engine="host"):
         supported_criteria = ["gini", "cross-entropy"]
         if criterion not in supported_criteria:
             raise ValueError(
@@ -45,6 +46,10 @@ class DecisionTreeClassifier:
             )
         self.min_samples_split = int(min_samples_split)
         self.class_importance = class_importance
+        # "host": float64 exact-parity impurity scan over fetched counts;
+        # "device": impurity + argmin on device (f32), only the winning rule
+        # index fetched — for accelerators with expensive D2H transfers.
+        self.engine = engine
         self.decision_tree = None
 
     def fit(self, rules, rule_classifications, example_idx, rule_blacklist=None,
@@ -177,16 +182,29 @@ class DecisionTreeClassifier:
         def _find_best_split(node):
             """(cart.py:219-250)"""
             node_example_idx = node.class_examples_idx
-            rules_criterion = score_rules(node_example_idx)
-            if len(rule_blacklist):
-                rules_criterion[rule_blacklist] = np.inf
-            if np.min(rules_criterion) == np.inf:
-                return None, None, None, None
-            candidate_rules_idx = np.where(
-                rules_criterion == np.min(rules_criterion)
-            )[0]
-            best_rules_idx = tiebreaker(candidate_rules_idx)
-            selected_rule_idx = int(best_rules_idx[0])
+
+            if self.engine == "device" and not len(rule_blacklist):
+                from ..parallel.cart_device import cart_best_split_device
+
+                best, score = cart_best_split_device(
+                    rule_classifications.bit_matrix, node_example_idx,
+                    altered_priors, n_total_class_examples, self.criterion,
+                )
+                if best is None:
+                    return None, None, None, None
+                selected_rule_idx = best
+                best_rules_idx = np.array([best])
+            else:
+                rules_criterion = score_rules(node_example_idx)
+                if len(rule_blacklist):
+                    rules_criterion[rule_blacklist] = np.inf
+                if np.min(rules_criterion) == np.inf:
+                    return None, None, None, None
+                candidate_rules_idx = np.where(
+                    rules_criterion == np.min(rules_criterion)
+                )[0]
+                best_rules_idx = tiebreaker(candidate_rules_idx)
+                selected_rule_idx = int(best_rules_idx[0])
 
             rule_preds = rule_classifications.get_columns(selected_rule_idx)
             left = {

@@ -129,7 +129,7 @@ def _class_example_idx(example_idx, labels, n_classes):
 
 
 def _learn_pruned_tree_bound(hps, dataset, split_name, delta, max_genome_size,
-                             rule_blacklist):
+                             rule_blacklist, engine="host"):
     """Grow a master tree and prune by bound value (experiment_cart.py:208-294)."""
     split = dataset.get_split(split_name)
     train_idx = split.train_genome_idx
@@ -143,6 +143,7 @@ def _learn_pruned_tree_bound(hps, dataset, split_name, delta, max_genome_size,
         max_depth=hps["max_depth"],
         min_samples_split=hps["min_samples_split"],
         class_importance=hps["class_importance"],
+        engine=engine,
     )
     master.fit(
         rules=rules,
@@ -179,7 +180,7 @@ def _learn_pruned_tree_bound(hps, dataset, split_name, delta, max_genome_size,
     return hps, min_score, min_score_tree
 
 
-def _learn_pruned_tree_cv(hps, dataset, split_name, rule_blacklist):
+def _learn_pruned_tree_cv(hps, dataset, split_name, rule_blacklist, engine="host"):
     """Breiman-style CV cost-complexity pruning (experiment_cart.py:297-434)."""
     split = dataset.get_split(split_name)
     train_idx = split.train_genome_idx
@@ -194,6 +195,7 @@ def _learn_pruned_tree_cv(hps, dataset, split_name, rule_blacklist):
             max_depth=hps["max_depth"],
             min_samples_split=hps["min_samples_split"],
             class_importance=hps["class_importance"],
+            engine=engine,
         )
 
     fold_predictors = [_make_predictor() for _ in split.folds]
@@ -348,7 +350,7 @@ def _find_rule_blacklist(dataset, kmer_blacklist_file, warning_callback):
 def learn_CART(dataset_file, split_name, criterion, max_depth, min_samples_split,
                class_importance, bound_delta=None, bound_max_genome_size=None,
                kmer_blacklist_file=None, parameter_selection="cv", n_cpu=None,
-               authorized_rules="", progress_callback=None, warning_callback=None,
+               authorized_rules="", engine="host", progress_callback=None, warning_callback=None,
                error_callback=None):
     """Learn a CART model (reference entry point experiment_cart.py:521-646)."""
     if warning_callback is None:
@@ -389,7 +391,7 @@ def learn_CART(dataset_file, split_name, criterion, max_depth, min_samples_split
                 )
             )
         func = partial(_learn_pruned_tree_bound, delta=bound_delta,
-                       max_genome_size=bound_max_genome_size)
+                       max_genome_size=bound_max_genome_size, engine=engine)
         best_hp_score, best_hps, best_master_tree = train_tree(
             dataset, split_name, criterion, class_importance, max_depth,
             min_samples_split, rule_blacklist, progress_callback, func,
@@ -404,7 +406,7 @@ def learn_CART(dataset_file, split_name, criterion, max_depth, min_samples_split
         best_hp_score, best_hps, best_master_tree = train_tree(
             dataset, split_name, criterion, class_importance, max_depth,
             min_samples_split, rule_blacklist, progress_callback,
-            _learn_pruned_tree_cv, "cross-validation",
+            partial(_learn_pruned_tree_cv, engine=engine), "cross-validation",
         )
     else:
         error_callback(ValueError("Unknown hyperparameter selection strategy specified."))

@@ -353,6 +353,136 @@ def _bound_selection(dataset, split_name, model_types, p_values, max_rules,
     return best_hp_score, best_hp, best_model, best_rule_importances, best_equiv_rules
 
 
+def _cross_validation_device(dataset, split_name, model_types, p_values,
+                             max_rules, progress_callback):
+    """Device-engine CV: the entire HP grid in one XLA program.
+
+    Same selection rules as :func:`_cross_validation`, but fold scores come
+    from :func:`grm_tpu.parallel.scm_device.scm_cv_batch_device` (pure-argmax
+    rule selection; no blacklist/tiebreaker support).
+    """
+    from itertools import product as _product
+
+    from ...parallel.scm_device import build_packed_mask, scm_cv_batch_device
+
+    split = dataset.get_split(split_name)
+    folds = split.folds
+    labels = dataset.phenotype.metadata
+    bm = dataset.bit_matrix()
+    n_words = bm.n_words
+    n_genomes = dataset.genome_count
+
+    hp_list = list(_product(model_types, p_values))
+    fits = []
+    for model_type, p in hp_list:
+        for fold in folds:
+            tr = fold.train_genome_idx
+            te = fold.test_genome_idx
+            pos = tr[labels[tr] == 1]
+            neg = tr[labels[tr] == 0]
+            if model_type == "disjunction":
+                pos, neg = neg, pos
+            fits.append({
+                "pos_mask": build_packed_mask(pos, n_genomes, n_words),
+                "neg_mask": build_packed_mask(neg, n_genomes, n_words),
+                "test_pos_mask": build_packed_mask(
+                    te[labels[te] == 1], n_genomes, n_words),
+                "test_neg_mask": build_packed_mask(
+                    te[labels[te] == 0], n_genomes, n_words),
+                "p": p,
+                "model_type": model_type,
+            })
+
+    progress_callback("Cross-validation", 0.0)
+    _, _, risks = scm_cv_batch_device(bm.data, fits, bm.n_columns, max_rules)
+    progress_callback("Cross-validation", 1.0)
+
+    best_hp_score = 1.0
+    best_hp = {"model_type": None, "p": None, "max_rules": None}
+    n_folds = len(folds)
+    for i, (model_type, p) in enumerate(hp_list):
+        fold_risks = risks[i * n_folds : (i + 1) * n_folds]  # (folds, L+1)
+        score_by_len = fold_risks.mean(axis=0).astype(np.float64)
+        best_len = int(np.argmin(score_by_len))
+        score = score_by_len[best_len]
+        hp = (model_type, p, best_len)
+        if (
+            (not np.allclose(score, best_hp_score) and score < best_hp_score)
+            or (
+                np.allclose(score, best_hp_score)
+                and best_hp["max_rules"] is not None
+                and hp[2] < best_hp["max_rules"]
+            )
+            or (
+                np.allclose(score, best_hp_score)
+                and best_hp["max_rules"] is not None
+                and hp[2] == best_hp["max_rules"]
+                and not np.allclose(hp[1], best_hp["p"])
+                and abs(1.0 - hp[1]) < abs(1.0 - best_hp["p"])
+            )
+        ):
+            best_hp = {"model_type": hp[0], "p": hp[1], "max_rules": hp[2]}
+            best_hp_score = score
+    return best_hp_score, best_hp
+
+
+def _full_train_device(dataset, split_name, model_type, p, max_rules,
+                       progress_callback):
+    """Device-engine final training: one batched fit, model rebuilt on host."""
+    from ...parallel.mesh import scm_fit_batch_device
+    from ...parallel.scm_device import build_packed_mask
+
+    split = dataset.get_split(split_name)
+    labels = dataset.phenotype.metadata
+    bm = dataset.bit_matrix()
+
+    model = ConjunctionModel() if model_type == "conjunction" else DisjunctionModel()
+    if max_rules == 0:
+        return model, np.array([]), []
+
+    tr = split.train_genome_idx
+    pos = tr[labels[tr] == 1]
+    neg = tr[labels[tr] == 0]
+    if model_type == "disjunction":
+        pos, neg = neg, pos
+
+    import jax.numpy as jnp
+
+    progress_callback("Training", 0)
+    rules_arr, n_rules, _ = scm_fit_batch_device(
+        bm.data,
+        jnp.asarray(build_packed_mask(pos, dataset.genome_count, bm.n_words)[None]),
+        jnp.asarray(build_packed_mask(neg, dataset.genome_count, bm.n_words)[None]),
+        jnp.asarray(np.array([p], np.float32)),
+        bm.n_columns,
+        max_rules,
+    )
+    rule_idx = [int(r) for r in np.asarray(rules_arr)[0] if r >= 0]
+    progress_callback("Training", 1.0)
+
+    rules = LazyKmerRuleList(dataset)
+    for idx in rule_idx:
+        rule = rules[idx]
+        if model_type == "disjunction":
+            rule = rule.inverse()
+        model.add(rule)
+
+    rc = KmerRuleClassifications(dataset)
+    if rule_idx:
+        from ..scm import _compute_rule_importances
+
+        importances = _compute_rule_importances(rc, rule_idx, tr)
+    else:
+        importances = np.array([])
+    # Device mode does not track exact-tie sets; report the chosen rule only.
+    equiv_idx = rule_idx
+    if model_type == "disjunction":
+        n_kmers = rc.shape[1] // 2
+        equiv_idx = [(i + n_kmers) % (2 * n_kmers) for i in rule_idx]
+    equivalent_rules = [np.array([i]) for i in equiv_idx]
+    return model, importances, equivalent_rules
+
+
 def _find_rule_blacklist(dataset, kmer_blacklist_file, warning_callback):
     """Rule indices to blacklist from a k-mer blacklist file
     (experiment_scm.py:632-671)."""
@@ -388,12 +518,18 @@ def _find_rule_blacklist(dataset, kmer_blacklist_file, warning_callback):
 def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
               max_rules=10, max_equiv_rules=10000, parameter_selection="cv",
               n_cpu=None, random_seed=None, authorized_rules="",
-              bound_delta=None, bound_max_genome_size=None,
+              bound_delta=None, bound_max_genome_size=None, engine="host",
               progress_callback=None, warning_callback=None, error_callback=None):
     """Learn an SCM model (reference entry point experiment_scm.py:674-889).
 
     ``n_cpu`` is accepted for API compatibility; the HP grid runs sequentially
     against the HBM-resident bit matrix.
+
+    ``engine``: "host" reproduces the reference's selection semantics exactly
+    (np.isclose ties + risk-table tiebreakers, count vectors scanned on the
+    host). "device" keeps the whole CV grid and final fit on device in fused
+    XLA programs (pure-argmax ties, no blacklist support) — the fast path for
+    accelerators where device->host transfers are expensive.
     """
     if warning_callback is None:
         warning_callback = lambda w: logging.warning(w)
@@ -433,10 +569,19 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
             error_callback(
                 Exception("Cross-validation cannot be performed on a split with no folds.")
             )
-        best_hp_score, best_hp = _cross_validation(
-            dataset, split_name, model_type, p, max_rules, rule_blacklist,
-            progress_callback,
-        )
+        if engine == "device":
+            if len(rule_blacklist) > 0:
+                error_callback(
+                    Exception("The device engine does not support k-mer blacklists.")
+                )
+            best_hp_score, best_hp = _cross_validation_device(
+                dataset, split_name, model_type, p, max_rules, progress_callback,
+            )
+        else:
+            best_hp_score, best_hp = _cross_validation(
+                dataset, split_name, model_type, p, max_rules, rule_blacklist,
+                progress_callback,
+            )
         if best_hp["model_type"] is None:
             error_callback(
                 Exception(
@@ -452,6 +597,11 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
         model = best_model
         equivalent_rules = best_predictor_equiv_rules
         rule_importances = best_rule_importances
+    elif engine == "device":
+        model, rule_importances, equivalent_rules = _full_train_device(
+            dataset, split_name, best_hp["model_type"], best_hp["p"],
+            best_hp["max_rules"], progress_callback,
+        )
     else:
         model, rule_importances, equivalent_rules = _full_train(
             dataset, split_name, best_hp["model_type"], best_hp["p"],

@@ -1,0 +1,92 @@
+"""Device-resident CART split scoring.
+
+Computes the class-weighted Gini / cross-entropy impurity for ALL candidate
+k-mer rules and its argmin entirely on device, fetching only the winning
+rule index and score — the fast path for accelerators where pulling the
+(n_classes, K) count matrix to the host is expensive.
+
+Math mirrors ``learning/learners/cart.py:85-207`` (altered-prior Breiman
+impurities, empty children forbidden) in float32; the host engine remains
+the float64 exact-parity path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cart_best_split_device"]
+
+
+@partial(jax.jit, static_argnames=("criterion",))
+def _best_split(matrix, class_masks, priors, totals, criterion):
+    """matrix (W, K) uint32; class_masks (C, W) uint32; priors/totals (C,).
+
+    Returns (best_kmer_idx int32, best_score f32). Scores follow the
+    reference's 'sum of child impurities, multiplied by node probability'
+    formulation; empty children score +inf.
+    """
+    counts = jnp.sum(
+        jax.lax.population_count(
+            matrix[None, :, :] & class_masks[:, :, None]
+        ).astype(jnp.int32),
+        axis=1,
+    )  # (C, K) left-child (k-mer present) counts
+    n_node = jnp.sum(jax.lax.population_count(class_masks), axis=1).astype(
+        jnp.int32
+    )  # (C,) examples of each class in the node
+    left = counts.astype(jnp.float32)
+    right = (n_node[:, None] - counts).astype(jnp.float32)
+
+    scale = (priors / totals)[:, None]  # (C, 1)
+
+    def child_score(n_by_class):
+        p = scale * n_by_class  # p_j_t, (C, K)
+        p_t = jnp.sum(p, axis=0)
+        if criterion == "gini":
+            # sum_{i != j} p_i p_j / p_t^2, times p_t
+            num = p_t * p_t - jnp.sum(p * p, axis=0)
+            return jnp.where(p_t > 0, num / p_t, 0.0)
+        # cross-entropy: -sum p/p_t log(p/p_t), times p_t
+        frac = jnp.where(p_t > 0, p / p_t, 0.0)
+        ent = -jnp.sum(jnp.where(frac > 0, frac * jnp.log(frac), 0.0), axis=0)
+        return ent * p_t
+
+    score = child_score(left) + child_score(right)
+    empty = (jnp.sum(left, axis=0) == 0) | (jnp.sum(right, axis=0) == 0)
+    score = jnp.where(empty, jnp.inf, score)
+    best = jnp.argmin(score)
+    return best.astype(jnp.int32), score[best]
+
+
+def cart_best_split_device(bit_matrix, class_example_idx, altered_priors,
+                           total_n_examples_by_class, criterion):
+    """Find the best presence-rule split for a node on device.
+
+    Returns (kmer_idx, score) or (None, inf) when no valid split exists.
+    """
+    from .scm_device import build_packed_mask
+
+    classes = sorted(class_example_idx)
+    masks = np.stack([
+        build_packed_mask(class_example_idx[c], bit_matrix.n_rows,
+                          bit_matrix.n_words)
+        for c in classes
+    ])
+    priors = np.array([altered_priors[c] for c in classes], np.float32)
+    totals = np.array(
+        [total_n_examples_by_class[c] for c in classes], np.float32
+    )
+    crit = "gini" if criterion == "gini" else "cross-entropy"
+    best, score = _best_split(
+        bit_matrix.data, jnp.asarray(masks), jnp.asarray(priors),
+        jnp.asarray(totals), crit,
+    )
+    score = float(jax.device_get(score))
+    if not np.isfinite(score):
+        return None, np.inf
+    return int(jax.device_get(best)), score

@@ -4,8 +4,8 @@ import numpy as np
 import pytest
 
 from grm_tpu.learning.cart import DecisionTreeClassifier, prune_tree
-from grm_tpu.learning.experiments.cart_experiment import BetweenDict, learn_CART
 from grm_tpu.learning.rules import KmerRuleClassifications
+from grm_tpu.learning.experiments.cart_experiment import BetweenDict, learn_CART
 
 from test_scm import _DenseDataset, _ListRules
 
@@ -122,6 +122,37 @@ def test_between_dict():
         bd[-1.0]
     with pytest.raises(RuntimeError):
         bd[(2.0, 1.0)] = "x"
+
+
+def test_device_split_matches_host_when_unique(rng):
+    """Device impurity argmin picks the same split as the host float64 scan
+    when the minimum is unique."""
+    n, K = 80, 50
+    dense = (rng.rand(n, K) > 0.5).astype(np.uint8)
+    y = (rng.rand(n) > 0.5).astype(np.uint8)
+    dense[:, 23] = y  # unique perfect split
+    host = _fit_tree(dense, y, max_depth=1)
+    ds = _DenseDataset(dense)
+    rc = KmerRuleClassifications(ds)
+    clf = DecisionTreeClassifier(criterion="gini", max_depth=1,
+                                 min_samples_split=2,
+                                 class_importance={0: 1.0, 1: 1.0},
+                                 engine="device")
+    clf.fit(rules=_ListRules(K), rule_classifications=rc,
+            example_idx={c: np.where(y == c)[0] for c in range(2)})
+    assert clf.decision_tree.rule.kmer_index == host.decision_tree.rule.kmer_index == 23
+
+
+def test_learn_cart_device_engine(planted_dataset):
+    ds_path, marker, k = planted_dataset
+    best_hps, best_score, train_metrics, test_metrics, model, *_ = learn_CART(
+        dataset_file=ds_path, split_name="sp", criterion="gini",
+        max_depth=4, min_samples_split=2,
+        class_importance={0: 1.0, 1: 1.0},
+        parameter_selection="cv", engine="device",
+    )
+    assert train_metrics["risk"][0] == 0.0
+    assert test_metrics["risk"][0] == 0.0
 
 
 # ---------------------------------------------------------------------------

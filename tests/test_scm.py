@@ -226,6 +226,63 @@ def test_learn_scm_cv(planted_dataset):
     assert test_metrics["risk"][0] == 0.0
 
 
+def test_learn_scm_device_engine(planted_dataset):
+    """Device-engine CV + fit: same quality on the separable dataset."""
+    ds_path, marker, k = planted_dataset
+    best_hp, best_hp_score, train_metrics, test_metrics, model, \
+        rule_importances, equivalent_rules, classifications = learn_SCM(
+            dataset_file=ds_path, split_name="sp",
+            model_type=["conjunction", "disjunction"], p=[0.5, 1.0],
+            max_rules=3, parameter_selection="cv", random_seed=42,
+            engine="device",
+        )
+    assert best_hp_score == 0.0
+    assert best_hp["max_rules"] == 1
+    assert train_metrics["risk"][0] == 0.0
+    assert test_metrics["risk"][0] == 0.0
+    assert len(model) == 1
+    assert rule_importances[0] == pytest.approx(1.0)
+    # device engine reports the selected rule as its own equivalence class
+    assert len(equivalent_rules) == 1 and len(equivalent_rules[0]) == 1
+
+
+def test_learn_scm_device_matches_host_on_unique_utilities(tmp_path, rng):
+    """With no exact utility ties, both engines select identical rules."""
+    from grm_tpu.dataset import from_contigs
+    from grm_tpu.dataset.split import split_with_proportion
+
+    # Single-contig random genomes: k-mer utilities rarely tie exactly at
+    # p=0.77 with uneven class sizes; verify rule-for-rule equality.
+    k = 13
+    lines_c, lines_m = [], []
+    for i in range(15):
+        gid = "h%02d" % i
+        seq = "".join(rng.choice(list("ACGT"), 400))
+        p = tmp_path / ("%s.fna" % gid)
+        p.write_text(">c\n%s\n" % seq)
+        lines_c.append("%s\t%s" % (gid, p))
+        lines_m.append("%s\t%d" % (gid, 1 if i < 7 else 0))
+    (tmp_path / "c.tsv").write_text("\n".join(lines_c) + "\n")
+    (tmp_path / "m.tsv").write_text("\n".join(lines_m) + "\n")
+    ds_path = tmp_path / "d.h5"
+    from_contigs(tmp_path / "c.tsv", ds_path, kmer_size=k,
+                 phenotype_description="x",
+                 phenotype_metadata_path=tmp_path / "m.tsv", gzip=0)
+    split_with_proportion(ds_path, "s", train_prop=0.8, random_seed=5, n_folds=0)
+
+    out_host = learn_SCM(dataset_file=ds_path, split_name="s",
+                         model_type="conjunction", p=[0.77], max_rules=4,
+                         parameter_selection="none", random_seed=1)
+    out_dev = learn_SCM(dataset_file=ds_path, split_name="s",
+                        model_type="conjunction", p=[0.77], max_rules=4,
+                        parameter_selection="none", random_seed=1,
+                        engine="device")
+    host_rules = [(r.kmer_sequence, r.type) for r in out_host[4].rules]
+    dev_rules = [(r.kmer_sequence, r.type) for r in out_dev[4].rules]
+    assert host_rules == dev_rules
+    assert out_host[2]["risk"][0] == out_dev[2]["risk"][0]
+
+
 def test_learn_scm_bound_selection(planted_dataset):
     ds_path, marker, k = planted_dataset
     best_hp, best_hp_score, train_metrics, test_metrics, model, *_ = learn_SCM(

@@ -615,6 +615,34 @@ def _cmd_collect_genomes(argv):
 
 
 # ---------------------------------------------------------------------------
+# results site (analysis page replacement)
+# ---------------------------------------------------------------------------
+def _cmd_results_site(argv):
+    parser = argparse.ArgumentParser(
+        prog="grm results site",
+        description="Aggregate learn output directories into the published "
+                    "results-site schema (summary.json + per-dataset "
+                    "overview/model/repeats JSON + static index.html).",
+    )
+    parser.add_argument(
+        "--run", action="append", nargs=3, required=True,
+        metavar=("SPECIES", "ANTIBIOTIC", "RESULTS_DIR"),
+        help="One learn run; repeat for multiple runs/repeats.",
+    )
+    parser.add_argument("--output-dir", required=True)
+    args = parser.parse_args(argv)
+
+    from .results_site import write_site
+
+    runs = [
+        {"species": s, "antibiotic": a, "results_dir": d}
+        for s, a, d in args.run
+    ]
+    summary = write_site(runs, args.output_dir)
+    print("Wrote results site for %d datasets to %s" % (len(summary), args.output_dir))
+
+
+# ---------------------------------------------------------------------------
 # dispatcher
 # ---------------------------------------------------------------------------
 _COMMANDS = {
@@ -627,6 +655,7 @@ _COMMANDS = {
     ("kmer", "matrix"): _cmd_kmer_matrix,
     ("collect", "amr"): _cmd_collect_amr,
     ("collect", "genomes"): _cmd_collect_genomes,
+    ("results", "site"): _cmd_results_site,
 }
 
 

@@ -1,0 +1,94 @@
+"""Results-site aggregation + profiling utilities."""
+
+import json
+import os
+
+import numpy as np
+
+from grm_tpu.profiling import StageTimer, throughput
+from grm_tpu.results_site import aggregate_runs, write_site
+
+
+def _fake_results_dir(tmp_path, name, risk, n_rules, running_time):
+    d = tmp_path / name
+    os.makedirs(d)
+    results = {
+        "data": {"uuid": "u", "path": "p", "split": "s"},
+        "metrics": {
+            "train": {"risk": [0.0]},
+            "test": {
+                "risk": [risk], "sensitivity": [0.9], "specificity": [0.8],
+                "precision": [0.9], "recall": [0.9], "f1_score": [0.9],
+                "tp": [9], "tn": [8], "fp": [2], "fn": [1],
+            },
+        },
+        "model": {"n_rules": n_rules, "rules": ["Presence(AAA)"],
+                  "rule_importances": [1.0], "type": "conjunction"},
+        "classifications": {
+            "train_correct": ["g%d" % i for i in range(10)],
+            "train_errors": [],
+            "test_correct": ["t%d" % i for i in range(17)],
+            "test_errors": ["e%d" % i for i in range(3)],
+        },
+        "running_time": running_time,
+    }
+    with open(d / "results.json", "w") as f:
+        json.dump(results, f)
+    return str(d)
+
+
+def test_aggregate_runs_mean_over_repeats(tmp_path):
+    runs = [
+        {"species": "escherichia coli", "antibiotic": "ampicillin",
+         "results_dir": _fake_results_dir(tmp_path, "r1", 0.10, 2, 100)},
+        {"species": "escherichia coli", "antibiotic": "ampicillin",
+         "results_dir": _fake_results_dir(tmp_path, "r2", 0.20, 4, 200)},
+    ]
+    out = tmp_path / "site"
+    summary = aggregate_runs(runs, out)
+    assert len(summary) == 1
+    row = summary[0]
+    assert row["ds_full_name"] == "ampicillin___escherichia_coli"
+    assert row["risk"] == 0.15
+    assert row["n_rules"] == 3.0
+    assert row["running_time"] == 150.0
+    assert row["ds_n_examples"] == 30
+
+    ds_dir = out / "datasets" / "ampicillin___escherichia_coli"
+    repeats = json.load(open(ds_dir / "repeats.json"))
+    assert len(repeats) == 2
+    assert json.load(open(ds_dir / "model.json"))["n_rules"] == 2
+    overview = json.load(open(ds_dir / "overview.json"))
+    assert overview[0]["mean_risk"] == 0.15
+    assert json.load(open(out / "summary.json")) == summary
+
+
+def test_write_site_html(tmp_path):
+    runs = [
+        {"species": "klebsiella pneumoniae", "antibiotic": "gentamicin",
+         "results_dir": _fake_results_dir(tmp_path, "r", 0.22, 2, 312)},
+    ]
+    out = tmp_path / "site"
+    write_site(runs, out)
+    page = open(out / "index.html").read()
+    assert "Klebsiella Pneumoniae" in page
+    assert "0.22" in page
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    with t.stage("b"):
+        pass
+    with t.stage("a"):
+        pass
+    assert set(t.stages) == {"a", "b"}
+    assert t.total >= 0
+    assert "TOTAL" in t.report()
+
+
+def test_throughput():
+    out = throughput(n_kmers=1e6, n_genomes=50, seconds=2.0, n_chips=2)
+    assert out["kmers_per_s_per_chip"] == 250000.0
+    assert out["genomes_per_s"] == 25.0

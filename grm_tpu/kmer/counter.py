@@ -44,14 +44,15 @@ class GenomeKmers:
 
 
 def _resolve_engine(engine):
-    """'auto' -> 'device' on an accelerator, else 'native' if built, else
-    'device' (XLA-on-CPU)."""
+    """'auto' -> 'native' when libgrmio is built, else 'device' (XLA).
+
+    Counting output feeds the host-side union merge, so host-native counting
+    avoids a device->host transfer of every genome's k-mer set — on tunneled
+    or DCN-attached accelerators that transfer dominates. The device engine
+    remains available explicitly (and is the fallback without a toolchain).
+    """
     if engine != "auto":
         return engine
-    import jax
-
-    if jax.default_backend() != "cpu":
-        return "device"
     from ..native import bindings as nb
 
     return "native" if nb.available() else "device"

@@ -190,10 +190,16 @@ class GrmDataset:
             return f["kmer_matrix"][...]
 
     def bit_matrix(self, sharding=None):
-        """Device-resident :class:`BitMatrix` (cached)."""
-        if self._bit_matrix is None:
+        """Device-resident :class:`BitMatrix` (cached per sharding)."""
+        if self._bit_matrix is None or (
+            sharding is not None
+            and getattr(self._bit_matrix, "_sharding_key", None) != str(sharding)
+        ):
             self._bit_matrix = BitMatrix.from_u64(
                 self.kmer_matrix_u64(), self.genome_count, columns_sharding=sharding
+            )
+            self._bit_matrix._sharding_key = (
+                str(sharding) if sharding is not None else None
             )
         return self._bit_matrix
 

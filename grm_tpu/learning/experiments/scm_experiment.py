@@ -353,8 +353,17 @@ def _bound_selection(dataset, split_name, model_types, p_values, max_rules,
     return best_hp_score, best_hp, best_model, best_rule_importances, best_equiv_rules
 
 
+def _column_sharding(mesh):
+    """NamedSharding placing k-mer columns over the mesh 'cols' axis."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(None, "cols"))
+
+
 def _cross_validation_device(dataset, split_name, model_types, p_values,
-                             max_rules, progress_callback):
+                             max_rules, progress_callback, mesh=None):
     """Device-engine CV: the entire HP grid in one XLA program.
 
     Same selection rules as :func:`_cross_validation`, but fold scores come
@@ -368,7 +377,7 @@ def _cross_validation_device(dataset, split_name, model_types, p_values,
     split = dataset.get_split(split_name)
     folds = split.folds
     labels = dataset.phenotype.metadata
-    bm = dataset.bit_matrix()
+    bm = dataset.bit_matrix(sharding=_column_sharding(mesh))
     n_words = bm.n_words
     n_genomes = dataset.genome_count
 
@@ -427,14 +436,14 @@ def _cross_validation_device(dataset, split_name, model_types, p_values,
 
 
 def _full_train_device(dataset, split_name, model_type, p, max_rules,
-                       progress_callback):
+                       progress_callback, mesh=None):
     """Device-engine final training: one batched fit, model rebuilt on host."""
     from ...parallel.mesh import scm_fit_batch_device
     from ...parallel.scm_device import build_packed_mask
 
     split = dataset.get_split(split_name)
     labels = dataset.phenotype.metadata
-    bm = dataset.bit_matrix()
+    bm = dataset.bit_matrix(sharding=_column_sharding(mesh))
 
     model = ConjunctionModel() if model_type == "conjunction" else DisjunctionModel()
     if max_rules == 0:
@@ -518,7 +527,7 @@ def _find_rule_blacklist(dataset, kmer_blacklist_file, warning_callback):
 def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
               max_rules=10, max_equiv_rules=10000, parameter_selection="cv",
               n_cpu=None, random_seed=None, authorized_rules="",
-              bound_delta=None, bound_max_genome_size=None, engine="host",
+              bound_delta=None, bound_max_genome_size=None, engine="host", mesh=None,
               progress_callback=None, warning_callback=None, error_callback=None):
     """Learn an SCM model (reference entry point experiment_scm.py:674-889).
 
@@ -576,6 +585,7 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
                 )
             best_hp_score, best_hp = _cross_validation_device(
                 dataset, split_name, model_type, p, max_rules, progress_callback,
+                mesh=mesh,
             )
         else:
             best_hp_score, best_hp = _cross_validation(
@@ -600,7 +610,7 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
     elif engine == "device":
         model, rule_importances, equivalent_rules = _full_train_device(
             dataset, split_name, best_hp["model_type"], best_hp["p"],
-            best_hp["max_rules"], progress_callback,
+            best_hp["max_rules"], progress_callback, mesh=mesh,
         )
     else:
         model, rule_importances, equivalent_rules = _full_train(

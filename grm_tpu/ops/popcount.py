@@ -110,9 +110,31 @@ class BitMatrix:
         self.n_columns = packed_u32.shape[1]
         if self.n_words * 32 < self.n_rows:
             raise ValueError("Packed matrix has too few word-rows for n_rows.")
-        arr = jnp.asarray(packed_u32)
         if columns_sharding is not None:
-            arr = jax.device_put(arr, columns_sharding)
+            # Pad the column axis to the sharding grid (zero columns popcount
+            # to 0; consumers mask or slice by n_columns).
+            n_shards = getattr(columns_sharding, "num_devices", None)
+            try:
+                from jax.sharding import NamedSharding
+
+                if isinstance(columns_sharding, NamedSharding):
+                    spec = columns_sharding.spec
+                    axis = spec[1] if len(spec) > 1 else None
+                    n_shards = (
+                        columns_sharding.mesh.shape[axis] if axis else 1
+                    )
+            except ImportError:  # pragma: no cover
+                pass
+            if n_shards:
+                pad = (-self.n_columns) % int(n_shards)
+                if pad:
+                    packed_u32 = np.concatenate(
+                        [np.asarray(packed_u32),
+                         np.zeros((self.n_words, pad), np.uint32)], axis=1
+                    )
+            arr = jax.device_put(jnp.asarray(packed_u32), columns_sharding)
+        else:
+            arr = jnp.asarray(packed_u32)
         self.data = arr
 
     @classmethod
@@ -139,11 +161,13 @@ class BitMatrix:
     def presence_counts(self, rows_list):
         """Presence counts for several row sets in ONE matrix pass.
 
-        rows_list: sequence of index arrays. Returns (C, K) int64 numpy.
+        rows_list: sequence of index arrays. Returns (C, K) int64 numpy
+        (column padding from sharded placement is sliced off).
         """
         masks = np.stack([self.row_mask(r) for r in rows_list])
         counts = masked_popcount_colsum(self.data, masks)
-        return np.asarray(jax.device_get(counts), dtype=np.int64)
+        out = np.asarray(jax.device_get(counts), dtype=np.int64)
+        return out[:, : self.n_columns]
 
     def sum_rows(self, rows):
         """Reference-compatible: length-2K vector, presence then absence counts.

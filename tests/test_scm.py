@@ -283,6 +283,23 @@ def test_learn_scm_device_matches_host_on_unique_utilities(tmp_path, rng):
     assert out_host[2]["risk"][0] == out_dev[2]["risk"][0]
 
 
+def test_learn_scm_device_engine_sharded(planted_dataset):
+    """Device engine over an 8-device mesh matches the unsharded device run."""
+    from grm_tpu.parallel.mesh import make_mesh
+
+    ds_path, marker, k = planted_dataset
+    kwargs = dict(
+        dataset_file=ds_path, split_name="sp",
+        model_type=["conjunction"], p=[1.0], max_rules=3,
+        parameter_selection="cv", random_seed=42, engine="device",
+    )
+    out_plain = learn_SCM(**kwargs)
+    out_mesh = learn_SCM(**kwargs, mesh=make_mesh(8))
+    assert [str(r) for r in out_plain[4].rules] == [str(r) for r in out_mesh[4].rules]
+    assert out_plain[1] == out_mesh[1]
+    assert out_plain[3]["risk"][0] == out_mesh[3]["risk"][0]
+
+
 def test_learn_scm_bound_selection(planted_dataset):
     ds_path, marker, k = planted_dataset
     best_hp, best_hp_score, train_metrics, test_metrics, model, *_ = learn_SCM(

@@ -669,6 +669,23 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", platform)
+    else:
+        # Accelerator plugins can fail to initialize transiently (e.g. the
+        # device is still claimed by a just-finished process). Probe once
+        # with a short retry, then fall back to CPU instead of crashing
+        # mid-pipeline.
+        import jax
+
+        try:
+            jax.devices()
+        except RuntimeError as e:
+            print(
+                "warning: accelerator backend unavailable (%s); "
+                "falling back to CPU." % str(e).splitlines()[0],
+                file=sys.stderr,
+            )
+            jax.config.update("jax_platforms", "cpu")
+            jax.devices()  # raises if even the CPU backend is unusable
 
     argv = list(sys.argv[1:] if argv is None else argv)
     top = argparse.ArgumentParser(

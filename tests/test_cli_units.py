@@ -1,0 +1,41 @@
+"""In-process CLI unit tests (grammar parsing, option handling)."""
+
+import numpy as np
+import pytest
+
+from grm_tpu.cli import _parse_class_importances
+
+
+def test_class_importance_grammar_per_class():
+    out = _parse_class_importances(
+        ["res:", "1.0", "2.0", "sus:", "0.5"], ["res", "sus"]
+    )
+    assert out == [{0: 1.0, 1: 0.5}, {0: 2.0, 1: 0.5}]
+
+
+def test_class_importance_grammar_cartesian():
+    out = _parse_class_importances(
+        ["a:", "1", "2", "b:", "3", "4"], ["a", "b"]
+    )
+    assert len(out) == 4
+    assert {0: 2.0, 1: 4.0} in out
+
+
+def test_class_importance_unknown_class_exits(capsys):
+    with pytest.raises(SystemExit):
+        _parse_class_importances(["a:", "1", "zzz:", "2"], ["a", "b"])
+
+
+def test_class_importance_missing_class_exits():
+    with pytest.raises(SystemExit):
+        _parse_class_importances(["a:", "1"], ["a", "b"])
+
+
+def test_class_importance_bad_value_exits():
+    with pytest.raises(SystemExit):
+        _parse_class_importances(["a:", "x", "b:", "1"], ["a", "b"])
+
+
+def test_class_importance_empty_class_exits():
+    with pytest.raises(SystemExit):
+        _parse_class_importances(["a:", "b:", "1"], ["a", "b"])

@@ -7,11 +7,17 @@ read of the matrix per sweep regardless of the number of masks, with a
 fixed-size program independent of K (HLO size does not grow with the matrix,
 which also bounds compile time).
 
-The XLA path already reaches ~HBM speed of light for small mask counts; this
-kernel exists for (a) many-mask sweeps (multiclass CART, batched folds) where
-fusion across masks is load-bearing, and (b) as the scheduling skeleton for
-future fused sweep+argmax kernels. Numerics are identical to the XLA path
+The XLA path already reaches ~HBM speed of light for small mask counts
+(measured ~0.6 ms for a 342x9.6M-matrix dual-mask sweep on one v5e chip);
+this kernel exists for (a) many-mask sweeps (multiclass CART, batched folds)
+where fusion across masks is load-bearing, and (b) as the scheduling skeleton
+for future fused sweep+argmax kernels. Numerics are identical to the XLA path
 (integer popcount sums).
+
+STATUS: validated in interpret mode (exact parity with the XLA path across
+shapes). The development rig's remote-compile service does not complete
+Mosaic compilations, so on-chip validation is pending real-TPU access; the
+XLA path remains the production default.
 """
 
 from __future__ import annotations

@@ -184,7 +184,3 @@ class BitMatrix:
         out[self.n_columns :] = rows.shape[0] - presence
         return out
 
-    def get_columns_host(self, host_packed_u64, columns):
-        raise NotImplementedError(
-            "Column gather is a host-side operation; see learning.rules."
-        )

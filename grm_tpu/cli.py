@@ -523,9 +523,9 @@ def _cmd_kmer_matrix(argv):
         with open(args.genome_list) as fh:
             pairs = [tuple(l.split()) for l in fh if l.strip()]
 
-    genome_kmers = [
-        count_fasta(path, args.kmer_size, genome_id=gid) for gid, path in pairs
-    ]
+    from .kmer.counter import count_fasta_many
+
+    genome_kmers = count_fasta_many(pairs, args.kmer_size)
     km = build_presence_matrix(genome_kmers, filter_singleton=args.filter_singleton)
     matrix_to_tsv(km, args.out)
     print(

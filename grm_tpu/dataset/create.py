@@ -25,7 +25,7 @@ from uuid import uuid1
 import numpy as np
 import h5py
 
-from ..kmer.counter import count_fasta, count_reads_dir
+from ..kmer.counter import count_fasta, count_fasta_many, count_reads_dir
 from ..kmer.matrix import build_presence_matrix
 from ..ops.kmer import n_words_for_k
 from ..utils import minimum_uint_size, pack_binary_bytes_to_ints
@@ -242,13 +242,11 @@ def from_contigs(contig_list_path, output_path, kmer_size, filter_singleton=Fals
         phenotype_metadata_path, gzip, warning_callback, error_callback
     )
 
-    genome_kmers = []
-    for i, gid in enumerate(genome_ids):
-        progress_callback("K-mer counting", float(i) / len(genome_ids))
-        genome_kmers.append(
-            count_fasta(contig_file_by_genome_id[str(gid)], kmer_size, genome_id=str(gid))
-        )
-    progress_callback("K-mer counting", 1.0)
+    genome_kmers = count_fasta_many(
+        [(str(gid), contig_file_by_genome_id[str(gid)]) for gid in genome_ids],
+        kmer_size,
+        progress_callback=progress_callback,
+    )
 
     km = build_presence_matrix(genome_kmers, filter_singleton=filter_singleton)
     _write_matrix(f, km, gzip, progress_callback)

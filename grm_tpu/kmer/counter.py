@@ -67,6 +67,45 @@ def _count_codes(codes, k, keep_counts, engine):
     return sorted_kmers_np(codes, k, return_counts=keep_counts)
 
 
+def count_fasta_many(paths_by_genome_id, k, engine="auto", n_workers=None,
+                     progress_callback=None):
+    """Count many genomes concurrently (multidsk's -nb-cores role).
+
+    The native counter releases the GIL, so a thread pool scales across
+    cores. Returns GenomeKmers in the input order.
+    """
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = list(paths_by_genome_id)
+    if n_workers is None:
+        n_workers = min(len(items), _os.cpu_count() or 1)
+    if progress_callback is None:
+        progress_callback = lambda t, p: None
+
+    results = [None] * len(items)
+    engine = _resolve_engine(engine)
+    if engine != "native" or n_workers <= 1:
+        for i, (gid, path) in enumerate(items):
+            progress_callback("K-mer counting", float(i) / max(len(items), 1))
+            results[i] = count_fasta(path, k, genome_id=gid, engine=engine)
+    else:
+        done = [0]
+
+        def work(i, gid, path):
+            out = count_fasta(path, k, genome_id=gid, engine="native")
+            done[0] += 1
+            progress_callback("K-mer counting", done[0] / len(items))
+            return i, out
+
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            for i, out in pool.map(lambda a: work(*a),
+                                   [(i, g, p) for i, (g, p) in enumerate(items)]):
+                results[i] = out
+    progress_callback("K-mer counting", 1.0)
+    return results
+
+
 def count_fasta(path, k, genome_id=None, keep_counts=False, engine="auto"):
     """Count canonical k-mers of a FASTA genome (contigs mode).
 

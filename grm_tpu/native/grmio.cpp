@@ -131,35 +131,128 @@ inline bool row_eq_n(const uint32_t* a, const uint32_t* b, int nw) {
 // codes: length n of values 0..4. out_kmers capacity: cap rows of nw words.
 // out_counts may be null. Returns the number of distinct k-mers, or -1 if
 // capacity exceeded, or -2 for invalid k.
+//
+// The window state rolls in O(nw) per position (not O(k)): the forward
+// k-mer is kept right-aligned across 64-bit words and shifted left two bits
+// per step; the reverse complement is kept left-aligned in the same 2k-bit
+// field and shifted right. Emission converts to the canonical big-endian
+// left-aligned uint32 row representation.
+namespace {
+
+// Fast path for k <= 32: the whole canonical k-mer fits one uint64.
+long count_kmers_u64(const int8_t* codes, long n, int k, uint32_t* out_kmers,
+                     int64_t* out_counts, long cap) {
+    const int nw = (k + 15) / 16;
+    const uint64_t mask = (2 * k == 64) ? ~0ULL : ((1ULL << (2 * k)) - 1);
+    const int top_shift = 2 * k - 2;
+
+    std::vector<uint64_t> vals;
+    vals.reserve(n > k ? n - k + 1 : 0);
+
+    uint64_t fwd = 0, rc = 0;
+    long bad = 0, filled = 0;
+    for (long t = 0; t < n; t++) {
+        const int8_t c = codes[t];
+        if (c >= 4) bad = k;
+        else if (bad > 0) bad--;
+        const uint64_t b = (uint64_t)(c & 3);
+        fwd = ((fwd << 2) | b) & mask;
+        rc = (rc >> 2) | ((3ULL - b) << top_shift);
+        if (++filled < k || bad > 0) continue;
+        vals.push_back(fwd < rc ? fwd : rc);
+    }
+    std::sort(vals.begin(), vals.end());
+
+    const int pad_bits = 32 * nw - 2 * k;
+    long out = 0;
+    for (size_t i = 0; i < vals.size(); i++) {
+        if (i == 0 || vals[i] != vals[i - 1]) {
+            if (out >= cap) return -1;
+            const uint64_t f = vals[i] << pad_bits;  // left-aligned field
+            if (nw == 1) {
+                out_kmers[out] = (uint32_t)(f & 0xFFFFFFFFULL);
+            } else {
+                out_kmers[out * 2] = (uint32_t)(f >> 32);
+                out_kmers[out * 2 + 1] = (uint32_t)(f & 0xFFFFFFFFULL);
+            }
+            if (out_counts) out_counts[out] = 1;
+            out++;
+        } else if (out_counts) {
+            out_counts[out - 1]++;
+        }
+    }
+    return out;
+}
+
+}  // namespace
+
 long grm_count_kmers(const int8_t* codes, long n, int k, uint32_t* out_kmers,
                      int64_t* out_counts, long cap) {
     if (k < 1 || k > 128) return -2;
-    const int nw = (k + 15) / 16;
+    if (k <= 32) return count_kmers_u64(codes, n, k, out_kmers, out_counts, cap);
+    const int nw = (k + 15) / 16;          // uint32 words in output rows
+    const int nq = (2 * k + 63) / 64;      // uint64 words of rolling state
+    const int top_shift = (2 * k - 2) % 64;  // bit slot of the leading base
+    const int top_word = (2 * k - 2) / 64;
+    const uint64_t top_mask =
+        (2 * k % 64) ? ((1ULL << (2 * k % 64)) - 1) : ~0ULL;
 
-    // Collect valid canonical k-mers.
     std::vector<KmerRow> rows;
     rows.reserve(n > k ? n - k + 1 : 0);
 
-    // Sliding validity: count of invalid codes in window.
+    uint64_t fwd_q[4] = {0, 0, 0, 0};  // right-aligned, word 0 = least sig
+    uint64_t rc_q[4] = {0, 0, 0, 0};
     long bad = 0;
-    for (long i = 0; i < k - 1 && i < n; i++)
-        if (codes[i] >= 4) bad++;
+    long filled = 0;  // window warm-up counter
 
-    KmerRow fwd, rc;
-    for (long t = 0; t + k <= n; t++) {
-        if (codes[t + k - 1] >= 4) bad++;
-        if (t > 0 && codes[t - 1] >= 4) bad--;
-        if (bad == 0) {
-            memset(fwd.w, 0, sizeof(fwd.w));
-            memset(rc.w, 0, sizeof(rc.w));
-            for (int j = 0; j < k; j++) {
-                uint32_t c = (uint32_t)(codes[t + j] & 3);
-                fwd.w[j / 16] |= c << (30 - 2 * (j % 16));
-                uint32_t cc = 3 - (uint32_t)(codes[t + k - 1 - j] & 3);
-                rc.w[j / 16] |= cc << (30 - 2 * (j % 16));
+    KmerRow out_row;
+    const int pad_bits = 32 * nw - 2 * k;  // left-align shift at emission
+
+    for (long t = 0; t < n; t++) {
+        const int8_t c = codes[t];
+        if (c >= 4) bad = k;  // poisons the next k windows
+        else if (bad > 0) bad--;
+
+        const uint64_t b = (uint64_t)(c & 3);
+        // fwd: shift left 2, insert new base at the bottom.
+        for (int q = nq - 1; q > 0; q--)
+            fwd_q[q] = (fwd_q[q] << 2) | (fwd_q[q - 1] >> 62);
+        fwd_q[0] = (fwd_q[0] << 2) | b;
+        fwd_q[nq - 1] &= top_mask;
+        // rc: shift right 2, insert complement at the top.
+        for (int q = 0; q < nq - 1; q++)
+            rc_q[q] = (rc_q[q] >> 2) | (rc_q[q + 1] << 62);
+        rc_q[nq - 1] >>= 2;
+        rc_q[top_word] |= (3ULL - b) << top_shift;
+
+        if (++filled < k || bad > 0) continue;
+
+        // Emit: canonical = min(fwd, rc) in big-endian left-aligned uint32
+        // rows. Choose via the right-aligned 2k-bit numeric value (identical
+        // ordering).
+        const uint64_t* pick = fwd_q;
+        for (int q = nq - 1; q >= 0; q--) {
+            if (rc_q[q] != fwd_q[q]) {
+                if (rc_q[q] < fwd_q[q]) pick = rc_q;
+                break;
             }
-            rows.push_back(row_less_n(rc.w, fwd.w, nw) ? rc : fwd);
         }
+        // Left-align into 32*nw bits: value << pad_bits over the row words.
+        uint64_t shifted[5] = {0, 0, 0, 0, 0};
+        const int ws = pad_bits / 64, bs = pad_bits % 64;
+        for (int q = 0; q < nq; q++) {
+            shifted[q + ws] |= bs ? (pick[q] << bs) : pick[q];
+            if (bs && q + ws + 1 < 5) shifted[q + ws + 1] |= pick[q] >> (64 - bs);
+        }
+        memset(out_row.w, 0, sizeof(out_row.w));
+        for (int j = 0; j < nw; j++) {
+            // row word j is most-significant-first: bits
+            // [32*(nw-j), 32*(nw-1-j)) of the left-aligned field.
+            const int bit_lo = 32 * (nw - 1 - j);
+            out_row.w[j] =
+                (uint32_t)((shifted[bit_lo / 64] >> (bit_lo % 64)) & 0xFFFFFFFFULL);
+        }
+        rows.push_back(out_row);
     }
 
     auto cmp = [nw](const KmerRow& a, const KmerRow& b) {

@@ -31,8 +31,35 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _ensure_accelerator():
+    """Wait out transient device-claim cooldowns by re-execing.
+
+    The TPU plugin registration can fail if the chip was released moments
+    ago by another process; a failed registration poisons the interpreter,
+    so retrying means a fresh process.
+    """
+    import jax
+
+    try:
+        devices = jax.devices()
+    except RuntimeError as e:
+        attempt = int(os.environ.get("GRM_BENCH_ATTEMPT", "0"))
+        if attempt >= 10:
+            log("accelerator unavailable after %d attempts: %s" % (attempt, e))
+            sys.exit(2)
+        log("accelerator unavailable (attempt %d): %s; retrying in 30s"
+            % (attempt, str(e).splitlines()[0]))
+        time.sleep(30)
+        env = dict(os.environ)
+        env["GRM_BENCH_ATTEMPT"] = str(attempt + 1)
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+    log("devices: %s" % (devices,))
+
+
 def main():
     import jax
+
+    _ensure_accelerator()
 
     # Persistent compile cache: repeat bench runs (and driver rounds) skip
     # the remote compile, whose latency is highly variable on this rig.
@@ -57,7 +84,6 @@ def main():
     p_grid = [0.1, 0.316, 0.562, 1.0, 1.778, 3.162, 10.0, 999999.0]
     model_types = ["conjunction", "disjunction"]
 
-    log("devices: %s" % (jax.devices(),))
     log("workload: %d genomes x %d kmers, %d folds, grid %dx%d, max %d rules"
         % (n_genomes, n_kmers, n_folds, len(model_types), len(p_grid), max_rules))
 

@@ -109,6 +109,32 @@ def test_cli_kmer_tools(cli_workspace):
     assert len(header) == 13
 
 
+def test_cli_from_reads(cli_workspace, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("reads")
+    rng = np.random.RandomState(3)
+    lines_r, lines_m = [], []
+    for i in range(4):
+        gid = "r%02d" % i
+        rdir = tmp / gid
+        os.makedirs(rdir)
+        seq = "".join(rng.choice(list("ACGT"), 300))
+        with open(rdir / "a.fastq", "w") as f:
+            f.write("@x\n%s\n+\n%s\n" % (seq, "I" * len(seq)))
+        lines_r.append("%s\t%s" % (gid, rdir))
+        lines_m.append("%s\t%d" % (gid, i % 2))
+    (tmp / "reads.tsv").write_text("\n".join(lines_r) + "\n")
+    (tmp / "meta.tsv").write_text("\n".join(lines_m) + "\n")
+    r = _run(["dataset", "create", "from-reads",
+              "--genomic-data", "reads.tsv", "--output", "reads.h5",
+              "--kmer-size", "11", "--abundance-min", "1", "--singleton-kmers",
+              "--phenotype-description", "t",
+              "--phenotype-metadata", "meta.tsv"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    r = _run(["dataset", "info", "--dataset", "reads.h5", "--genome-type",
+              "--kmer-count"], cwd=tmp)
+    assert "Genome type: reads" in r.stdout
+
+
 def test_cli_errors(cli_workspace):
     tmp = cli_workspace
     r = _run(["dataset", "split", "--dataset", "amr.h5", "--id", "bad",

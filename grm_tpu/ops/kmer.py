@@ -258,19 +258,32 @@ def sorted_kmers_np(codes, k, return_counts=False):
     return kmers, counts
 
 
-def decode_kmers(kmers, k):
-    """(n, nw) packed uint32 -> list of DNA strings (for TSV/FASTA output)."""
+_BASES_BYTES = np.frombuffer(b"ACGT", dtype="S1")
+
+
+def decode_kmers_bytes(kmers, k):
+    """(n, nw) packed uint32 -> (n,) numpy bytes array of dtype S{k}.
+
+    Fully vectorized (k vector passes); the string-list variant below costs
+    ~100x more at matrix scale (millions of Python string objects).
+    """
     kmers = np.asarray(kmers, dtype=np.uint32)
     n = kmers.shape[0]
     if n == 0:
-        return []
-    chars = np.empty((n, k), dtype="U1")
+        return np.zeros(0, dtype="S%d" % k)
+    ascii_map = np.frombuffer(b"ACGT", dtype=np.uint8)
+    chars = np.empty((n, k), dtype=np.uint8)
     for j in range(k):
         word = j // 16
         shift = 30 - 2 * (j % 16)
         code = (kmers[:, word] >> np.uint32(shift)) & np.uint32(3)
-        chars[:, j] = _BASES[code]
-    return ["".join(row) for row in chars]
+        chars[:, j] = ascii_map[code]
+    return chars.reshape(-1).view("S%d" % k)
+
+
+def decode_kmers(kmers, k):
+    """(n, nw) packed uint32 -> list of DNA strings (for TSV/FASTA output)."""
+    return [s.decode() for s in decode_kmers_bytes(kmers, k)]
 
 
 def encode_kmer_strings(kmer_strings, k):

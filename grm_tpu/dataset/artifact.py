@@ -189,15 +189,49 @@ class GrmDataset:
         with self.open() as f:
             return f["kmer_matrix"][...]
 
+    @staticmethod
+    def _device_memory_budget():
+        """Usable accelerator memory in bytes (override: GRM_HBM_BUDGET_BYTES)."""
+        import os
+
+        env = os.environ.get("GRM_HBM_BUDGET_BYTES")
+        if env:
+            return int(env)
+        try:
+            import jax
+
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit")
+            if limit:
+                return int(limit)
+        except Exception:
+            pass
+        return 12 << 30
+
     def bit_matrix(self, sharding=None):
-        """Device-resident :class:`BitMatrix` (cached per sharding)."""
+        """Device-resident :class:`BitMatrix` (cached per sharding).
+
+        Matrices that would not fit in ~60% of device memory come back as a
+        :class:`~grm_tpu.ops.popcount.StreamingBitMatrix` (host-resident,
+        blocks streamed per sweep) unless a mesh sharding spreads them
+        across chips.
+        """
         if self._bit_matrix is None or (
             sharding is not None
             and getattr(self._bit_matrix, "_sharding_key", None) != str(sharding)
         ):
-            self._bit_matrix = BitMatrix.from_u64(
-                self.kmer_matrix_u64(), self.genome_count, columns_sharding=sharding
-            )
+            m64 = self.kmer_matrix_u64()
+            device_bytes = m64.shape[0] * 2 * m64.shape[1] * 4
+            if sharding is None and device_bytes > 0.6 * self._device_memory_budget():
+                from ..ops.popcount import StreamingBitMatrix
+
+                self._bit_matrix = StreamingBitMatrix.from_u64(
+                    m64, self.genome_count
+                )
+            else:
+                self._bit_matrix = BitMatrix.from_u64(
+                    m64, self.genome_count, columns_sharding=sharding
+                )
             self._bit_matrix._sharding_key = (
                 str(sharding) if sharding is not None else None
             )

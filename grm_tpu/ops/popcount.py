@@ -36,6 +36,7 @@ from ..utils import build_row_mask
 
 __all__ = [
     "BitMatrix",
+    "StreamingBitMatrix",
     "masked_popcount_colsum",
     "u64_matrix_to_u32",
     "u32_matrix_to_u64",
@@ -98,6 +99,65 @@ def masked_popcount_colsum(matrix, masks):
     if masks.ndim == 1:
         masks = masks[None, :]
     return _colsum_xla(matrix, masks)
+
+
+class StreamingBitMatrix:
+    """Out-of-core variant: matrix stays in host RAM, column blocks are
+    streamed through the device per sweep.
+
+    For matrices larger than HBM (the largest published dataset is 5022
+    genomes x 43M k-mers ~ 27 GB packed, vs 16 GB on a v5e): the host array
+    is the residency, each ``presence_counts`` call streams fixed-size column
+    blocks H2D and accumulates counts host-side. This supports the host
+    (parity) learning engine's ``sum_rows`` contract; the fused device
+    engine requires a resident or mesh-sharded matrix (shard across chips
+    for that). Mirrors the reference's out-of-core block streaming
+    (rules.py:243-262) with the block read being H2D instead of HDF5 I/O.
+    """
+
+    DEFAULT_BLOCK_COLS = 1 << 22
+
+    def __init__(self, packed_u32, n_rows, block_cols=None):
+        self.host = np.ascontiguousarray(packed_u32, dtype=np.uint32)
+        self.n_rows = int(n_rows)
+        self.n_words = self.host.shape[0]
+        self.n_columns = self.host.shape[1]
+        self.block_cols = int(block_cols or self.DEFAULT_BLOCK_COLS)
+        if self.n_words * 32 < self.n_rows:
+            raise ValueError("Packed matrix has too few word-rows for n_rows.")
+
+    @classmethod
+    def from_u64(cls, m64, n_rows, **kw):
+        return cls(u64_matrix_to_u32(m64), n_rows, **kw)
+
+    @property
+    def shape(self):
+        return self.n_rows, self.n_columns * 2
+
+    def row_mask(self, rows):
+        return build_row_mask(np.asarray(rows, dtype=np.int64), self.n_words * 32, 32)
+
+    def presence_counts(self, rows_list):
+        masks = jnp.asarray(np.stack([self.row_mask(r) for r in rows_list]))
+        use_u16 = self.n_rows < 65536
+        out = np.empty((len(rows_list), self.n_columns), dtype=np.int64)
+        for lo in range(0, self.n_columns, self.block_cols):
+            hi = min(self.n_columns, lo + self.block_cols)
+            block = jnp.asarray(self.host[:, lo:hi])
+            counts = (_colsum_xla_u16 if use_u16 else _colsum_xla)(block, masks)
+            out[:, lo:hi] = np.asarray(jax.device_get(counts), dtype=np.int64)
+        return out
+
+    def sum_rows(self, rows):
+        from ..utils import minimum_uint_size
+
+        rows = np.asarray(rows)
+        presence = self.presence_counts([rows])[0]
+        out = np.empty(self.n_columns * 2,
+                       dtype=minimum_uint_size(max(rows.shape[0], 1)))
+        out[: self.n_columns] = presence
+        out[self.n_columns:] = rows.shape[0] - presence
+        return out
 
 
 class BitMatrix:

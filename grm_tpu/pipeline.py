@@ -41,10 +41,31 @@ class InMemoryDataset:
     @classmethod
     def from_contigs(cls, genome_specs, labels_by_genome_id, k,
                      filter_singleton=False, engine="auto", sharding=None):
+        """Host/native ingest: per-genome counting + host union merge."""
         gks = [count_fasta(path, k, genome_id=gid, engine=engine)
                for gid, path in genome_specs]
         km = build_presence_matrix(gks, filter_singleton=filter_singleton)
         return cls(km, labels_by_genome_id, sharding=sharding)
+
+    @classmethod
+    def from_contigs_device(cls, genome_specs, labels_by_genome_id, k,
+                            filter_singleton=False, k_budget=None):
+        """Fully on-device ingest: extraction, union and packing stay in HBM.
+
+        Returns a :class:`DeviceDataset` whose matrix never leaves the
+        device (only the model's few rule k-mers are decoded at the end).
+        """
+        from .ops.kmer import encode_contigs
+        from .parallel.device_build import build_matrix_device
+        from .utils import fasta_to_sequences
+
+        codes_list = [encode_contigs(fasta_to_sequences(path))
+                      for _, path in genome_specs]
+        dm = build_matrix_device(
+            codes_list, k, genome_ids=[gid for gid, _ in genome_specs],
+            k_budget=k_budget, filter_singleton=filter_singleton,
+        )
+        return DeviceDataset(dm, labels_by_genome_id)
 
     def bit_matrix(self, sharding=None):
         if self._bm is None:
@@ -64,6 +85,59 @@ class InMemoryDataset:
         inv = columns >= self.kmer_count
         out[:, inv] = 1 - out[:, inv]
         return out
+
+
+class DeviceDataset:
+    """In-memory dataset over a fully device-built matrix.
+
+    The packed matrix lives only in HBM; column gathers for final model
+    evaluation unpack the few selected rule columns from the device.
+    """
+
+    def __init__(self, device_matrix, labels_by_genome_id):
+        self.dm = device_matrix
+        self.genome_count = len(device_matrix.genome_ids)
+        self.kmer_count = device_matrix.n_kmers
+        self.labels = np.array(
+            [int(labels_by_genome_id[g]) for g in device_matrix.genome_ids],
+            dtype=np.uint8,
+        )
+        self._bm = device_matrix.bit_matrix()
+        self.km = _DeviceKmerView(device_matrix)
+
+    def bit_matrix(self, sharding=None):
+        return self._bm
+
+    def get_matrix_columns(self, columns):
+        import jax
+
+        columns = np.asarray(columns, dtype=np.int64)
+        base = np.where(columns >= self.kmer_count, columns - self.kmer_count,
+                        columns)
+        packed = np.asarray(
+            jax.device_get(self._bm.data[:, np.asarray(base)])
+        )  # (W, n_cols) uint32 — a few columns only
+        from .utils import unpack_binary_bytes_from_ints
+
+        dense = unpack_binary_bytes_from_ints(packed)[: self.genome_count]
+        inv = columns >= self.kmer_count
+        dense[:, inv] = 1 - dense[:, inv]
+        return dense
+
+
+class _DeviceKmerView:
+    """Minimal KmerMatrix-like view for rule decoding."""
+
+    def __init__(self, device_matrix):
+        self._dm = device_matrix
+        self.k = device_matrix.k
+        self._kmers = None
+
+    @property
+    def kmers(self):
+        if self._kmers is None:
+            self._kmers = self._dm.union_kmers_host()
+        return self._kmers
 
 
 @dataclass

@@ -39,6 +39,19 @@ def test_in_memory_pipeline_disjunction(inmem):
     assert result.train_metrics["risk"][0] == 0.0
 
 
+def test_device_ingest_pipeline(inmem):
+    """Fully on-device ingest -> fused SCM fit, same quality + same rules."""
+    specs, labels = inmem
+    ds_host = InMemoryDataset.from_contigs(specs, labels, k=15)
+    ds_dev = InMemoryDataset.from_contigs_device(specs, labels, k=15)
+    assert ds_dev.kmer_count == ds_host.kmer_count
+
+    r_host = train_scm(ds_host, random_seed=3)
+    r_dev = train_scm(ds_dev, random_seed=3)
+    assert [str(r) for r in r_host.model.rules] == [str(r) for r in r_dev.model.rules]
+    assert r_dev.test_metrics["risk"][0] == r_host.test_metrics["risk"][0] == 0.0
+
+
 def test_in_memory_pipeline_sharded(inmem):
     from grm_tpu.parallel.mesh import make_mesh
 

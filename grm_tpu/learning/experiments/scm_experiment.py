@@ -367,12 +367,18 @@ def _cross_validation_device(dataset, split_name, model_types, p_values,
     """Device-engine CV: the entire HP grid in one XLA program.
 
     Same selection rules as :func:`_cross_validation`, but fold scores come
-    from :func:`grm_tpu.parallel.scm_device.scm_cv_batch_device` (pure-argmax
-    rule selection; no blacklist/tiebreaker support).
+    from the device CV engines (pure-argmax rule selection; no
+    blacklist/tiebreaker support): the iteration-major MXU grid engine
+    (:func:`grm_tpu.parallel.scm_grid.scm_cv_grid_device`, one matrix pass
+    per greedy iteration scoring every fit at once) on a single device, or
+    the scan-over-fits engine
+    (:func:`grm_tpu.parallel.scm_device.scm_cv_batch_device`) when the
+    matrix is column-sharded over a mesh.
     """
     from itertools import product as _product
 
     from ...parallel.scm_device import build_packed_mask, scm_cv_batch_device
+    from ...parallel.scm_grid import scm_cv_grid_device
 
     split = dataset.get_split(split_name)
     folds = split.folds
@@ -403,7 +409,8 @@ def _cross_validation_device(dataset, split_name, model_types, p_values,
             })
 
     progress_callback("Cross-validation", 0.0)
-    _, _, risks = scm_cv_batch_device(bm.data, fits, bm.n_columns, max_rules)
+    cv_engine = scm_cv_batch_device if mesh is not None else scm_cv_grid_device
+    _, _, risks = cv_engine(bm.data, fits, bm.n_columns, max_rules)
     progress_callback("Cross-validation", 1.0)
 
     best_hp_score = 1.0

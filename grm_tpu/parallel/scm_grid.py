@@ -1,0 +1,226 @@
+"""Iteration-major SCM CV grid engine: the MXU count path.
+
+The scan-over-fits engine (:mod:`grm_tpu.parallel.scm_device`) streams the
+packed bit matrix once per fit per greedy iteration — F x R full-matrix
+sweeps for an F-fit hyperparameter grid.  Those sweeps are HBM-bandwidth
+bound, so the grid cost scales linearly with the grid size even though every
+fit reads the *same* matrix.
+
+This engine inverts the loop nest: each greedy iteration makes ONE pass over
+the packed matrix and scores ALL fits at once.  Per column block, the packed
+words are unpacked to an int8 0/1 tile in registers/VMEM and the per-rule
+presence counts for every fit become a single matrix multiplication,
+
+    counts[f, k] = sum_g mask[f, g] * X[g, k]
+
+an int8 x int8 -> int32 contraction that runs on the MXU (systolic array)
+instead of VPU popcounts.  The matrix stays bit-packed in HBM (1 bit/cell),
+is read R times total instead of F x R, and the arithmetic rides the
+hardware's highest-throughput unit.  This is the TPU-native replacement for
+the reference's fork-per-hyperparameter ``multiprocessing.Pool`` CV search
+(``bin/kover/core/kover/learning/experiments/experiment_scm.py:196-248``).
+
+Selection semantics match :func:`grm_tpu.parallel.mesh._scm_iteration`
+exactly: pure argmax utility (no isclose tie sets), presence half wins ties
+against the absence half, lowest column index wins within a half, rules that
+cover nothing and err on nothing are excluded, padded columns are excluded.
+Per-length fold-test risks are tracked from packed prediction masks the same
+way as :func:`grm_tpu.parallel.scm_device._cv_batch`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["scm_cv_grid_device"]
+
+
+def _pick_block(kp, n_fits):
+    """Column block size: keep the (2F, B) int32 counts block ~<=64 MB."""
+    per_col_bytes = 2 * max(n_fits, 1) * 4
+    b = (64 << 20) // per_col_bytes
+    b = max(512, min(int(kp), b))
+    return -(-b // 512) * 512  # round up to a lane-friendly multiple
+
+
+def _unpack_words(packed):
+    """(W, B) uint32 MSB-first packed -> (32W, B) int8 0/1 rows."""
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    bits = ((packed[:, None, :] >> shifts[None, :, None]) & jnp.uint32(1))
+    return bits.astype(jnp.int8).reshape(-1, packed.shape[1])
+
+
+def _popcount_rows(masks):
+    """(F, W) uint32 -> (F,) int32 set-bit counts."""
+    return jnp.sum(
+        jax.lax.population_count(masks).astype(jnp.int32), axis=-1
+    )
+
+
+def _fold_risks(conj, tpos, tneg, n_tpos, n_tneg, is_disj):
+    """Vectorized fold-test risk of the current conjunction masks (F, W)."""
+    pos_pred1 = _popcount_rows(tpos & conj).astype(jnp.float32)
+    neg_pred1 = _popcount_rows(tneg & conj).astype(jnp.float32)
+    n_test = jnp.maximum(n_tpos + n_tneg, 1.0)
+    conj_errors = (n_tpos - pos_pred1) + neg_pred1
+    disj_errors = pos_pred1 + (n_tneg - neg_pred1)
+    return jnp.where(is_disj, disj_errors, conj_errors) / n_test
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_kmers", "block"),
+    donate_argnums=(1, 2, 3, 4, 5, 6, 7),
+)
+def _grid_step(matrix, pos, neg, conj, rules, risks, n_rules, active,
+               tpos, tneg, n_tpos, n_tneg, ps, is_disj, step_i,
+               n_kmers, block):
+    """One greedy SCM iteration for ALL fits: one pass over the matrix.
+
+    matrix: (W, Kp) uint32 packed presence (Kp a multiple of ``block``).
+    pos/neg/conj: (F, W) uint32 packed state masks (fit space).
+    rules (F, R) int32, risks (F, R+1) float32, n_rules (F,) int32,
+    active (F,) bool; step_i is the traced iteration index.
+    """
+    f = pos.shape[0]
+    w, kp = matrix.shape
+    nb = kp // block
+
+    # neg first: counts[:F] = negative-example presence counts, like
+    # _scm_iteration's stack([neg_mask, pos_mask]) ordering.
+    masks_dense = _unpack_words(
+        jnp.concatenate([neg, pos], axis=0).T
+    ).T  # (2F, 32W)
+    n_neg = _popcount_rows(neg)
+    n_pos = _popcount_rows(pos)
+    neg_inf = jnp.float32(-jnp.inf)
+    rows = jnp.arange(f)
+
+    def scan_block(carry, b):
+        bpu, bpi, bau, bai = carry
+        mb = jax.lax.dynamic_slice(matrix, (0, b * block), (w, block))
+        xb = _unpack_words(mb)  # (32W, block) int8
+        counts = jax.lax.dot_general(
+            masks_dense, xb,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (2F, block)
+        cn, cp = counts[:f], counts[f:]
+        col_idx = b * block + jnp.arange(block)
+        pad = (col_idx >= n_kmers)[None, :]
+        cnf, cpf = cn.astype(jnp.float32), cp.astype(jnp.float32)
+        nn = n_neg[:, None].astype(jnp.float32)
+        np_ = n_pos[:, None].astype(jnp.float32)
+        u_pres = (nn - cnf) - ps[:, None] * (np_ - cpf)
+        u_pres = jnp.where(
+            pad | ((cn == n_neg[:, None]) & (cp == n_pos[:, None])),
+            neg_inf, u_pres)
+        u_abs = cnf - ps[:, None] * cpf
+        u_abs = jnp.where(pad | ((cn == 0) & (cp == 0)), neg_inf, u_abs)
+
+        bp = jnp.argmax(u_pres, axis=1)
+        up = u_pres[rows, bp]
+        ba = jnp.argmax(u_abs, axis=1)
+        ua = u_abs[rows, ba]
+        # Strict > keeps the earliest (lowest-index) maximum across blocks,
+        # matching np.argmax first-occurrence semantics.
+        take_p = up > bpu
+        bpu = jnp.where(take_p, up, bpu)
+        bpi = jnp.where(take_p, col_idx[bp], bpi)
+        take_a = ua > bau
+        bau = jnp.where(take_a, ua, bau)
+        bai = jnp.where(take_a, col_idx[ba], bai)
+        return (bpu, bpi, bau, bai), None
+
+    init = (
+        jnp.full((f,), neg_inf), jnp.zeros((f,), jnp.int32),
+        jnp.full((f,), neg_inf), jnp.zeros((f,), jnp.int32),
+    )
+    (bpu, bpi, bau, bai), _ = jax.lax.scan(
+        scan_block, init, jnp.arange(nb, dtype=jnp.int32)
+    )
+
+    # Presence wins ties against absence (argmax-over-concat semantics).
+    use_abs = bau > bpu
+    best_col = jnp.where(use_abs, bai, bpi)
+
+    packed = jnp.take(matrix, best_col, axis=1).T  # (F, W) uint32
+    bits = jnp.where(use_abs[:, None], ~packed, packed)
+
+    act = active[:, None]
+    new_pos = jnp.where(act, pos & bits, pos)
+    new_neg = jnp.where(act, neg & bits, neg)
+    new_conj = jnp.where(act, conj & bits, conj)
+
+    best_rule = jnp.where(use_abs, best_col + n_kmers, best_col).astype(jnp.int32)
+    rules = rules.at[:, step_i].set(jnp.where(active, best_rule, -1))
+    risk = _fold_risks(new_conj, tpos, tneg, n_tpos, n_tneg, is_disj)
+    # Inactive fits carry their last risk forward (the reference duplicates
+    # the final element, experiment_scm.py:180-181).
+    prev = risks[:, step_i]
+    risks = risks.at[:, step_i + 1].set(jnp.where(active, risk, prev))
+    n_rules = n_rules + active.astype(jnp.int32)
+    n_neg_left = _popcount_rows(new_neg)
+    new_active = active & (n_neg_left > 0)
+    return new_pos, new_neg, new_conj, rules, risks, n_rules, new_active
+
+
+@partial(jax.jit, static_argnames=("pad",))
+def _pad_cols(matrix, pad):
+    return jnp.pad(matrix, ((0, 0), (0, pad)))
+
+
+def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None):
+    """Run the batched CV fits, iteration-major on the MXU.
+
+    Same contract as :func:`grm_tpu.parallel.scm_device.scm_cv_batch_device`:
+    ``fits`` is a list of dicts with keys pos_mask, neg_mask, test_pos_mask,
+    test_neg_mask (numpy uint32 (W,)), p (float), model_type (str); returns
+    (rules (F, max_rules) int32 [-1 pad], n_rules (F,) int32,
+    risks (F, max_rules+1) float32) as numpy arrays.
+    """
+    pos = jnp.asarray(np.stack([f["pos_mask"] for f in fits]))
+    neg = jnp.asarray(np.stack([f["neg_mask"] for f in fits]))
+    tpos = jnp.asarray(np.stack([f["test_pos_mask"] for f in fits]))
+    tneg = jnp.asarray(np.stack([f["test_neg_mask"] for f in fits]))
+    ps = jnp.asarray(np.array([f["p"] for f in fits], np.float32))
+    is_disj = jnp.asarray(
+        np.array([f["model_type"] == "disjunction" for f in fits], bool)
+    )
+    n_fits = len(fits)
+
+    matrix = matrix if isinstance(matrix, jax.Array) else jnp.asarray(matrix)
+    if matrix.dtype != jnp.uint32:
+        raise ValueError("grid engine expects a uint32-packed matrix")
+    kp = matrix.shape[1]
+    if block is None:
+        block = _pick_block(kp, n_fits)
+    pad = (-kp) % block
+    if pad:
+        matrix = _pad_cols(matrix, pad)
+
+    n_tpos = _popcount_rows(tpos).astype(jnp.float32)
+    n_tneg = _popcount_rows(tneg).astype(jnp.float32)
+
+    conj = jnp.full_like(pos, jnp.uint32(0xFFFFFFFF))
+    rules = jnp.full((n_fits, max_rules), -1, jnp.int32)
+    risks = jnp.zeros((n_fits, max_rules + 1), jnp.float32)
+    risks = risks.at[:, 0].set(
+        _fold_risks(conj, tpos, tneg, n_tpos, n_tneg, is_disj)
+    )
+    n_rules = jnp.zeros((n_fits,), jnp.int32)
+    active = _popcount_rows(neg) > 0
+
+    for i in range(max_rules):
+        pos, neg, conj, rules, risks, n_rules, active = _grid_step(
+            matrix, pos, neg, conj, rules, risks, n_rules, active,
+            tpos, tneg, n_tpos, n_tneg, ps, is_disj, jnp.int32(i),
+            n_kmers, block,
+        )
+    rules, n_rules, risks = jax.device_get((rules, n_rules, risks))
+    return np.asarray(rules), np.asarray(n_rules), np.asarray(risks)

@@ -153,3 +153,50 @@ def test_scm_device_step_full_separation(rng):
     )
     assert int(best) == 42
     assert int(n_neg) == 0
+
+
+@pytest.mark.parametrize("block", [64, None])
+def test_scm_grid_engine_matches_scan_engine(rng, block):
+    """Iteration-major MXU grid engine == scan-over-fits engine, bit for bit.
+
+    Exercises multi-block column scans (block=64 on 531 columns), column
+    padding, disjunction fits, early stopping, and per-length risk tracking.
+    """
+    from grm_tpu.parallel.scm_device import build_packed_mask, scm_cv_batch_device
+    from grm_tpu.parallel.scm_grid import scm_cv_grid_device
+
+    n_genomes, n_kmers = 70, 531
+    dense = (rng.rand(n_genomes, n_kmers) > 0.6).astype(np.uint8)
+    y = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
+    packed = pack_binary_bytes_to_ints(dense, 32)
+    w = packed.shape[0]
+
+    idx = np.arange(n_genomes)
+    fits = []
+    for model_type in ["conjunction", "disjunction"]:
+        for p in [0.5, 1.0, 3.0]:
+            for fold in range(3):
+                te = idx[idx % 3 == fold]
+                tr = idx[idx % 3 != fold]
+                pos = tr[y[tr] == 1]
+                neg = tr[y[tr] == 0]
+                if model_type == "disjunction":
+                    pos, neg = neg, pos
+                fits.append({
+                    "pos_mask": build_packed_mask(pos, n_genomes, w),
+                    "neg_mask": build_packed_mask(neg, n_genomes, w),
+                    "test_pos_mask": build_packed_mask(
+                        te[y[te] == 1], n_genomes, w),
+                    "test_neg_mask": build_packed_mask(
+                        te[y[te] == 0], n_genomes, w),
+                    "p": p,
+                    "model_type": model_type,
+                })
+
+    r_scan, n_scan, k_scan = scm_cv_batch_device(packed, fits, n_kmers, 6)
+    r_grid, n_grid, k_grid = scm_cv_grid_device(
+        packed, fits, n_kmers, 6, block=block
+    )
+    np.testing.assert_array_equal(r_grid, r_scan)
+    np.testing.assert_array_equal(n_grid, n_scan)
+    np.testing.assert_allclose(k_grid, k_scan, atol=1e-6)

@@ -74,82 +74,96 @@ def _fold_risks(conj, tpos, tneg, n_tpos, n_tneg, is_disj):
 
 @partial(
     jax.jit,
-    static_argnames=("n_kmers", "block"),
+    static_argnames=("n_kmers", "block", "sweep"),
     donate_argnums=(1, 2, 3, 4, 5, 6, 7),
 )
 def _grid_step(matrix, pos, neg, conj, rules, risks, n_rules, active,
                tpos, tneg, n_tpos, n_tneg, ps, is_disj, step_i,
-               n_kmers, block):
+               n_kmers, block, sweep="xla"):
     """One greedy SCM iteration for ALL fits: one pass over the matrix.
 
     matrix: (W, Kp) uint32 packed presence (Kp a multiple of ``block``).
     pos/neg/conj: (F, W) uint32 packed state masks (fit space).
     rules (F, R) int32, risks (F, R+1) float32, n_rules (F,) int32,
-    active (F,) bool; step_i is the traced iteration index.
+    active (F,) bool; step_i is the traced iteration index. ``sweep``
+    picks the matrix-pass backend: "xla" (block scan + MXU contraction),
+    "pallas" (fused VMEM kernel), "pallas_interpret" (same, interpreter —
+    for tests off-TPU).
     """
     f = pos.shape[0]
     w, kp = matrix.shape
-    nb = kp // block
 
-    # neg first: counts[:F] = negative-example presence counts, like
-    # _scm_iteration's stack([neg_mask, pos_mask]) ordering.
-    masks_dense = _unpack_words(
-        jnp.concatenate([neg, pos], axis=0).T
-    ).T  # (2F, 32W)
     n_neg = _popcount_rows(neg)
     n_pos = _popcount_rows(pos)
     neg_inf = jnp.float32(-jnp.inf)
     rows = jnp.arange(f)
 
-    def scan_block(carry, b):
-        bpu, bpi, bau, bai = carry
-        mb = jax.lax.dynamic_slice(matrix, (0, b * block), (w, block))
-        xb = _unpack_words(mb)  # (32W, block) int8
-        counts = jax.lax.dot_general(
-            masks_dense, xb,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (2F, block)
-        cn, cp = counts[:f], counts[f:]
-        col_idx = b * block + jnp.arange(block)
-        pad = (col_idx >= n_kmers)[None, :]
-        cnf, cpf = cn.astype(jnp.float32), cp.astype(jnp.float32)
-        nn = n_neg[:, None].astype(jnp.float32)
-        np_ = n_pos[:, None].astype(jnp.float32)
-        u_pres = (nn - cnf) - ps[:, None] * (np_ - cpf)
-        u_pres = jnp.where(
-            pad | ((cn == n_neg[:, None]) & (cp == n_pos[:, None])),
-            neg_inf, u_pres)
-        u_abs = cnf - ps[:, None] * cpf
-        u_abs = jnp.where(pad | ((cn == 0) & (cp == 0)), neg_inf, u_abs)
+    if sweep in ("pallas", "pallas_interpret"):
+        from ..ops.pallas_scm_sweep import scm_utility_argmax_pallas
 
-        bp = jnp.argmax(u_pres, axis=1)
-        up = u_pres[rows, bp]
-        ba = jnp.argmax(u_abs, axis=1)
-        ua = u_abs[rows, ba]
-        # Strict > keeps the earliest (lowest-index) maximum across blocks,
-        # matching np.argmax first-occurrence semantics.
-        take_p = up > bpu
-        bpu = jnp.where(take_p, up, bpu)
-        bpi = jnp.where(take_p, col_idx[bp], bpi)
-        take_a = ua > bau
-        bau = jnp.where(take_a, ua, bau)
-        bai = jnp.where(take_a, col_idx[ba], bai)
-        return (bpu, bpi, bau, bai), None
+        bpu, bpi, bau, bai = scm_utility_argmax_pallas(
+            matrix, neg, pos,
+            n_neg.astype(jnp.float32), n_pos.astype(jnp.float32), ps,
+            n_kmers, interpret=(sweep == "pallas_interpret"),
+        )
+    else:
+        nb = kp // block
+        # neg first: counts[:F] = negative-example presence counts, like
+        # _scm_iteration's stack([neg_mask, pos_mask]) ordering.
+        masks_dense = _unpack_words(
+            jnp.concatenate([neg, pos], axis=0).T
+        ).T  # (2F, 32W)
 
-    init = (
-        jnp.full((f,), neg_inf), jnp.zeros((f,), jnp.int32),
-        jnp.full((f,), neg_inf), jnp.zeros((f,), jnp.int32),
-    )
-    (bpu, bpi, bau, bai), _ = jax.lax.scan(
-        scan_block, init, jnp.arange(nb, dtype=jnp.int32)
-    )
+        def scan_block(carry, b):
+            bpu, bpi, bau, bai = carry
+            mb = jax.lax.dynamic_slice(matrix, (0, b * block), (w, block))
+            xb = _unpack_words(mb)  # (32W, block) int8
+            counts = jax.lax.dot_general(
+                masks_dense, xb,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (2F, block)
+            cn, cp = counts[:f], counts[f:]
+            col_idx = b * block + jnp.arange(block)
+            pad = (col_idx >= n_kmers)[None, :]
+            cnf, cpf = cn.astype(jnp.float32), cp.astype(jnp.float32)
+            nn = n_neg[:, None].astype(jnp.float32)
+            np_ = n_pos[:, None].astype(jnp.float32)
+            u_pres = (nn - cnf) - ps[:, None] * (np_ - cpf)
+            u_pres = jnp.where(
+                pad | ((cn == n_neg[:, None]) & (cp == n_pos[:, None])),
+                neg_inf, u_pres)
+            u_abs = cnf - ps[:, None] * cpf
+            u_abs = jnp.where(pad | ((cn == 0) & (cp == 0)), neg_inf, u_abs)
+
+            bp = jnp.argmax(u_pres, axis=1)
+            up = u_pres[rows, bp]
+            ba = jnp.argmax(u_abs, axis=1)
+            ua = u_abs[rows, ba]
+            # Strict > keeps the earliest (lowest-index) maximum across
+            # blocks, matching np.argmax first-occurrence semantics.
+            take_p = up > bpu
+            bpu = jnp.where(take_p, up, bpu)
+            bpi = jnp.where(take_p, col_idx[bp], bpi)
+            take_a = ua > bau
+            bau = jnp.where(take_a, ua, bau)
+            bai = jnp.where(take_a, col_idx[ba], bai)
+            return (bpu, bpi, bau, bai), None
+
+        init = (
+            jnp.full((f,), neg_inf), jnp.zeros((f,), jnp.int32),
+            jnp.full((f,), neg_inf), jnp.zeros((f,), jnp.int32),
+        )
+        (bpu, bpi, bau, bai), _ = jax.lax.scan(
+            scan_block, init, jnp.arange(nb, dtype=jnp.int32)
+        )
 
     # Presence wins ties against absence (argmax-over-concat semantics).
     use_abs = bau > bpu
     best_col = jnp.where(use_abs, bai, bpi)
 
-    packed = jnp.take(matrix, best_col, axis=1).T  # (F, W) uint32
+    # Slice to the mask width: the pallas sweep may row-pad the matrix.
+    packed = jnp.take(matrix, best_col, axis=1).T[:, : pos.shape[1]]
     bits = jnp.where(use_abs[:, None], ~packed, packed)
 
     act = active[:, None]
@@ -170,12 +184,13 @@ def _grid_step(matrix, pos, neg, conj, rules, risks, n_rules, active,
     return new_pos, new_neg, new_conj, rules, risks, n_rules, new_active
 
 
-@partial(jax.jit, static_argnames=("pad",))
-def _pad_cols(matrix, pad):
-    return jnp.pad(matrix, ((0, 0), (0, pad)))
+@partial(jax.jit, static_argnames=("row_pad", "col_pad"))
+def _pad_matrix(matrix, row_pad, col_pad):
+    return jnp.pad(matrix, ((0, row_pad), (0, col_pad)))
 
 
-def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None):
+def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None,
+                       sweep=None):
     """Run the batched CV fits, iteration-major on the MXU.
 
     Same contract as :func:`grm_tpu.parallel.scm_device.scm_cv_batch_device`:
@@ -183,7 +198,13 @@ def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None):
     test_neg_mask (numpy uint32 (W,)), p (float), model_type (str); returns
     (rules (F, max_rules) int32 [-1 pad], n_rules (F,) int32,
     risks (F, max_rules+1) float32) as numpy arrays.
+
+    ``sweep`` picks the matrix-pass backend ("xla", "pallas",
+    "pallas_interpret"); default is the fused Pallas kernel on TPU and the
+    XLA block scan elsewhere.
     """
+    if sweep is None:
+        sweep = "pallas" if jax.default_backend() == "tpu" else "xla"
     pos = jnp.asarray(np.stack([f["pos_mask"] for f in fits]))
     neg = jnp.asarray(np.stack([f["neg_mask"] for f in fits]))
     tpos = jnp.asarray(np.stack([f["test_pos_mask"] for f in fits]))
@@ -197,12 +218,20 @@ def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None):
     matrix = matrix if isinstance(matrix, jax.Array) else jnp.asarray(matrix)
     if matrix.dtype != jnp.uint32:
         raise ValueError("grid engine expects a uint32-packed matrix")
-    kp = matrix.shape[1]
-    if block is None:
-        block = _pick_block(kp, n_fits)
-    pad = (-kp) % block
-    if pad:
-        matrix = _pad_cols(matrix, pad)
+    w, kp = matrix.shape
+    if sweep == "xla":
+        if block is None:
+            block = _pick_block(kp, n_fits)
+        row_pad, col_pad = 0, (-kp) % block
+    else:
+        # Pre-pad once to the Pallas kernel's grid so the per-iteration
+        # program's own padding is a no-op (avoids a matrix copy per step).
+        from ..ops.pallas_scm_sweep import BLOCK_K
+
+        block = 0  # unused by the pallas sweep
+        row_pad, col_pad = (-w) % 4, (-kp) % BLOCK_K
+    if row_pad or col_pad:
+        matrix = _pad_matrix(matrix, row_pad, col_pad)
 
     n_tpos = _popcount_rows(tpos).astype(jnp.float32)
     n_tneg = _popcount_rows(tneg).astype(jnp.float32)
@@ -220,7 +249,7 @@ def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None):
         pos, neg, conj, rules, risks, n_rules, active = _grid_step(
             matrix, pos, neg, conj, rules, risks, n_rules, active,
             tpos, tneg, n_tpos, n_tneg, ps, is_disj, jnp.int32(i),
-            n_kmers, block,
+            n_kmers, block, sweep,
         )
     rules, n_rules, risks = jax.device_get((rules, n_rules, risks))
     return np.asarray(rules), np.asarray(n_rules), np.asarray(risks)

@@ -155,12 +155,15 @@ def test_scm_device_step_full_separation(rng):
     assert int(n_neg) == 0
 
 
-@pytest.mark.parametrize("block", [64, None])
-def test_scm_grid_engine_matches_scan_engine(rng, block):
+@pytest.mark.parametrize("block,sweep", [
+    (64, "xla"), (None, "xla"), (None, "pallas_interpret"),
+])
+def test_scm_grid_engine_matches_scan_engine(rng, block, sweep):
     """Iteration-major MXU grid engine == scan-over-fits engine, bit for bit.
 
     Exercises multi-block column scans (block=64 on 531 columns), column
-    padding, disjunction fits, early stopping, and per-length risk tracking.
+    padding, disjunction fits, early stopping, per-length risk tracking,
+    and the fused Pallas sweep kernel (interpreter mode off-TPU).
     """
     from grm_tpu.parallel.scm_device import build_packed_mask, scm_cv_batch_device
     from grm_tpu.parallel.scm_grid import scm_cv_grid_device
@@ -195,7 +198,7 @@ def test_scm_grid_engine_matches_scan_engine(rng, block):
 
     r_scan, n_scan, k_scan = scm_cv_batch_device(packed, fits, n_kmers, 6)
     r_grid, n_grid, k_grid = scm_cv_grid_device(
-        packed, fits, n_kmers, 6, block=block
+        packed, fits, n_kmers, 6, block=block, sweep=sweep
     )
     np.testing.assert_array_equal(r_grid, r_scan)
     np.testing.assert_array_equal(n_grid, n_scan)

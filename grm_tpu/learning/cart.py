@@ -179,17 +179,12 @@ class DecisionTreeClassifier:
             score_rules = _cross_entropy_rule_score
         node_type = ProbabilisticTreeNode
 
-        def _find_best_split(node):
+        def _find_best_split(node, device_result=None):
             """(cart.py:219-250)"""
             node_example_idx = node.class_examples_idx
 
-            if self.engine == "device" and not len(rule_blacklist):
-                from ..parallel.cart_device import cart_best_split_device
-
-                best, score = cart_best_split_device(
-                    rule_classifications.bit_matrix, node_example_idx,
-                    altered_priors, n_total_class_examples, self.criterion,
-                )
+            if device_result is not None:
+                best, score = device_result
                 if best is None:
                     return None, None, None, None
                 selected_rule_idx = best
@@ -225,61 +220,81 @@ class DecisionTreeClassifier:
             total_n_examples_by_class=n_total_class_examples,
         )
 
-        nodes_to_split = deque([root])
+        current_level = [root]
         runtime_infos = {}
-        current_depth = -1
         min_samples_split = max(self.min_samples_split, 2)
+        use_device = self.engine == "device" and not len(rule_blacklist)
 
-        while len(nodes_to_split) > 0:
-            node = nodes_to_split.popleft()
-            if node.depth != current_depth:
-                current_depth = node.depth
-                runtime_infos["depth"] = current_depth
-                if current_depth > 0:
-                    level_callback(runtime_infos)
-                if current_depth == self.max_depth:
-                    break  # last-level nodes stay leaves
-            if 1.0 in node.class_proportions.values():
-                continue  # pure leaf
-            if node.n_examples < min_samples_split:
-                continue
+        # Level-synchronous BFS (node order identical to the reference's
+        # FIFO deque): nodes of one depth are independent, so the device
+        # engine scores the whole frontier in one fused pass per level.
+        while len(current_level) > 0:
+            depth = current_level[0].depth
+            runtime_infos["depth"] = depth
+            if depth > 0:
+                level_callback(runtime_infos)
+            if depth == self.max_depth:
+                break  # last-level nodes stay leaves
+            splittable = [
+                node for node in current_level
+                if 1.0 not in node.class_proportions.values()  # pure leaf
+                and node.n_examples >= min_samples_split
+            ]
+            device_results = None
+            if use_device and splittable:
+                from ..parallel.cart_device import cart_frontier_splits_device
 
-            (selected_rule_idx, equivalent_rule_idx, left_idx, right_idx) = (
-                _find_best_split(node)
-            )
-            if selected_rule_idx is None:
-                continue
+                device_results = cart_frontier_splits_device(
+                    rule_classifications.bit_matrix,
+                    [node.class_examples_idx for node in splittable],
+                    altered_priors, n_total_class_examples, self.criterion,
+                )
+            nodes_to_split = deque()
+            for node_i, node in enumerate(splittable):
+                (selected_rule_idx, equivalent_rule_idx, left_idx, right_idx) = (
+                    _find_best_split(
+                        node,
+                        None if device_results is None
+                        else device_results[node_i],
+                    )
+                )
+                if selected_rule_idx is None:
+                    continue
 
-            node.rule = rules[selected_rule_idx]
-            left_n = {c: len(idx) for c, idx in left_idx.items()}
-            right_n = {c: len(idx) for c, idx in right_idx.items()}
+                node.rule = rules[selected_rule_idx]
+                left_n = {c: len(idx) for c, idx in left_idx.items()}
+                right_n = {c: len(idx) for c, idx in right_idx.items()}
 
-            node.left_child = node_type(
-                parent=node,
-                class_examples_idx=left_idx,
-                depth=node.depth + 1,
-                criterion_value=get_criterion(left_n),
-                class_priors=altered_priors,
-                total_n_examples_by_class=n_total_class_examples,
-            )
-            node.right_child = node_type(
-                parent=node,
-                class_examples_idx=right_idx,
-                depth=node.depth + 1,
-                criterion_value=get_criterion(right_n),
-                class_priors=altered_priors,
-                total_n_examples_by_class=n_total_class_examples,
-            )
-            # Unnormalized rule importance = impurity decrease (cart.py:325-329).
-            node.rule.importance = (
-                node.breiman_info.p_t * node.criterion_value
-                - node.left_child.breiman_info.p_t * node.left_child.criterion_value
-                - node.right_child.breiman_info.p_t * node.right_child.criterion_value
-            )
-            split_callback(node, equivalent_rule_idx)
-            nodes_to_split.append(node.left_child)
-            nodes_to_split.append(node.right_child)
-            runtime_infos["model"] = root
+                node.left_child = node_type(
+                    parent=node,
+                    class_examples_idx=left_idx,
+                    depth=node.depth + 1,
+                    criterion_value=get_criterion(left_n),
+                    class_priors=altered_priors,
+                    total_n_examples_by_class=n_total_class_examples,
+                )
+                node.right_child = node_type(
+                    parent=node,
+                    class_examples_idx=right_idx,
+                    depth=node.depth + 1,
+                    criterion_value=get_criterion(right_n),
+                    class_priors=altered_priors,
+                    total_n_examples_by_class=n_total_class_examples,
+                )
+                # Unnormalized rule importance = impurity decrease
+                # (cart.py:325-329).
+                node.rule.importance = (
+                    node.breiman_info.p_t * node.criterion_value
+                    - node.left_child.breiman_info.p_t
+                    * node.left_child.criterion_value
+                    - node.right_child.breiman_info.p_t
+                    * node.right_child.criterion_value
+                )
+                split_callback(node, equivalent_rule_idx)
+                nodes_to_split.append(node.left_child)
+                nodes_to_split.append(node.right_child)
+                runtime_infos["model"] = root
+            current_level = list(nodes_to_split)
 
         self.decision_tree = root
 

@@ -19,7 +19,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cart_best_split_device"]
+__all__ = ["cart_best_split_device", "cart_frontier_splits_device"]
 
 
 @partial(jax.jit, static_argnames=("criterion",))
@@ -90,3 +90,61 @@ def cart_best_split_device(bit_matrix, class_example_idx, altered_priors,
     if not np.isfinite(score):
         return None, np.inf
     return int(jax.device_get(best)), score
+
+
+def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
+                                total_n_examples_by_class, criterion,
+                                sweep=None):
+    """Best presence-rule split for a whole BFS frontier in one matrix pass.
+
+    ``node_example_sets`` is a list of per-node ``{class: example_idx}``
+    dicts (all nodes share the class key set). Returns a list of
+    (kmer_idx or None, score) pairs, one per node. On TPU the fused Pallas
+    frontier kernel (:mod:`grm_tpu.ops.pallas_cart_sweep`) scores every
+    node in one pass; elsewhere it falls back to the per-node XLA scorer.
+    ``sweep``: "pallas", "pallas_interpret", or "xla" (default: pallas on
+    TPU, xla otherwise).
+    """
+    if sweep is None:
+        sweep = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if sweep == "xla":
+        return [
+            cart_best_split_device(
+                bit_matrix, idx, altered_priors,
+                total_n_examples_by_class, criterion,
+            )
+            for idx in node_example_sets
+        ]
+
+    from ..ops.pallas_cart_sweep import cart_frontier_scores_pallas
+    from .scm_device import build_packed_mask
+
+    classes = sorted(total_n_examples_by_class)
+    n, c, w = len(node_example_sets), len(classes), bit_matrix.n_words
+    masks = np.zeros((n, c, w), np.uint32)
+    n_node = np.zeros((n, c), np.int32)
+    for i, example_idx in enumerate(node_example_sets):
+        for ci, cl in enumerate(classes):
+            idx = example_idx.get(cl, ())
+            if len(idx):
+                masks[i, ci] = build_packed_mask(
+                    idx, bit_matrix.n_rows, w
+                )
+                n_node[i, ci] = len(idx)
+    priors = np.array([altered_priors[cl] for cl in classes], np.float32)
+    totals = np.array(
+        [total_n_examples_by_class[cl] for cl in classes], np.float32
+    )
+    crit = "gini" if criterion == "gini" else "cross-entropy"
+    cols, scores = cart_frontier_scores_pallas(
+        bit_matrix.data, jnp.asarray(masks), jnp.asarray(n_node),
+        jnp.asarray(priors), jnp.asarray(totals), crit,
+        bit_matrix.n_columns, interpret=(sweep == "pallas_interpret"),
+    )
+    cols = np.asarray(jax.device_get(cols))
+    scores = np.asarray(jax.device_get(scores))
+    return [
+        (None, np.inf) if not np.isfinite(scores[i]) else
+        (int(cols[i]), float(scores[i]))
+        for i in range(n)
+    ]

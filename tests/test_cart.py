@@ -188,3 +188,38 @@ def test_learn_cart_bound(planted_dataset):
 
 
 from test_scm import planted_dataset  # noqa: E402,F401  (fixture reuse)
+
+
+def test_frontier_pallas_matches_per_node_xla(rng):
+    """The fused frontier kernel (interpret mode) == the per-node XLA scorer,
+    across criteria, multi-node frontiers, empty classes, and multiclass."""
+    from grm_tpu.parallel.cart_device import cart_frontier_splits_device
+
+    n, K = 90, 700
+    dense = (rng.rand(n, K) > 0.55).astype(np.uint8)
+    y = rng.randint(0, 3, size=n)
+    ds = _DenseDataset(dense)
+    rc = KmerRuleClassifications(ds)
+    priors = {0: 0.5, 1: 0.3, 2: 0.2}
+    totals = {c: int((y == c).sum()) for c in range(3)}
+
+    idx = np.arange(n)
+    frontier = [
+        {c: idx[(y == c) & (idx < 60)] for c in range(3)},
+        {c: idx[(y == c) & (idx >= 30)] for c in range(3)},
+        {c: idx[(y == c) & (idx % 2 == 0)] for c in range(3)},
+        {0: idx[y == 0], 1: np.array([], np.int64), 2: idx[y == 2]},
+    ]
+    for criterion in ["gini", "cross-entropy"]:
+        want = cart_frontier_splits_device(
+            rc.bit_matrix, frontier, priors, totals, criterion, sweep="xla"
+        )
+        got = cart_frontier_splits_device(
+            rc.bit_matrix, frontier, priors, totals, criterion,
+            sweep="pallas_interpret",
+        )
+        for (wi, ws), (gi, gs) in zip(want, got):
+            assert wi == gi, (criterion, wi, gi)
+            assert np.isclose(ws, gs, rtol=1e-5) or (
+                not np.isfinite(ws) and not np.isfinite(gs)
+            )

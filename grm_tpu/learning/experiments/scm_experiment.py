@@ -368,17 +368,18 @@ def _cross_validation_device(dataset, split_name, model_types, p_values,
 
     Same selection rules as :func:`_cross_validation`, but fold scores come
     from the device CV engines (pure-argmax rule selection; no
-    blacklist/tiebreaker support): the iteration-major MXU grid engine
-    (:func:`grm_tpu.parallel.scm_grid.scm_cv_grid_device`, one matrix pass
-    per greedy iteration scoring every fit at once) on a single device, or
-    the scan-over-fits engine
+    blacklist/tiebreaker support) — all iteration-major grid engines that
+    make one matrix pass per greedy iteration scoring every fit at once:
+    :func:`grm_tpu.parallel.scm_grid.scm_cv_grid_device` on a single device,
+    :func:`grm_tpu.parallel.scm_grid.scm_cv_grid_sharded` when the k-mer
+    columns are sharded over a mesh, and the scan-over-fits engine
     (:func:`grm_tpu.parallel.scm_device.scm_cv_batch_device`) when the
-    matrix is column-sharded over a mesh.
+    word rows are sharded too.
     """
     from itertools import product as _product
 
     from ...parallel.scm_device import build_packed_mask, scm_cv_batch_device
-    from ...parallel.scm_grid import scm_cv_grid_device
+    from ...parallel.scm_grid import scm_cv_grid_device, scm_cv_grid_sharded
 
     split = dataset.get_split(split_name)
     folds = split.folds
@@ -409,8 +410,15 @@ def _cross_validation_device(dataset, split_name, model_types, p_values,
             })
 
     progress_callback("Cross-validation", 0.0)
-    cv_engine = scm_cv_batch_device if mesh is not None else scm_cv_grid_device
-    _, _, risks = cv_engine(bm.data, fits, bm.n_columns, max_rules)
+    if mesh is None:
+        _, _, risks = scm_cv_grid_device(bm.data, fits, bm.n_columns,
+                                         max_rules)
+    elif mesh.shape.get("rows", 1) == 1:
+        _, _, risks = scm_cv_grid_sharded(bm.data, fits, bm.n_columns,
+                                          max_rules, mesh)
+    else:
+        _, _, risks = scm_cv_batch_device(bm.data, fits, bm.n_columns,
+                                          max_rules)
     progress_callback("Cross-validation", 1.0)
 
     best_hp_score = 1.0

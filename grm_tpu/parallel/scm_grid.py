@@ -20,6 +20,18 @@ hardware's highest-throughput unit.  This is the TPU-native replacement for
 the reference's fork-per-hyperparameter ``multiprocessing.Pool`` CV search
 (``bin/kover/core/kover/learning/experiments/experiment_scm.py:196-248``).
 
+Two deployments:
+
+- :func:`scm_cv_grid_device` — single device; the sweep backend is either
+  the XLA block scan or the fused Pallas kernel
+  (:mod:`grm_tpu.ops.pallas_scm_sweep`).
+- :func:`scm_cv_grid_sharded` — the k-mer columns sharded over the "cols"
+  axis of a device mesh (SPMD via ``jax.shard_map``): each device sweeps
+  its local columns, the per-fit winners combine with an ``all_gather`` of
+  O(F) scalars over ICI, and the winning rule's packed column is broadcast
+  back with a one-hot ``psum`` — the multi-chip replacement for the
+  reference's MPI-rank parallelism (``src/app.py:1310``).
+
 Selection semantics match :func:`grm_tpu.parallel.mesh._scm_iteration`
 exactly: pure argmax utility (no isclose tie sets), presence half wins ties
 against the absence half, lowest column index wins within a half, rules that
@@ -36,8 +48,9 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ["scm_cv_grid_device"]
+__all__ = ["scm_cv_grid_device", "scm_cv_grid_sharded"]
 
 
 def _pick_block(kp, n_fits):
@@ -72,6 +85,106 @@ def _fold_risks(conj, tpos, tneg, n_tpos, n_tneg, is_disj):
     return jnp.where(is_disj, disj_errors, conj_errors) / n_test
 
 
+def _sweep_xla(matrix, pos, neg, ps, n_neg, n_pos, n_kmers, block,
+               col_offset, axis_name=None):
+    """Best presence/absence utility + GLOBAL column per fit over the local
+    matrix columns, via a block scan of MXU contractions.
+
+    ``col_offset`` (traced) is the global index of the local column 0;
+    columns at global index >= n_kmers are padding and excluded.
+    ``axis_name`` marks the scan carry as varying over that manual mesh
+    axis when the sweep runs inside shard_map.
+    """
+    f = pos.shape[0]
+    w, kp = matrix.shape
+    nb = kp // block
+    neg_inf = jnp.float32(-jnp.inf)
+    rows = jnp.arange(f)
+
+    # neg first: counts[:F] = negative-example presence counts, like
+    # _scm_iteration's stack([neg_mask, pos_mask]) ordering.
+    masks_dense = _unpack_words(
+        jnp.concatenate([neg, pos], axis=0).T
+    ).T  # (2F, 32W)
+    nn = n_neg[:, None].astype(jnp.float32)
+    np_ = n_pos[:, None].astype(jnp.float32)
+
+    def scan_block(carry, b):
+        bpu, bpi, bau, bai = carry
+        mb = jax.lax.dynamic_slice(matrix, (0, b * block), (w, block))
+        xb = _unpack_words(mb)  # (32W, block) int8
+        counts = jax.lax.dot_general(
+            masks_dense, xb,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (2F, block)
+        cn, cp = counts[:f], counts[f:]
+        col_idx = col_offset + b * block + jnp.arange(block)
+        pad = (col_idx >= n_kmers)[None, :]
+        cnf, cpf = cn.astype(jnp.float32), cp.astype(jnp.float32)
+        u_pres = (nn - cnf) - ps[:, None] * (np_ - cpf)
+        u_pres = jnp.where(
+            pad | ((cn == n_neg[:, None]) & (cp == n_pos[:, None])),
+            neg_inf, u_pres)
+        u_abs = cnf - ps[:, None] * cpf
+        u_abs = jnp.where(pad | ((cn == 0) & (cp == 0)), neg_inf, u_abs)
+
+        bp = jnp.argmax(u_pres, axis=1)
+        up = u_pres[rows, bp]
+        ba = jnp.argmax(u_abs, axis=1)
+        ua = u_abs[rows, ba]
+        # Strict > keeps the earliest (lowest-index) maximum across
+        # blocks, matching np.argmax first-occurrence semantics.
+        take_p = up > bpu
+        bpu = jnp.where(take_p, up, bpu)
+        bpi = jnp.where(take_p, col_idx[bp], bpi)
+        take_a = ua > bau
+        bau = jnp.where(take_a, ua, bau)
+        bai = jnp.where(take_a, col_idx[ba], bai)
+        return (bpu, bpi, bau, bai), None
+
+    init = (
+        jnp.full((f,), neg_inf), jnp.zeros((f,), jnp.int32),
+        jnp.full((f,), neg_inf), jnp.zeros((f,), jnp.int32),
+    )
+    if axis_name is not None:
+        init = tuple(jax.lax.pvary(x, axis_name) for x in init)
+    (bpu, bpi, bau, bai), _ = jax.lax.scan(
+        scan_block, init, jnp.arange(nb, dtype=jnp.int32)
+    )
+    return bpu, bpi.astype(jnp.int32), bau, bai.astype(jnp.int32)
+
+
+def _apply_rule(state, bits, use_abs, best_col, step_i, n_kmers):
+    """Advance the fit state with the chosen rules' packed columns.
+
+    state = (pos, neg, conj, rules, risks, n_rules, active) plus the
+    constant fold-test inputs; bits (F, W) is each fit's rule column
+    (already inverted for absence rules).
+    """
+    (pos, neg, conj, rules, risks, n_rules, active,
+     tpos, tneg, n_tpos, n_tneg, is_disj) = state
+
+    act = active[:, None]
+    new_pos = jnp.where(act, pos & bits, pos)
+    new_neg = jnp.where(act, neg & bits, neg)
+    new_conj = jnp.where(act, conj & bits, conj)
+
+    best_rule = jnp.where(
+        use_abs, best_col + n_kmers, best_col
+    ).astype(jnp.int32)
+    rules = rules.at[:, step_i].set(jnp.where(active, best_rule, -1))
+    risk = _fold_risks(new_conj, tpos, tneg, n_tpos, n_tneg, is_disj)
+    # Inactive fits carry their last risk forward (the reference duplicates
+    # the final element, experiment_scm.py:180-181).
+    prev = risks[:, step_i]
+    risks = risks.at[:, step_i + 1].set(jnp.where(active, risk, prev))
+    n_rules = n_rules + active.astype(jnp.int32)
+    n_neg_left = _popcount_rows(new_neg)
+    new_active = active & (n_neg_left > 0)
+    return new_pos, new_neg, new_conj, rules, risks, n_rules, new_active
+
+
 @partial(
     jax.jit,
     static_argnames=("n_kmers", "block", "sweep"),
@@ -90,13 +203,8 @@ def _grid_step(matrix, pos, neg, conj, rules, risks, n_rules, active,
     "pallas" (fused VMEM kernel), "pallas_interpret" (same, interpreter —
     for tests off-TPU).
     """
-    f = pos.shape[0]
-    w, kp = matrix.shape
-
     n_neg = _popcount_rows(neg)
     n_pos = _popcount_rows(pos)
-    neg_inf = jnp.float32(-jnp.inf)
-    rows = jnp.arange(f)
 
     if sweep in ("pallas", "pallas_interpret"):
         from ..ops.pallas_scm_sweep import scm_utility_argmax_pallas
@@ -107,55 +215,9 @@ def _grid_step(matrix, pos, neg, conj, rules, risks, n_rules, active,
             n_kmers, interpret=(sweep == "pallas_interpret"),
         )
     else:
-        nb = kp // block
-        # neg first: counts[:F] = negative-example presence counts, like
-        # _scm_iteration's stack([neg_mask, pos_mask]) ordering.
-        masks_dense = _unpack_words(
-            jnp.concatenate([neg, pos], axis=0).T
-        ).T  # (2F, 32W)
-
-        def scan_block(carry, b):
-            bpu, bpi, bau, bai = carry
-            mb = jax.lax.dynamic_slice(matrix, (0, b * block), (w, block))
-            xb = _unpack_words(mb)  # (32W, block) int8
-            counts = jax.lax.dot_general(
-                masks_dense, xb,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # (2F, block)
-            cn, cp = counts[:f], counts[f:]
-            col_idx = b * block + jnp.arange(block)
-            pad = (col_idx >= n_kmers)[None, :]
-            cnf, cpf = cn.astype(jnp.float32), cp.astype(jnp.float32)
-            nn = n_neg[:, None].astype(jnp.float32)
-            np_ = n_pos[:, None].astype(jnp.float32)
-            u_pres = (nn - cnf) - ps[:, None] * (np_ - cpf)
-            u_pres = jnp.where(
-                pad | ((cn == n_neg[:, None]) & (cp == n_pos[:, None])),
-                neg_inf, u_pres)
-            u_abs = cnf - ps[:, None] * cpf
-            u_abs = jnp.where(pad | ((cn == 0) & (cp == 0)), neg_inf, u_abs)
-
-            bp = jnp.argmax(u_pres, axis=1)
-            up = u_pres[rows, bp]
-            ba = jnp.argmax(u_abs, axis=1)
-            ua = u_abs[rows, ba]
-            # Strict > keeps the earliest (lowest-index) maximum across
-            # blocks, matching np.argmax first-occurrence semantics.
-            take_p = up > bpu
-            bpu = jnp.where(take_p, up, bpu)
-            bpi = jnp.where(take_p, col_idx[bp], bpi)
-            take_a = ua > bau
-            bau = jnp.where(take_a, ua, bau)
-            bai = jnp.where(take_a, col_idx[ba], bai)
-            return (bpu, bpi, bau, bai), None
-
-        init = (
-            jnp.full((f,), neg_inf), jnp.zeros((f,), jnp.int32),
-            jnp.full((f,), neg_inf), jnp.zeros((f,), jnp.int32),
-        )
-        (bpu, bpi, bau, bai), _ = jax.lax.scan(
-            scan_block, init, jnp.arange(nb, dtype=jnp.int32)
+        bpu, bpi, bau, bai = _sweep_xla(
+            matrix, pos, neg, ps, n_neg, n_pos, n_kmers, block,
+            jnp.int32(0),
         )
 
     # Presence wins ties against absence (argmax-over-concat semantics).
@@ -166,27 +228,92 @@ def _grid_step(matrix, pos, neg, conj, rules, risks, n_rules, active,
     packed = jnp.take(matrix, best_col, axis=1).T[:, : pos.shape[1]]
     bits = jnp.where(use_abs[:, None], ~packed, packed)
 
-    act = active[:, None]
-    new_pos = jnp.where(act, pos & bits, pos)
-    new_neg = jnp.where(act, neg & bits, neg)
-    new_conj = jnp.where(act, conj & bits, conj)
+    state = (pos, neg, conj, rules, risks, n_rules, active,
+             tpos, tneg, n_tpos, n_tneg, is_disj)
+    return _apply_rule(state, bits, use_abs, best_col, step_i, n_kmers)
 
-    best_rule = jnp.where(use_abs, best_col + n_kmers, best_col).astype(jnp.int32)
-    rules = rules.at[:, step_i].set(jnp.where(active, best_rule, -1))
-    risk = _fold_risks(new_conj, tpos, tneg, n_tpos, n_tneg, is_disj)
-    # Inactive fits carry their last risk forward (the reference duplicates
-    # the final element, experiment_scm.py:180-181).
-    prev = risks[:, step_i]
-    risks = risks.at[:, step_i + 1].set(jnp.where(active, risk, prev))
-    n_rules = n_rules + active.astype(jnp.int32)
-    n_neg_left = _popcount_rows(new_neg)
-    new_active = active & (n_neg_left > 0)
-    return new_pos, new_neg, new_conj, rules, risks, n_rules, new_active
+
+def _grid_step_sharded_body(matrix_local, pos, neg, conj, rules, risks,
+                            n_rules, active, tpos, tneg, n_tpos, n_tneg,
+                            ps, is_disj, step_i, n_kmers, block, local_k):
+    """Per-shard body of one greedy iteration (runs under shard_map).
+
+    matrix_local: this device's (W, local_k) column shard; every other
+    operand is replicated. Communication per iteration: one all_gather of
+    4 (F,) arrays + one (F, W) psum — O(F x W), independent of K.
+    """
+    f = pos.shape[0]
+    shard = jax.lax.axis_index("cols")
+    col_offset = (shard * local_k).astype(jnp.int32)
+
+    n_neg = _popcount_rows(neg)
+    n_pos = _popcount_rows(pos)
+    bpu, bpi, bau, bai = _sweep_xla(
+        matrix_local, pos, neg, ps, n_neg, n_pos, n_kmers, block,
+        col_offset, axis_name="cols",
+    )
+
+    # Global winner per fit and half: shards are ordered by column range,
+    # so first-occurrence argmax over the gathered axis keeps the lowest
+    # global column among exact ties.
+    g_bpu = jax.lax.all_gather(bpu, "cols")  # (S, F)
+    g_bpi = jax.lax.all_gather(bpi, "cols")
+    g_bau = jax.lax.all_gather(bau, "cols")
+    g_bai = jax.lax.all_gather(bai, "cols")
+    rows = jnp.arange(f)
+    sp = jnp.argmax(g_bpu, axis=0)
+    bpu = g_bpu[sp, rows]
+    bpi = g_bpi[sp, rows]
+    sa = jnp.argmax(g_bau, axis=0)
+    bau = g_bau[sa, rows]
+    bai = g_bai[sa, rows]
+
+    use_abs = bau > bpu
+    best_col = jnp.where(use_abs, bai, bpi)
+
+    # Fetch each winning rule's packed column from its owner shard: the
+    # non-owners contribute zero words, so a psum broadcasts the column.
+    owner = (best_col >= col_offset) & (best_col < col_offset + local_k)
+    local_idx = jnp.clip(best_col - col_offset, 0, local_k - 1)
+    packed = jnp.take(matrix_local, local_idx, axis=1).T  # (F, W)
+    packed = jnp.where(owner[:, None], packed, jnp.uint32(0))
+    packed = jax.lax.psum(packed, "cols")[:, : pos.shape[1]]
+    bits = jnp.where(use_abs[:, None], ~packed, packed)
+
+    state = (pos, neg, conj, rules, risks, n_rules, active,
+             tpos, tneg, n_tpos, n_tneg, is_disj)
+    return _apply_rule(state, bits, use_abs, best_col, step_i, n_kmers)
 
 
 @partial(jax.jit, static_argnames=("row_pad", "col_pad"))
 def _pad_matrix(matrix, row_pad, col_pad):
     return jnp.pad(matrix, ((0, row_pad), (0, col_pad)))
+
+
+def _build_fit_arrays(fits):
+    pos = jnp.asarray(np.stack([f["pos_mask"] for f in fits]))
+    neg = jnp.asarray(np.stack([f["neg_mask"] for f in fits]))
+    tpos = jnp.asarray(np.stack([f["test_pos_mask"] for f in fits]))
+    tneg = jnp.asarray(np.stack([f["test_neg_mask"] for f in fits]))
+    ps = jnp.asarray(np.array([f["p"] for f in fits], np.float32))
+    is_disj = jnp.asarray(
+        np.array([f["model_type"] == "disjunction" for f in fits], bool)
+    )
+    return pos, neg, tpos, tneg, ps, is_disj
+
+
+def _init_state(pos, neg, tpos, tneg, is_disj, n_fits, max_rules):
+    n_tpos = _popcount_rows(tpos).astype(jnp.float32)
+    n_tneg = _popcount_rows(tneg).astype(jnp.float32)
+    conj = jnp.full_like(pos, jnp.uint32(0xFFFFFFFF))
+    rules = jnp.full((n_fits, max_rules), -1, jnp.int32)
+    risks = jnp.zeros((n_fits, max_rules + 1), jnp.float32)
+    risks = risks.at[:, 0].set(
+        _fold_risks(conj, tpos, tneg, n_tpos, n_tneg, is_disj)
+    )
+    n_rules = jnp.zeros((n_fits,), jnp.int32)
+    active = _popcount_rows(neg) > 0
+    return conj, rules, risks, n_rules, active, n_tpos, n_tneg
 
 
 def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None,
@@ -205,14 +332,7 @@ def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None,
     """
     if sweep is None:
         sweep = "pallas" if jax.default_backend() == "tpu" else "xla"
-    pos = jnp.asarray(np.stack([f["pos_mask"] for f in fits]))
-    neg = jnp.asarray(np.stack([f["neg_mask"] for f in fits]))
-    tpos = jnp.asarray(np.stack([f["test_pos_mask"] for f in fits]))
-    tneg = jnp.asarray(np.stack([f["test_neg_mask"] for f in fits]))
-    ps = jnp.asarray(np.array([f["p"] for f in fits], np.float32))
-    is_disj = jnp.asarray(
-        np.array([f["model_type"] == "disjunction" for f in fits], bool)
-    )
+    pos, neg, tpos, tneg, ps, is_disj = _build_fit_arrays(fits)
     n_fits = len(fits)
 
     matrix = matrix if isinstance(matrix, jax.Array) else jnp.asarray(matrix)
@@ -233,23 +353,80 @@ def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None,
     if row_pad or col_pad:
         matrix = _pad_matrix(matrix, row_pad, col_pad)
 
-    n_tpos = _popcount_rows(tpos).astype(jnp.float32)
-    n_tneg = _popcount_rows(tneg).astype(jnp.float32)
-
-    conj = jnp.full_like(pos, jnp.uint32(0xFFFFFFFF))
-    rules = jnp.full((n_fits, max_rules), -1, jnp.int32)
-    risks = jnp.zeros((n_fits, max_rules + 1), jnp.float32)
-    risks = risks.at[:, 0].set(
-        _fold_risks(conj, tpos, tneg, n_tpos, n_tneg, is_disj)
+    conj, rules, risks, n_rules, active, n_tpos, n_tneg = _init_state(
+        pos, neg, tpos, tneg, is_disj, n_fits, max_rules
     )
-    n_rules = jnp.zeros((n_fits,), jnp.int32)
-    active = _popcount_rows(neg) > 0
 
     for i in range(max_rules):
         pos, neg, conj, rules, risks, n_rules, active = _grid_step(
             matrix, pos, neg, conj, rules, risks, n_rules, active,
             tpos, tneg, n_tpos, n_tneg, ps, is_disj, jnp.int32(i),
             n_kmers, block, sweep,
+        )
+    rules, n_rules, risks = jax.device_get((rules, n_rules, risks))
+    return np.asarray(rules), np.asarray(n_rules), np.asarray(risks)
+
+
+def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None):
+    """Column-sharded CV grid engine over a ("rows", "cols") mesh.
+
+    Same contract as :func:`scm_cv_grid_device`. The matrix's k-mer columns
+    are sharded over the mesh "cols" axis (the reference's 43M-column "long
+    axis"); fit state is replicated. Requires an unsharded word-row axis
+    (``rows`` size 1) — row-sharded matrices take the scan engine instead.
+    """
+    if mesh.shape.get("rows", 1) != 1:
+        raise ValueError(
+            "scm_cv_grid_sharded shards columns only; use the scan engine "
+            "for row-sharded matrices"
+        )
+    n_shards = mesh.shape["cols"]
+    pos, neg, tpos, tneg, ps, is_disj = _build_fit_arrays(fits)
+    n_fits = len(fits)
+
+    matrix = matrix if isinstance(matrix, jax.Array) else jnp.asarray(matrix)
+    if matrix.dtype != jnp.uint32:
+        raise ValueError("grid engine expects a uint32-packed matrix")
+    kp = matrix.shape[1]
+    if block is None:
+        block = _pick_block(-(-kp // n_shards), n_fits)
+    col_pad = (-kp) % (n_shards * block)
+    sharding = NamedSharding(mesh, P(None, "cols"))
+    if col_pad or (
+        not hasattr(matrix, "sharding") or matrix.sharding != sharding
+    ):
+        pad_fn = jax.jit(
+            lambda m: jnp.pad(m, ((0, 0), (0, col_pad))),
+            out_shardings=sharding,
+        )
+        matrix = pad_fn(matrix)
+    local_k = matrix.shape[1] // n_shards
+
+    conj, rules, risks, n_rules, active, n_tpos, n_tneg = _init_state(
+        pos, neg, tpos, tneg, is_disj, n_fits, max_rules
+    )
+
+    rep = P()
+    step = jax.jit(
+        jax.shard_map(
+            partial(
+                _grid_step_sharded_body,
+                n_kmers=n_kmers, block=block, local_k=local_k,
+            ),
+            mesh=mesh,
+            in_specs=(P(None, "cols"),) + (rep,) * 14,
+            out_specs=(rep,) * 7,
+            # Outputs are identical on every shard after the all_gather +
+            # psum combines, which the varying-axis inference can't prove.
+            check_vma=False,
+        ),
+        donate_argnums=(1, 2, 3, 4, 5, 6, 7),
+    )
+
+    for i in range(max_rules):
+        pos, neg, conj, rules, risks, n_rules, active = step(
+            matrix, pos, neg, conj, rules, risks, n_rules, active,
+            tpos, tneg, n_tpos, n_tneg, ps, is_disj, jnp.int32(i),
         )
     rules, n_rules, risks = jax.device_get((rules, n_rules, risks))
     return np.asarray(rules), np.asarray(n_rules), np.asarray(risks)

@@ -203,3 +203,50 @@ def test_scm_grid_engine_matches_scan_engine(rng, block, sweep):
     np.testing.assert_array_equal(r_grid, r_scan)
     np.testing.assert_array_equal(n_grid, n_scan)
     np.testing.assert_allclose(k_grid, k_scan, atol=1e-6)
+
+
+@pytest.mark.parametrize("block", [64, None])
+def test_scm_grid_sharded_matches_scan_engine(rng, block):
+    """Column-sharded grid engine (8-device mesh) == scan engine exactly.
+
+    531 columns over 8 shards exercises uneven padding, cross-shard winner
+    selection, and the one-hot psum column broadcast."""
+    from grm_tpu.parallel.scm_device import build_packed_mask, scm_cv_batch_device
+    from grm_tpu.parallel.scm_grid import scm_cv_grid_sharded
+
+    n_genomes, n_kmers = 70, 531
+    dense = (rng.rand(n_genomes, n_kmers) > 0.6).astype(np.uint8)
+    y = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
+    packed = pack_binary_bytes_to_ints(dense, 32)
+    w = packed.shape[0]
+
+    idx = np.arange(n_genomes)
+    fits = []
+    for model_type in ["conjunction", "disjunction"]:
+        for p in [0.5, 1.0, 3.0]:
+            for fold in range(3):
+                te = idx[idx % 3 == fold]
+                tr = idx[idx % 3 != fold]
+                pos = tr[y[tr] == 1]
+                neg = tr[y[tr] == 0]
+                if model_type == "disjunction":
+                    pos, neg = neg, pos
+                fits.append({
+                    "pos_mask": build_packed_mask(pos, n_genomes, w),
+                    "neg_mask": build_packed_mask(neg, n_genomes, w),
+                    "test_pos_mask": build_packed_mask(
+                        te[y[te] == 1], n_genomes, w),
+                    "test_neg_mask": build_packed_mask(
+                        te[y[te] == 0], n_genomes, w),
+                    "p": p,
+                    "model_type": model_type,
+                })
+
+    mesh = make_mesh(8)
+    r_scan, n_scan, k_scan = scm_cv_batch_device(packed, fits, n_kmers, 6)
+    r_sh, n_sh, k_sh = scm_cv_grid_sharded(
+        packed, fits, n_kmers, 6, mesh, block=block
+    )
+    np.testing.assert_array_equal(r_sh, r_scan)
+    np.testing.assert_array_equal(n_sh, n_scan)
+    np.testing.assert_allclose(k_sh, k_scan, atol=1e-6)

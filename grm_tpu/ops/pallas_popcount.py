@@ -15,9 +15,10 @@ for future fused sweep+argmax kernels. Numerics are identical to the XLA path
 (integer popcount sums).
 
 STATUS: validated in interpret mode (exact parity with the XLA path across
-shapes). The development rig's remote-compile service does not complete
-Mosaic compilations, so on-chip validation is pending real-TPU access; the
-XLA path remains the production default.
+shapes) and Mosaic-compiled + verified on a real v5e chip. The XLA path
+remains the default for small mask counts; the fused production kernels for
+the hot learning sweeps live in :mod:`grm_tpu.ops.pallas_scm_sweep` and
+:mod:`grm_tpu.ops.pallas_cart_sweep`.
 """
 
 from __future__ import annotations

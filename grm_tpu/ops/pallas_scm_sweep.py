@@ -18,6 +18,13 @@ VMEM and strips the hot loop down to the minimum VPU work via two tricks:
    fit, packed popcount path) — so the per-block inner loop carries no
    cross-lane argmax at all.
 
+The matrix is consumed IN PLACE — no row or column padding copies (a 7 GB
+matrix at the largest published dataset scale would not tolerate one): the
+kernel loads full-height (W, BLOCK_K) tiles, zero-fills the int8 scratch
+tail rows once, and the ragged last block is excluded by column-index
+masking (out-of-bounds lanes of a partial tile read unspecified values, so
+both extrema mask on ``col >= n_kmers``).
+
 Per greedy iteration the HBM traffic is one read of the packed matrix
 (1 bit per genome x k-mer) plus O(n_blocks x F) extrema. This replaces the
 reference's hot ``sum_rows`` masked-popcount loop
@@ -58,23 +65,34 @@ _NEG_INF = float(np.finfo(np.float32).min)
 _POS_INF = float(np.finfo(np.float32).max)
 
 
-def _make_kernel(w, bk, fp, n_kmers, n_blocks):
-    def kernel(masks_ref, params_ref, mat_ref, minp_ref, maxa_ref, x_scratch):
-        """masks_ref: (2Fp, 32W) int8 [neg rows then pos rows];
-        params_ref: (3, Fp) f32 [n_neg, n_pos, p];
-        mat_ref: (W, BK) uint32; outputs (1, Fp) rows of the (NB, Fp) grids.
-        """
-        b = pl.program_id(0)
+def _unpack_to_scratch(mat_ref, x_scratch, w, w32p, bk, zero_tail):
+    """Unpack the packed (W, BK) uint32 block to int8 rows [0, 32W) of the
+    (w32p, BK) scratch; zero the tail rows once (they persist)."""
+    if zero_tail and w32p > 32 * w:
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            x_scratch[32 * w :, :] = jnp.zeros(
+                (w32p - 32 * w, bk), jnp.int8
+            )
+    shifts = jnp.uint32(31) - jax.lax.broadcasted_iota(jnp.uint32, (32, bk), 0)
+    for i in range(w):  # static, small
+        word = mat_ref[i, :][None, :]
+        x_scratch[32 * i : 32 * (i + 1), :] = (
+            (word >> shifts) & jnp.uint32(1)
+        ).astype(jnp.int8)
 
-        # Unpack the packed block to int8 0/1 rows, all in VMEM.
-        shifts = jnp.uint32(31) - jax.lax.broadcasted_iota(
-            jnp.uint32, (32, bk), 0
-        )
-        for i in range(w):  # static, small
-            word = mat_ref[i, :][None, :]
-            x_scratch[32 * i : 32 * (i + 1), :] = (
-                (word >> shifts) & jnp.uint32(1)
-            ).astype(jnp.int8)
+
+def _make_kernel(w, w32p, bk, fp, n_kmers, n_blocks):
+    # The last block that contains any real column; every block at or past
+    # it may carry unspecified out-of-bounds lanes and masks on col index.
+    first_masked = max((n_kmers - 1) // bk, 0)
+
+    def kernel(masks_ref, params_ref, mat_ref, minp_ref, maxa_ref, x_scratch):
+        """masks_ref: (2Fp, w32p) int8 [neg rows then pos rows];
+        params_ref: (3, Fp) f32 [n_neg, n_pos, p];
+        mat_ref: (W, BK) uint32; outputs (1, 1, Fp) rows of (NB, 1, Fp)."""
+        b = pl.program_id(0)
+        _unpack_to_scratch(mat_ref, x_scratch, w, w32p, bk, True)
 
         counts = jax.lax.dot_general(
             masks_ref[:], x_scratch[:],
@@ -95,26 +113,29 @@ def _make_kernel(w, bk, fp, n_kmers, n_blocks):
         # presence rule covering nothing: cn == n_neg and cp == n_pos
         u_min = jnp.where(s == nn_i + np_i, jnp.float32(_POS_INF), u)
 
-        if n_kmers < n_blocks * bk:
-            # Zero-padded tail columns: already absence-excluded (s == 0),
-            # but a zero column is a legal presence rule, so mask it out of
-            # the min on the one block that contains the tail.
-            @pl.when(b == n_blocks - 1)
+        if first_masked < n_blocks - 1 or n_kmers < n_blocks * bk:
+            # Ragged tail / padded columns: exclude by global column index
+            # (their lanes may hold unspecified values).
+            @pl.when(b >= first_masked)
             def _():
                 col = b * bk + jax.lax.broadcasted_iota(
                     jnp.int32, (fp, bk), 1
                 )
+                bad = col >= n_kmers
                 minp_ref[0, 0, :] = jnp.min(
-                    jnp.where(col >= n_kmers, jnp.float32(_POS_INF), u_min),
-                    axis=1,
+                    jnp.where(bad, jnp.float32(_POS_INF), u_min), axis=1
+                )
+                maxa_ref[0, 0, :] = jnp.max(
+                    jnp.where(bad, jnp.float32(_NEG_INF), u_max), axis=1
                 )
 
-            @pl.when(b != n_blocks - 1)
+            @pl.when(b < first_masked)
             def _():
                 minp_ref[0, 0, :] = jnp.min(u_min, axis=1)
+                maxa_ref[0, 0, :] = jnp.max(u_max, axis=1)
         else:
             minp_ref[0, 0, :] = jnp.min(u_min, axis=1)
-        maxa_ref[0, 0, :] = jnp.max(u_max, axis=1)
+            maxa_ref[0, 0, :] = jnp.max(u_max, axis=1)
 
     return kernel
 
@@ -153,7 +174,8 @@ def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
                               n_kmers, interpret=False):
     """Best presence/absence utility + column per fit, one matrix pass.
 
-    matrix: (W, K) uint32 packed presence (genome rows MSB-first).
+    matrix: (W, K) uint32 packed presence (genome rows MSB-first), consumed
+    in place (no padding copies); requires K >= BLOCK_K columns.
     neg_masks/pos_masks: (F, W) uint32 packed example-selection masks.
     n_neg/n_pos: (F,) current example counts; ps: (F,) trade-off values.
     Returns (bpu, bpi, bau, bai): best presence utility/column and best
@@ -163,7 +185,11 @@ def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
         raise RuntimeError("pallas TPU namespace unavailable")
 
     f, w = neg_masks.shape
+    k = matrix.shape[1]
+    if matrix.shape[0] != w:
+        raise ValueError("matrix word rows must match the mask width")
     fp = -(-f // 128) * 128  # lane-pad the fit axis
+    bk = min(BLOCK_K, k)
 
     # Padded fit rows are all-zero -> s == 0 == nn+np -> +/-inf extrema,
     # resolved to junk winners that are sliced off at the end.
@@ -173,11 +199,8 @@ def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
     )  # (2Fp, 32W)
     masks_i8 = _pad_to(masks_i8, 1, 128)  # lane-pad the contraction dim
     w32p = masks_i8.shape[1]
-    wp = w32p // 32
 
-    matrix = _pad_to(_pad_to(matrix, 0, wp), 1, BLOCK_K)
-    kp = matrix.shape[1]
-    nb = kp // BLOCK_K
+    nb = -(-k // bk)
 
     nnf = _pad_to(n_neg.astype(jnp.float32), 0, fp)
     npf = _pad_to(n_pos.astype(jnp.float32), 0, fp)
@@ -188,12 +211,12 @@ def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
         return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
     minp, maxa = pl.pallas_call(
-        _make_kernel(wp, BLOCK_K, fp, n_kmers, nb),
+        _make_kernel(w, w32p, bk, fp, n_kmers, nb),
         grid=(nb,),
         in_specs=[
             spec((2 * fp, w32p), lambda b: (0, 0)),
             spec((3, fp), lambda b: (0, 0)),
-            spec((wp, BLOCK_K), lambda b: (0, b)),
+            spec((w, bk), lambda b: (0, b)),
         ],
         out_specs=[
             spec((1, 1, fp), lambda b: (b, 0, 0)),
@@ -203,59 +226,53 @@ def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
             jax.ShapeDtypeStruct((nb, 1, fp), jnp.float32),
             jax.ShapeDtypeStruct((nb, 1, fp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((w32p, BLOCK_K), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((w32p, bk), jnp.int8)],
         interpret=interpret,
     )(masks_i8, params, matrix)
 
     # Phase 2 (XLA, tiny): locate winner blocks, recompute them exactly with
-    # the direct utility formulas over the packed gathered blocks.
+    # the direct utility formulas over the packed gathered blocks. Block
+    # starts clamp so the ragged tail re-reads real columns.
     minp = minp[:, 0, :f]  # (NB, F)
     maxa = maxa[:, 0, :f]
     pres_blk = jnp.argmin(minp, axis=0)  # (F,) first occurrence = lowest blk
     abs_blk = jnp.argmax(maxa, axis=0)
 
-    def gather_block(blk):
-        return jax.lax.dynamic_slice(
-            matrix, (0, blk * BLOCK_K), (wp, BLOCK_K)
-        )
+    def gather_block(start):
+        return jax.lax.dynamic_slice(matrix, (0, start), (w, bk))
 
-    pres_blocks = jax.vmap(gather_block)(pres_blk)  # (F, Wp, BK)
-    abs_blocks = jax.vmap(gather_block)(abs_blk)
+    pres_start = jnp.minimum(pres_blk * bk, k - bk)
+    abs_start = jnp.minimum(abs_blk * bk, k - bk)
+    pres_blocks = jax.vmap(gather_block)(pres_start)  # (F, W, BK)
+    abs_blocks = jax.vmap(gather_block)(abs_start)
 
-    neg_p = _pad_to(neg_masks, 1, wp)[:, :wp] if neg_masks.shape[1] != wp \
-        else neg_masks
-    pos_p = _pad_to(pos_masks, 1, wp)[:, :wp] if pos_masks.shape[1] != wp \
-        else pos_masks
     nn = n_neg.astype(jnp.float32)[:, None]
     np_ = n_pos.astype(jnp.float32)[:, None]
     pv = ps.astype(jnp.float32)[:, None]
     neg_inf = jnp.float32(-jnp.inf)
-
-    def block_cols(blk):
-        return blk[:, None] * BLOCK_K + jnp.arange(BLOCK_K)[None, :]
+    rows = jnp.arange(f)
 
     # Presence winner: direct u_pres over the gathered block.
-    cn = _block_counts(pres_blocks, neg_p).astype(jnp.float32)
-    cp = _block_counts(pres_blocks, pos_p).astype(jnp.float32)
+    cn = _block_counts(pres_blocks, neg_masks).astype(jnp.float32)
+    cp = _block_counts(pres_blocks, pos_masks).astype(jnp.float32)
     u_pres = (nn - cn) - pv * (np_ - cp)
-    cols = block_cols(pres_blk)
+    cols = pres_start[:, None] + jnp.arange(bk)[None, :]
     u_pres = jnp.where(
         (cols >= n_kmers) | ((cn == nn) & (cp == np_)), neg_inf, u_pres
     )
     off = jnp.argmax(u_pres, axis=1)
-    rows = jnp.arange(f)
     bpu = u_pres[rows, off]
-    bpi = (pres_blk * BLOCK_K + off).astype(jnp.int32)
+    bpi = (pres_start + off).astype(jnp.int32)
 
     # Absence winner: direct u_abs over the gathered block.
-    cn = _block_counts(abs_blocks, neg_p).astype(jnp.float32)
-    cp = _block_counts(abs_blocks, pos_p).astype(jnp.float32)
+    cn = _block_counts(abs_blocks, neg_masks).astype(jnp.float32)
+    cp = _block_counts(abs_blocks, pos_masks).astype(jnp.float32)
     u_abs = cn - pv * cp
-    cols = block_cols(abs_blk)
+    cols = abs_start[:, None] + jnp.arange(bk)[None, :]
     u_abs = jnp.where(
         (cols >= n_kmers) | ((cn == 0) & (cp == 0)), neg_inf, u_abs
     )
     off = jnp.argmax(u_abs, axis=1)
     bau = u_abs[rows, off]
-    bai = (abs_blk * BLOCK_K + off).astype(jnp.int32)
+    bai = (abs_start + off).astype(jnp.int32)
     return bpu, bpi, bau, bai

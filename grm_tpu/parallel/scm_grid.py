@@ -155,6 +155,27 @@ def _sweep_xla(matrix, pos, neg, ps, n_neg, n_pos, n_kmers, block,
     return bpu, bpi.astype(jnp.int32), bau, bai.astype(jnp.int32)
 
 
+def _fetch_columns(matrix, cols):
+    """(F,) per-fit packed-column fetch -> (F, W) uint32.
+
+    Single-column gathers (jnp.take on the minor axis, or vmapped (W, 1)
+    dynamic_slice) make XLA materialize a relaid-out matrix copy — fatal at
+    multi-GB matrix sizes. Wide (W, B) dynamic_slices lower to a cheap
+    gather, so fetch a block and pick the lane.
+    """
+    w, k = matrix.shape
+    b = min(1024, k)
+
+    def take_block(c):
+        start = jnp.minimum(c, k - b)
+        return jax.lax.dynamic_slice(matrix, (0, start), (w, b)), c - start
+
+    blocks, offs = jax.vmap(take_block)(cols)  # (F, W, B), (F,)
+    return jnp.take_along_axis(
+        blocks, offs[:, None, None].astype(jnp.int32), axis=2
+    )[:, :, 0]
+
+
 def _apply_rule(state, bits, use_abs, best_col, step_i, n_kmers):
     """Advance the fit state with the chosen rules' packed columns.
 
@@ -224,8 +245,7 @@ def _grid_step(matrix, pos, neg, conj, rules, risks, n_rules, active,
     use_abs = bau > bpu
     best_col = jnp.where(use_abs, bai, bpi)
 
-    # Slice to the mask width: the pallas sweep may row-pad the matrix.
-    packed = jnp.take(matrix, best_col, axis=1).T[:, : pos.shape[1]]
+    packed = _fetch_columns(matrix, best_col)[:, : pos.shape[1]]  # (F, W)
     bits = jnp.where(use_abs[:, None], ~packed, packed)
 
     state = (pos, neg, conj, rules, risks, n_rules, active,
@@ -275,7 +295,7 @@ def _grid_step_sharded_body(matrix_local, pos, neg, conj, rules, risks,
     # non-owners contribute zero words, so a psum broadcasts the column.
     owner = (best_col >= col_offset) & (best_col < col_offset + local_k)
     local_idx = jnp.clip(best_col - col_offset, 0, local_k - 1)
-    packed = jnp.take(matrix_local, local_idx, axis=1).T  # (F, W)
+    packed = _fetch_columns(matrix_local, local_idx)  # (F, W)
     packed = jnp.where(owner[:, None], packed, jnp.uint32(0))
     packed = jax.lax.psum(packed, "cols")[:, : pos.shape[1]]
     bits = jnp.where(use_abs[:, None], ~packed, packed)
@@ -342,16 +362,12 @@ def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None,
     if sweep == "xla":
         if block is None:
             block = _pick_block(kp, n_fits)
-        row_pad, col_pad = 0, (-kp) % block
+        col_pad = (-kp) % block
+        if col_pad:
+            matrix = _pad_matrix(matrix, 0, col_pad)
     else:
-        # Pre-pad once to the Pallas kernel's grid so the per-iteration
-        # program's own padding is a no-op (avoids a matrix copy per step).
-        from ..ops.pallas_scm_sweep import BLOCK_K
-
+        # The pallas sweep consumes the matrix in place (no padding copies).
         block = 0  # unused by the pallas sweep
-        row_pad, col_pad = (-w) % 4, (-kp) % BLOCK_K
-    if row_pad or col_pad:
-        matrix = _pad_matrix(matrix, row_pad, col_pad)
 
     conj, rules, risks, n_rules, active, n_tpos, n_tneg = _init_state(
         pos, neg, tpos, tneg, is_disj, n_fits, max_rules

@@ -16,8 +16,10 @@ grid engine (:mod:`grm_tpu.ops.pallas_scm_sweep`).
 
 Numerics follow :func:`grm_tpu.parallel.cart_device._best_split` (float32,
 altered-prior Breiman impurities, empty children forbidden); ties resolve
-to the lowest k-mer index. Zero-padded tail columns produce an empty left
-child and are excluded by the same +inf rule as real all-absent columns.
+to the lowest k-mer index. The matrix is consumed in place (no padding
+copies — see :mod:`grm_tpu.ops.pallas_scm_sweep`): full-height column
+tiles, zero-tail int8 scratch, and column-index masking on the ragged last
+block, whose out-of-bounds lanes read unspecified values.
 """
 
 from __future__ import annotations
@@ -30,7 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .pallas_scm_sweep import _pad_to, _unpack_masks_i8
+from .pallas_scm_sweep import _pad_to, _unpack_masks_i8, _unpack_to_scratch
 
 try:
     from jax.experimental.pallas import tpu as pltpu
@@ -68,19 +70,15 @@ def _child_score(p_list, criterion):
     return ent * p_t
 
 
-def _make_kernel(w, bk, n_classes, npad, criterion):
+def _make_kernel(w, w32p, bk, n_classes, npad, criterion, n_kmers, n_blocks):
+    first_masked = max((n_kmers - 1) // bk, 0)
+
     def kernel(masks_ref, params_ref, mat_ref, min_ref, x_scratch):
-        """masks_ref: (C*Np, 32W) int8, class-major; params_ref: (2C, Np)
+        """masks_ref: (C*Np, w32p) int8, class-major; params_ref: (2C, Np)
         f32 [n_node rows, then prior/total scale rows]; mat_ref: (W, BK)
         uint32; min_ref: (1, 1, Np) block row of the (NB, 1, Np) minima."""
-        shifts = jnp.uint32(31) - jax.lax.broadcasted_iota(
-            jnp.uint32, (32, bk), 0
-        )
-        for i in range(w):  # static, small
-            word = mat_ref[i, :][None, :]
-            x_scratch[32 * i : 32 * (i + 1), :] = (
-                (word >> shifts) & jnp.uint32(1)
-            ).astype(jnp.int8)
+        b = pl.program_id(0)
+        _unpack_to_scratch(mat_ref, x_scratch, w, w32p, bk, True)
 
         counts = jax.lax.dot_general(
             masks_ref[:], x_scratch[:],
@@ -108,7 +106,24 @@ def _make_kernel(w, bk, n_classes, npad, criterion):
         score = jnp.where(
             (left_n == 0) | (right_n == 0), jnp.float32(_POS_INF), score
         )
-        min_ref[0, 0, :] = jnp.min(score, axis=1)
+        if first_masked < n_blocks - 1 or n_kmers < n_blocks * bk:
+            # Ragged tail / padded columns: exclude by global column index
+            # (their lanes may hold unspecified values).
+            @pl.when(b >= first_masked)
+            def _():
+                col = b * bk + jax.lax.broadcasted_iota(
+                    jnp.int32, (npad, bk), 1
+                )
+                min_ref[0, 0, :] = jnp.min(
+                    jnp.where(col >= n_kmers, jnp.float32(_POS_INF), score),
+                    axis=1,
+                )
+
+            @pl.when(b < first_masked)
+            def _():
+                min_ref[0, 0, :] = jnp.min(score, axis=1)
+        else:
+            min_ref[0, 0, :] = jnp.min(score, axis=1)
 
     return kernel
 
@@ -136,7 +151,11 @@ def cart_frontier_scores_pallas(matrix, class_masks, n_node, priors, totals,
         raise RuntimeError("pallas TPU namespace unavailable")
 
     n, c, w = class_masks.shape
+    k = matrix.shape[1]
+    if matrix.shape[0] != w:
+        raise ValueError("matrix word rows must match the mask width")
     npad = -(-n // 128) * 128  # lane-pad the node axis
+    bk = min(BLOCK_K, k)
 
     # Class-major mask rows: [class0 node0..Np, class1 node0..Np, ...].
     # Padded node rows are all-zero -> empty children -> +inf everywhere.
@@ -146,10 +165,8 @@ def cart_frontier_scores_pallas(matrix, class_masks, n_node, priors, totals,
     masks_i8 = jnp.concatenate(mask_rows, axis=0)  # (C*Np, 32W)
     masks_i8 = _pad_to(masks_i8, 1, 128)
     w32p = masks_i8.shape[1]
-    wp = w32p // 32
 
-    matrix = _pad_to(_pad_to(matrix, 0, wp), 1, BLOCK_K)
-    nb = matrix.shape[1] // BLOCK_K
+    nb = -(-k // bk)
 
     scale = (priors.astype(jnp.float32) / totals.astype(jnp.float32))
     params = jnp.concatenate([
@@ -161,31 +178,31 @@ def cart_frontier_scores_pallas(matrix, class_masks, n_node, priors, totals,
         return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
     (minima,) = pl.pallas_call(
-        _make_kernel(wp, BLOCK_K, c, npad, criterion),
+        _make_kernel(w, w32p, bk, c, npad, criterion, n_kmers, nb),
         grid=(nb,),
         in_specs=[
             spec((c * npad, w32p), lambda b: (0, 0)),
             spec((2 * c, npad), lambda b: (0, 0)),
-            spec((wp, BLOCK_K), lambda b: (0, b)),
+            spec((w, bk), lambda b: (0, b)),
         ],
         out_specs=[spec((1, 1, npad), lambda b: (b, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((nb, 1, npad), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((w32p, BLOCK_K), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((w32p, bk), jnp.int8)],
         interpret=interpret,
     )(masks_i8, params, matrix)
 
     minima = minima[:, 0, :n]  # (NB, N)
     best_blk = jnp.argmin(minima, axis=0)  # (N,) first occurrence
 
-    # Phase 2 (XLA, tiny): recompute the winning block exactly.
-    def gather_block(blk):
-        return jax.lax.dynamic_slice(
-            matrix, (0, blk * BLOCK_K), (wp, BLOCK_K)
-        )
+    # Phase 2 (XLA, tiny): recompute the winning block exactly; block
+    # starts clamp so the ragged tail re-reads real columns.
+    best_start = jnp.minimum(best_blk * bk, k - bk)
 
-    blocks = jax.vmap(gather_block)(best_blk)  # (N, Wp, BK)
-    masks_p = _pad_to(class_masks, 2, wp)      # (N, C, Wp)
-    left = _block_class_counts(blocks, masks_p)          # (N, C, BK)
+    def gather_block(start):
+        return jax.lax.dynamic_slice(matrix, (0, start), (w, bk))
+
+    blocks = jax.vmap(gather_block)(best_start)  # (N, W, BK)
+    left = _block_class_counts(blocks, class_masks)      # (N, C, BK)
     right = n_node.astype(jnp.float32)[:, :, None] - left
 
     def child(nc):
@@ -201,7 +218,7 @@ def cart_frontier_scores_pallas(matrix, class_masks, n_node, priors, totals,
         return ent * p_t
 
     score = child(left) + child(right)  # (N, BK)
-    cols = best_blk[:, None] * BLOCK_K + jnp.arange(BLOCK_K)[None, :]
+    cols = best_start[:, None] + jnp.arange(bk)[None, :]
     score = jnp.where(
         (cols >= n_kmers)
         | (jnp.sum(left, axis=1) == 0)
@@ -212,5 +229,5 @@ def cart_frontier_scores_pallas(matrix, class_masks, n_node, priors, totals,
     off = jnp.argmin(score, axis=1)
     rows = jnp.arange(n)
     best_score = score[rows, off]
-    best_col = (best_blk * BLOCK_K + off).astype(jnp.int32)
+    best_col = (best_start + off).astype(jnp.int32)
     return best_col, best_score

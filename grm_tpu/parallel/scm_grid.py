@@ -206,14 +206,9 @@ def _apply_rule(state, bits, use_abs, best_col, step_i, n_kmers):
     return new_pos, new_neg, new_conj, rules, risks, n_rules, new_active
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n_kmers", "block", "sweep"),
-    donate_argnums=(1, 2, 3, 4, 5, 6, 7),
-)
-def _grid_step(matrix, pos, neg, conj, rules, risks, n_rules, active,
-               tpos, tneg, n_tpos, n_tneg, ps, is_disj, step_i,
-               n_kmers, block, sweep="xla"):
+def _grid_step_impl(matrix, pos, neg, conj, rules, risks, n_rules, active,
+                    tpos, tneg, n_tpos, n_tneg, ps, is_disj, step_i,
+                    n_kmers, block, sweep="xla"):
     """One greedy SCM iteration for ALL fits: one pass over the matrix.
 
     matrix: (W, Kp) uint32 packed presence (Kp a multiple of ``block``).
@@ -251,6 +246,39 @@ def _grid_step(matrix, pos, neg, conj, rules, risks, n_rules, active,
     state = (pos, neg, conj, rules, risks, n_rules, active,
              tpos, tneg, n_tpos, n_tneg, is_disj)
     return _apply_rule(state, bits, use_abs, best_col, step_i, n_kmers)
+
+
+_grid_step = partial(
+    jax.jit,
+    static_argnames=("n_kmers", "block", "sweep"),
+    donate_argnums=(1, 2, 3, 4, 5, 6, 7),
+)(_grid_step_impl)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_kmers", "block", "sweep", "max_rules"),
+    donate_argnums=(1, 2, 3, 4, 5, 6, 7),
+)
+def _grid_run(matrix, pos, neg, conj, rules, risks, n_rules, active,
+              tpos, tneg, n_tpos, n_tneg, ps, is_disj,
+              n_kmers, block, sweep, max_rules):
+    """All greedy iterations in ONE program: lax.scan over _grid_step_impl
+    (one dispatch and one fetch for the whole CV grid training)."""
+
+    def body(state, i):
+        pos, neg, conj, rules, risks, n_rules, active = state
+        return _grid_step_impl(
+            matrix, pos, neg, conj, rules, risks, n_rules, active,
+            tpos, tneg, n_tpos, n_tneg, ps, is_disj, i,
+            n_kmers, block, sweep,
+        ), None
+
+    state, _ = jax.lax.scan(
+        body, (pos, neg, conj, rules, risks, n_rules, active),
+        jnp.arange(max_rules, dtype=jnp.int32),
+    )
+    return state
 
 
 def _grid_step_sharded_body(matrix_local, pos, neg, conj, rules, risks,
@@ -373,12 +401,11 @@ def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None,
         pos, neg, tpos, tneg, is_disj, n_fits, max_rules
     )
 
-    for i in range(max_rules):
-        pos, neg, conj, rules, risks, n_rules, active = _grid_step(
-            matrix, pos, neg, conj, rules, risks, n_rules, active,
-            tpos, tneg, n_tpos, n_tneg, ps, is_disj, jnp.int32(i),
-            n_kmers, block, sweep,
-        )
+    pos, neg, conj, rules, risks, n_rules, active = _grid_run(
+        matrix, pos, neg, conj, rules, risks, n_rules, active,
+        tpos, tneg, n_tpos, n_tneg, ps, is_disj,
+        n_kmers, block, sweep, max_rules,
+    )
     rules, n_rules, risks = jax.device_get((rules, n_rules, risks))
     return np.asarray(rules), np.asarray(n_rules), np.asarray(risks)
 

@@ -136,9 +136,9 @@ def _block_class_counts(blocks, masks):
     ).astype(jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("criterion", "n_kmers", "interpret"))
+@partial(jax.jit, static_argnames=("criterion", "n_kmers", "interpret", "block"))
 def cart_frontier_scores_pallas(matrix, class_masks, n_node, priors, totals,
-                                criterion, n_kmers, interpret=False):
+                                criterion, n_kmers, interpret=False, block=None):
     """Best presence-rule split per frontier node, one matrix pass.
 
     matrix: (W, K) uint32 packed presence. class_masks: (N, C, W) uint32
@@ -155,7 +155,7 @@ def cart_frontier_scores_pallas(matrix, class_masks, n_node, priors, totals,
     if matrix.shape[0] != w:
         raise ValueError("matrix word rows must match the mask width")
     npad = -(-n // 128) * 128  # lane-pad the node axis
-    bk = min(BLOCK_K, k)
+    bk = min(BLOCK_K if block is None else block, k)
 
     # Class-major mask rows: [class0 node0..Np, class1 node0..Np, ...].
     # Padded node rows are all-zero -> empty children -> +inf everywhere.

@@ -169,9 +169,9 @@ def _block_counts(blocks, masks):
     )
 
 
-@partial(jax.jit, static_argnames=("n_kmers", "interpret"))
+@partial(jax.jit, static_argnames=("n_kmers", "interpret", "block"))
 def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
-                              n_kmers, interpret=False):
+                              n_kmers, interpret=False, block=None):
     """Best presence/absence utility + column per fit, one matrix pass.
 
     matrix: (W, K) uint32 packed presence (genome rows MSB-first), consumed
@@ -188,8 +188,11 @@ def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
     k = matrix.shape[1]
     if matrix.shape[0] != w:
         raise ValueError("matrix word rows must match the mask width")
-    fp = -(-f // 128) * 128  # lane-pad the fit axis
-    bk = min(BLOCK_K, k)
+    # Pad the fit axis only to the int8 sublane granularity (2*fp mask rows
+    # must be a multiple of 32): the utility math is VPU-bound, so padding
+    # to full 128 lanes would waste up to 60% of the per-block work.
+    fp = max(-(-f // 16) * 16, 16)
+    bk = min(BLOCK_K if block is None else block, k)
 
     # Padded fit rows are all-zero -> s == 0 == nn+np -> +/-inf extrema,
     # resolved to junk winners that are sliced off at the end.

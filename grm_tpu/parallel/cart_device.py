@@ -94,7 +94,7 @@ def cart_best_split_device(bit_matrix, class_example_idx, altered_priors,
 
 def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
                                 total_n_examples_by_class, criterion,
-                                sweep=None):
+                                sweep=None, block=None):
     """Best presence-rule split for a whole BFS frontier in one matrix pass.
 
     ``node_example_sets`` is a list of per-node ``{class: example_idx}``
@@ -140,6 +140,7 @@ def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
         bit_matrix.data, jnp.asarray(masks), jnp.asarray(n_node),
         jnp.asarray(priors), jnp.asarray(totals), crit,
         bit_matrix.n_columns, interpret=(sweep == "pallas_interpret"),
+        block=block,
     )
     cols = np.asarray(jax.device_get(cols))
     scores = np.asarray(jax.device_get(scores))

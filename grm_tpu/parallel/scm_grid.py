@@ -339,28 +339,35 @@ def _pad_matrix(matrix, row_pad, col_pad):
 
 
 def _build_fit_arrays(fits):
-    pos = jnp.asarray(np.stack([f["pos_mask"] for f in fits]))
-    neg = jnp.asarray(np.stack([f["neg_mask"] for f in fits]))
-    tpos = jnp.asarray(np.stack([f["test_pos_mask"] for f in fits]))
-    tneg = jnp.asarray(np.stack([f["test_neg_mask"] for f in fits]))
-    ps = jnp.asarray(np.array([f["p"] for f in fits], np.float32))
-    is_disj = jnp.asarray(
-        np.array([f["model_type"] == "disjunction" for f in fits], bool)
+    """Fit-state arrays in numpy: identical bytes on every process, so they
+    feed multi-process (multi-host) jits as replicated inputs directly."""
+    pos = np.stack([f["pos_mask"] for f in fits])
+    neg = np.stack([f["neg_mask"] for f in fits])
+    tpos = np.stack([f["test_pos_mask"] for f in fits])
+    tneg = np.stack([f["test_neg_mask"] for f in fits])
+    ps = np.array([f["p"] for f in fits], np.float32)
+    is_disj = np.array(
+        [f["model_type"] == "disjunction" for f in fits], bool
     )
     return pos, neg, tpos, tneg, ps, is_disj
 
 
 def _init_state(pos, neg, tpos, tneg, is_disj, n_fits, max_rules):
-    n_tpos = _popcount_rows(tpos).astype(jnp.float32)
-    n_tneg = _popcount_rows(tneg).astype(jnp.float32)
-    conj = jnp.full_like(pos, jnp.uint32(0xFFFFFFFF))
-    rules = jnp.full((n_fits, max_rules), -1, jnp.int32)
-    risks = jnp.zeros((n_fits, max_rules + 1), jnp.float32)
-    risks = risks.at[:, 0].set(
-        _fold_risks(conj, tpos, tneg, n_tpos, n_tneg, is_disj)
-    )
-    n_rules = jnp.zeros((n_fits,), jnp.int32)
-    active = _popcount_rows(neg) > 0
+    """Initial fit state in numpy (same multi-process rationale as above).
+
+    The empty model predicts all 1 (conj mask all-ones), so the length-0
+    risk reduces to n_tneg/n_test (conjunction) or n_tpos/n_test
+    (disjunction) — float32, matching :func:`_fold_risks` exactly.
+    """
+    n_tpos = np.bitwise_count(tpos).sum(-1).astype(np.float32)
+    n_tneg = np.bitwise_count(tneg).sum(-1).astype(np.float32)
+    conj = np.full_like(pos, np.uint32(0xFFFFFFFF))
+    rules = np.full((n_fits, max_rules), -1, np.int32)
+    risks = np.zeros((n_fits, max_rules + 1), np.float32)
+    n_test = np.maximum(n_tpos + n_tneg, np.float32(1.0))
+    risks[:, 0] = np.where(is_disj, n_tpos, n_tneg) / n_test
+    n_rules = np.zeros((n_fits,), np.int32)
+    active = np.bitwise_count(neg).sum(-1) > 0
     return conj, rules, risks, n_rules, active, n_tpos, n_tneg
 
 
@@ -401,6 +408,12 @@ def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None,
         pos, neg, tpos, tneg, is_disj, n_fits, max_rules
     )
 
+    # Materialize the donated state on device (donating host numpy buffers
+    # only triggers copy warnings).
+    pos, neg, conj, rules, risks, n_rules, active = (
+        jnp.asarray(a) for a in (pos, neg, conj, rules, risks, n_rules,
+                                 active)
+    )
     pos, neg, conj, rules, risks, n_rules, active = _grid_run(
         matrix, pos, neg, conj, rules, risks, n_rules, active,
         tpos, tneg, n_tpos, n_tneg, ps, is_disj,
@@ -427,17 +440,20 @@ def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None):
     pos, neg, tpos, tneg, ps, is_disj = _build_fit_arrays(fits)
     n_fits = len(fits)
 
-    matrix = matrix if isinstance(matrix, jax.Array) else jnp.asarray(matrix)
-    if matrix.dtype != jnp.uint32:
+    if matrix.dtype != np.uint32:
         raise ValueError("grid engine expects a uint32-packed matrix")
     kp = matrix.shape[1]
     if block is None:
         block = _pick_block(-(-kp // n_shards), n_fits)
     col_pad = (-kp) % (n_shards * block)
     sharding = NamedSharding(mesh, P(None, "cols"))
-    if col_pad or (
-        not hasattr(matrix, "sharding") or matrix.sharding != sharding
-    ):
+    if not isinstance(matrix, jax.Array):
+        # Host value (identical on every process): pad in numpy and place
+        # the global array directly — works single- and multi-process.
+        if col_pad:
+            matrix = np.pad(np.asarray(matrix), ((0, 0), (0, col_pad)))
+        matrix = jax.device_put(matrix, sharding)
+    elif col_pad or matrix.sharding != sharding:
         pad_fn = jax.jit(
             lambda m: jnp.pad(m, ((0, 0), (0, col_pad))),
             out_shardings=sharding,
@@ -447,6 +463,15 @@ def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None):
 
     conj, rules, risks, n_rules, active, n_tpos, n_tneg = _init_state(
         pos, neg, tpos, tneg, is_disj, n_fits, max_rules
+    )
+    # Replicate the fit state across the mesh explicitly (numpy values are
+    # process-invariant), so the step can donate real device buffers.
+    rep_sharding = NamedSharding(mesh, P())
+    (pos, neg, conj, rules, risks, n_rules, active,
+     tpos, tneg, n_tpos, n_tneg, ps, is_disj) = (
+        jax.device_put(a, rep_sharding)
+        for a in (pos, neg, conj, rules, risks, n_rules, active,
+                  tpos, tneg, n_tpos, n_tneg, ps, is_disj)
     )
 
     rep = P()

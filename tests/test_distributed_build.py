@@ -105,3 +105,113 @@ def test_two_process_build_matches_local(tmp_path, rng):
         matrix = np.load(out_prefix + "%d_matrix.npy" % pid)
         np.testing.assert_array_equal(kmers, km_local.kmers)
         np.testing.assert_array_equal(matrix, km_local.matrix)
+
+
+_LEARN_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+import numpy as np
+sys.path.insert(0, %(repo)r)
+
+from grm_tpu.parallel.distributed import initialize
+initialize(coordinator_address=%(coord)r, num_processes=2,
+           process_id=int(sys.argv[1]))
+assert jax.device_count() == 8, jax.device_count()
+
+from grm_tpu.parallel.mesh import make_mesh
+from grm_tpu.parallel.scm_grid import scm_cv_grid_sharded
+
+data = np.load(%(data)r)
+mesh = make_mesh(8, row_devices=1)
+fits = []
+for i in range(data["n_fits"]):
+    fits.append({
+        "pos_mask": data["pos"][i], "neg_mask": data["neg"][i],
+        "test_pos_mask": data["tpos"][i], "test_neg_mask": data["tneg"][i],
+        "p": float(data["ps"][i]),
+        "model_type": "disjunction" if data["is_disj"][i] else "conjunction",
+    })
+rules, n_rules, risks = scm_cv_grid_sharded(
+    data["matrix"], fits, int(data["n_kmers"]), 4, mesh)
+np.savez(%(out)r + sys.argv[1] + ".npz", rules=rules, n_rules=n_rules,
+         risks=risks)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_sharded_learn_matches_local(tmp_path, rng):
+    """2-process (multi-host stand-in) column-sharded CV grid == the
+    single-process scan engine, on an 8-device global mesh (4 per process).
+    """
+    from grm_tpu.parallel.scm_device import build_packed_mask, scm_cv_batch_device
+    from grm_tpu.utils import pack_binary_bytes_to_ints
+
+    n_genomes, n_kmers = 60, 517
+    dense = (rng.rand(n_genomes, n_kmers) > 0.6).astype(np.uint8)
+    y = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
+    packed = pack_binary_bytes_to_ints(dense, 32)
+    w = packed.shape[0]
+    idx = np.arange(n_genomes)
+
+    fits = []
+    for model_type in ["conjunction", "disjunction"]:
+        for p in [0.5, 2.0]:
+            for fold in range(2):
+                te = idx[idx % 2 == fold]
+                tr = idx[idx % 2 != fold]
+                pos = tr[y[tr] == 1]
+                neg = tr[y[tr] == 0]
+                if model_type == "disjunction":
+                    pos, neg = neg, pos
+                fits.append({
+                    "pos_mask": build_packed_mask(pos, n_genomes, w),
+                    "neg_mask": build_packed_mask(neg, n_genomes, w),
+                    "test_pos_mask": build_packed_mask(
+                        te[y[te] == 1], n_genomes, w),
+                    "test_neg_mask": build_packed_mask(
+                        te[y[te] == 0], n_genomes, w),
+                    "p": p,
+                    "model_type": model_type,
+                })
+
+    data_path = str(tmp_path / "learn_inputs.npz")
+    np.savez(
+        data_path, matrix=packed, n_kmers=n_kmers, n_fits=len(fits),
+        pos=np.stack([f["pos_mask"] for f in fits]),
+        neg=np.stack([f["neg_mask"] for f in fits]),
+        tpos=np.stack([f["test_pos_mask"] for f in fits]),
+        tneg=np.stack([f["test_neg_mask"] for f in fits]),
+        ps=np.array([f["p"] for f in fits], np.float32),
+        is_disj=np.array(
+            [f["model_type"] == "disjunction" for f in fits], bool),
+    )
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = "127.0.0.1:%d" % port
+    out_prefix = str(tmp_path / "learn_")
+
+    script = _LEARN_WORKER % {
+        "repo": REPO, "coord": coord, "data": data_path, "out": out_prefix,
+    }
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, str(pid)], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, se.decode()[-2000:]
+
+    r_scan, n_scan, k_scan = scm_cv_batch_device(packed, fits, n_kmers, 4)
+    for pid in range(2):
+        got = np.load(out_prefix + "%d.npz" % pid)
+        np.testing.assert_array_equal(got["rules"], r_scan)
+        np.testing.assert_array_equal(got["n_rules"], n_scan)
+        np.testing.assert_allclose(got["risks"], k_scan, atol=1e-6)

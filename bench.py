@@ -167,6 +167,11 @@ def main():
     log("CV core: %d fits x %d rules in %.2fs "
         "(%d matrix passes, %.1f G rule-evals/s)"
         % (n_fits, max_rules, wall, max_rules, rule_evals / wall / 1e9))
+    # BASELINE.md throughput vocabulary, per chip across the CV training.
+    log("throughput: %.2f G kmer-cols/s/chip, %.0f G matrix-cells/s/chip "
+        "(1 chip, 1 host)"
+        % (max_rules * n_kmers / wall / 1e9,
+           max_rules * n_kmers * n_genomes / wall / 1e9))
 
     value = wall
     print(json.dumps({

@@ -82,15 +82,24 @@ def _unpack_to_scratch(mat_ref, x_scratch, w, w32p, bk, zero_tail):
         ).astype(jnp.int8)
 
 
-def _make_kernel(w, w32p, bk, fp, n_kmers, n_blocks):
+def _make_kernel(w, w32p, bk, fp, n_kmers, n_blocks, has_limit):
     # The last block that contains any real column; every block at or past
     # it may carry unspecified out-of-bounds lanes and masks on col index.
+    # With a TRACED limit (sharded use: the valid-column count differs per
+    # shard), every block masks on the runtime limit instead.
     first_masked = max((n_kmers - 1) // bk, 0)
 
-    def kernel(masks_ref, params_ref, mat_ref, minp_ref, maxa_ref, x_scratch):
-        """masks_ref: (2Fp, w32p) int8 [neg rows then pos rows];
-        params_ref: (3, Fp) f32 [n_neg, n_pos, p];
-        mat_ref: (W, BK) uint32; outputs (1, 1, Fp) rows of (NB, 1, Fp)."""
+    def kernel(*refs):
+        """[limit_ref (1,1) i32 SMEM when has_limit,] masks_ref (2Fp, w32p)
+        int8 [neg rows then pos rows]; params_ref (3, Fp) f32
+        [n_neg, n_pos, p]; mat_ref (W, BK) uint32; outputs (1, 1, Fp) rows
+        of (NB, 1, Fp)."""
+        if has_limit:
+            (limit_ref, masks_ref, params_ref, mat_ref,
+             minp_ref, maxa_ref, x_scratch) = refs
+        else:
+            (masks_ref, params_ref, mat_ref,
+             minp_ref, maxa_ref, x_scratch) = refs
         b = pl.program_id(0)
         _unpack_to_scratch(mat_ref, x_scratch, w, w32p, bk, True)
 
@@ -113,7 +122,16 @@ def _make_kernel(w, w32p, bk, fp, n_kmers, n_blocks):
         # presence rule covering nothing: cn == n_neg and cp == n_pos
         u_min = jnp.where(s == nn_i + np_i, jnp.float32(_POS_INF), u)
 
-        if first_masked < n_blocks - 1 or n_kmers < n_blocks * bk:
+        if has_limit:
+            col = b * bk + jax.lax.broadcasted_iota(jnp.int32, (fp, bk), 1)
+            bad = col >= limit_ref[0, 0]
+            minp_ref[0, 0, :] = jnp.min(
+                jnp.where(bad, jnp.float32(_POS_INF), u_min), axis=1
+            )
+            maxa_ref[0, 0, :] = jnp.max(
+                jnp.where(bad, jnp.float32(_NEG_INF), u_max), axis=1
+            )
+        elif first_masked < n_blocks - 1 or n_kmers < n_blocks * bk:
             # Ragged tail / padded columns: exclude by global column index
             # (their lanes may hold unspecified values).
             @pl.when(b >= first_masked)
@@ -171,13 +189,17 @@ def _block_counts(blocks, masks):
 
 @partial(jax.jit, static_argnames=("n_kmers", "interpret", "block"))
 def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
-                              n_kmers, interpret=False, block=None):
+                              n_kmers, interpret=False, block=None,
+                              col_limit=None):
     """Best presence/absence utility + column per fit, one matrix pass.
 
     matrix: (W, K) uint32 packed presence (genome rows MSB-first), consumed
     in place (no padding copies); requires K >= BLOCK_K columns.
     neg_masks/pos_masks: (F, W) uint32 packed example-selection masks.
     n_neg/n_pos: (F,) current example counts; ps: (F,) trade-off values.
+    ``col_limit`` (optional TRACED scalar) overrides the static ``n_kmers``
+    as the valid-column bound — for sharded use where each shard's valid
+    count differs at runtime; every block then masks on the runtime limit.
     Returns (bpu, bpi, bau, bai): best presence utility/column and best
     absence utility/column per fit, float32/int32 arrays of shape (F,).
     """
@@ -213,14 +235,25 @@ def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
     def spec(shape, index_map):
         return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
 
+    has_limit = col_limit is not None
+    in_specs = [
+        spec((2 * fp, w32p), lambda b: (0, 0)),
+        spec((3, fp), lambda b: (0, 0)),
+        spec((w, bk), lambda b: (0, b)),
+    ]
+    operands = [masks_i8, params, matrix]
+    if has_limit:
+        in_specs.insert(0, pl.BlockSpec(
+            (1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM
+        ))
+        operands.insert(
+            0, jnp.reshape(col_limit, (1, 1)).astype(jnp.int32)
+        )
+
     minp, maxa = pl.pallas_call(
-        _make_kernel(w, w32p, bk, fp, n_kmers, nb),
+        _make_kernel(w, w32p, bk, fp, n_kmers, nb, has_limit),
         grid=(nb,),
-        in_specs=[
-            spec((2 * fp, w32p), lambda b: (0, 0)),
-            spec((3, fp), lambda b: (0, 0)),
-            spec((w, bk), lambda b: (0, b)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             spec((1, 1, fp), lambda b: (b, 0, 0)),
             spec((1, 1, fp), lambda b: (b, 0, 0)),
@@ -231,7 +264,7 @@ def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
         ],
         scratch_shapes=[pltpu.VMEM((w32p, bk), jnp.int8)],
         interpret=interpret,
-    )(masks_i8, params, matrix)
+    )(*operands)
 
     # Phase 2 (XLA, tiny): locate winner blocks, recompute them exactly with
     # the direct utility formulas over the packed gathered blocks. Block
@@ -254,6 +287,7 @@ def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
     pv = ps.astype(jnp.float32)[:, None]
     neg_inf = jnp.float32(-jnp.inf)
     rows = jnp.arange(f)
+    limit = col_limit if has_limit else n_kmers
 
     # Presence winner: direct u_pres over the gathered block.
     cn = _block_counts(pres_blocks, neg_masks).astype(jnp.float32)
@@ -261,7 +295,7 @@ def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
     u_pres = (nn - cn) - pv * (np_ - cp)
     cols = pres_start[:, None] + jnp.arange(bk)[None, :]
     u_pres = jnp.where(
-        (cols >= n_kmers) | ((cn == nn) & (cp == np_)), neg_inf, u_pres
+        (cols >= limit) | ((cn == nn) & (cp == np_)), neg_inf, u_pres
     )
     off = jnp.argmax(u_pres, axis=1)
     bpu = u_pres[rows, off]
@@ -273,7 +307,7 @@ def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
     u_abs = cn - pv * cp
     cols = abs_start[:, None] + jnp.arange(bk)[None, :]
     u_abs = jnp.where(
-        (cols >= n_kmers) | ((cn == 0) & (cp == 0)), neg_inf, u_abs
+        (cols >= limit) | ((cn == 0) & (cp == 0)), neg_inf, u_abs
     )
     off = jnp.argmax(u_abs, axis=1)
     bau = u_abs[rows, off]

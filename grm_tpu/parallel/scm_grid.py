@@ -283,12 +283,15 @@ def _grid_run(matrix, pos, neg, conj, rules, risks, n_rules, active,
 
 def _grid_step_sharded_body(matrix_local, pos, neg, conj, rules, risks,
                             n_rules, active, tpos, tneg, n_tpos, n_tneg,
-                            ps, is_disj, step_i, n_kmers, block, local_k):
+                            ps, is_disj, step_i, n_kmers, block, local_k,
+                            sweep="xla"):
     """Per-shard body of one greedy iteration (runs under shard_map).
 
     matrix_local: this device's (W, local_k) column shard; every other
     operand is replicated. Communication per iteration: one all_gather of
     4 (F,) arrays + one (F, W) psum — O(F x W), independent of K.
+    ``sweep`` picks the local matrix-pass backend (same choices as
+    :func:`_grid_step_impl`); the fused Pallas kernel runs per shard.
     """
     f = pos.shape[0]
     shard = jax.lax.axis_index("cols")
@@ -296,10 +299,27 @@ def _grid_step_sharded_body(matrix_local, pos, neg, conj, rules, risks,
 
     n_neg = _popcount_rows(neg)
     n_pos = _popcount_rows(pos)
-    bpu, bpi, bau, bai = _sweep_xla(
-        matrix_local, pos, neg, ps, n_neg, n_pos, n_kmers, block,
-        col_offset, axis_name="cols",
-    )
+    if sweep in ("pallas", "pallas_interpret"):
+        from ..ops.pallas_scm_sweep import scm_utility_argmax_pallas
+
+        # The kernel indexes columns locally. The number of VALID local
+        # columns differs per shard (global zero-padding lands on the tail
+        # shards, and a zero column is a legal presence rule that must not
+        # win), so pass the per-shard valid count as a traced limit.
+        local_valid = jnp.clip(n_kmers - col_offset, 0, local_k)
+        bpu, bpi_l, bau, bai_l = scm_utility_argmax_pallas(
+            matrix_local, neg, pos,
+            n_neg.astype(jnp.float32), n_pos.astype(jnp.float32), ps,
+            local_k, interpret=(sweep == "pallas_interpret"),
+            col_limit=local_valid,
+        )
+        bpi = bpi_l + col_offset
+        bai = bai_l + col_offset
+    else:
+        bpu, bpi, bau, bai = _sweep_xla(
+            matrix_local, pos, neg, ps, n_neg, n_pos, n_kmers, block,
+            col_offset, axis_name="cols",
+        )
 
     # Global winner per fit and half: shards are ordered by column range,
     # so first-occurrence argmax over the gathered axis keeps the lowest
@@ -423,19 +443,25 @@ def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None,
     return np.asarray(rules), np.asarray(n_rules), np.asarray(risks)
 
 
-def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None):
+def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None,
+                        sweep=None):
     """Column-sharded CV grid engine over a ("rows", "cols") mesh.
 
     Same contract as :func:`scm_cv_grid_device`. The matrix's k-mer columns
     are sharded over the mesh "cols" axis (the reference's 43M-column "long
     axis"); fit state is replicated. Requires an unsharded word-row axis
     (``rows`` size 1) — row-sharded matrices take the scan engine instead.
+    ``sweep`` picks each shard's local matrix-pass backend ("xla",
+    "pallas", "pallas_interpret"); default is the fused Pallas kernel on
+    TPU and the XLA block scan elsewhere.
     """
     if mesh.shape.get("rows", 1) != 1:
         raise ValueError(
             "scm_cv_grid_sharded shards columns only; use the scan engine "
             "for row-sharded matrices"
         )
+    if sweep is None:
+        sweep = "pallas" if jax.default_backend() == "tpu" else "xla"
     n_shards = mesh.shape["cols"]
     pos, neg, tpos, tneg, ps, is_disj = _build_fit_arrays(fits)
     n_fits = len(fits)
@@ -443,9 +469,14 @@ def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None):
     if matrix.dtype != np.uint32:
         raise ValueError("grid engine expects a uint32-packed matrix")
     kp = matrix.shape[1]
-    if block is None:
-        block = _pick_block(-(-kp // n_shards), n_fits)
-    col_pad = (-kp) % (n_shards * block)
+    if sweep == "xla":
+        if block is None:
+            block = _pick_block(-(-kp // n_shards), n_fits)
+        shard_multiple = n_shards * block
+    else:
+        block = 0  # the pallas sweep needs no block-multiple padding
+        shard_multiple = n_shards
+    col_pad = (-kp) % shard_multiple
     sharding = NamedSharding(mesh, P(None, "cols"))
     if not isinstance(matrix, jax.Array):
         # Host value (identical on every process): pad in numpy and place
@@ -479,7 +510,7 @@ def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None):
         jax.shard_map(
             partial(
                 _grid_step_sharded_body,
-                n_kmers=n_kmers, block=block, local_k=local_k,
+                n_kmers=n_kmers, block=block, local_k=local_k, sweep=sweep,
             ),
             mesh=mesh,
             in_specs=(P(None, "cols"),) + (rep,) * 14,

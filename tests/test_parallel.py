@@ -205,8 +205,10 @@ def test_scm_grid_engine_matches_scan_engine(rng, block, sweep):
     np.testing.assert_allclose(k_grid, k_scan, atol=1e-6)
 
 
-@pytest.mark.parametrize("block", [64, None])
-def test_scm_grid_sharded_matches_scan_engine(rng, block):
+@pytest.mark.parametrize("block,sweep", [
+    (64, "xla"), (None, "xla"), (None, "pallas_interpret"),
+])
+def test_scm_grid_sharded_matches_scan_engine(rng, block, sweep):
     """Column-sharded grid engine (8-device mesh) == scan engine exactly.
 
     531 columns over 8 shards exercises uneven padding, cross-shard winner
@@ -245,7 +247,7 @@ def test_scm_grid_sharded_matches_scan_engine(rng, block):
     mesh = make_mesh(8)
     r_scan, n_scan, k_scan = scm_cv_batch_device(packed, fits, n_kmers, 6)
     r_sh, n_sh, k_sh = scm_cv_grid_sharded(
-        packed, fits, n_kmers, 6, mesh, block=block
+        packed, fits, n_kmers, 6, mesh, block=block, sweep=sweep
     )
     np.testing.assert_array_equal(r_sh, r_scan)
     np.testing.assert_array_equal(n_sh, n_scan)

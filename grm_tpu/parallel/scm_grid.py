@@ -505,15 +505,30 @@ def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None,
                   tpos, tneg, n_tpos, n_tneg, ps, is_disj)
     )
 
-    rep = P()
-    step = jax.jit(
-        jax.shard_map(
-            partial(
-                _grid_step_sharded_body,
+    def run_body(matrix_local, pos, neg, conj, rules, risks, n_rules,
+                 active, tpos, tneg, n_tpos, n_tneg, ps, is_disj):
+        # All greedy iterations per shard in one program (collectives
+        # inside the scan body ride the mesh every iteration).
+        def body(state, i):
+            pos, neg, conj, rules, risks, n_rules, active = state
+            return _grid_step_sharded_body(
+                matrix_local, pos, neg, conj, rules, risks, n_rules,
+                active, tpos, tneg, n_tpos, n_tneg, ps, is_disj, i,
                 n_kmers=n_kmers, block=block, local_k=local_k, sweep=sweep,
-            ),
+            ), None
+
+        state, _ = jax.lax.scan(
+            body, (pos, neg, conj, rules, risks, n_rules, active),
+            jnp.arange(max_rules, dtype=jnp.int32),
+        )
+        return state
+
+    rep = P()
+    run = jax.jit(
+        jax.shard_map(
+            run_body,
             mesh=mesh,
-            in_specs=(P(None, "cols"),) + (rep,) * 14,
+            in_specs=(P(None, "cols"),) + (rep,) * 13,
             out_specs=(rep,) * 7,
             # Outputs are identical on every shard after the all_gather +
             # psum combines, which the varying-axis inference can't prove.
@@ -522,10 +537,9 @@ def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None,
         donate_argnums=(1, 2, 3, 4, 5, 6, 7),
     )
 
-    for i in range(max_rules):
-        pos, neg, conj, rules, risks, n_rules, active = step(
-            matrix, pos, neg, conj, rules, risks, n_rules, active,
-            tpos, tneg, n_tpos, n_tneg, ps, is_disj, jnp.int32(i),
-        )
+    pos, neg, conj, rules, risks, n_rules, active = run(
+        matrix, pos, neg, conj, rules, risks, n_rules, active,
+        tpos, tneg, n_tpos, n_tneg, ps, is_disj,
+    )
     rules, n_rules, risks = jax.device_get((rules, n_rules, risks))
     return np.asarray(rules), np.asarray(n_rules), np.asarray(risks)

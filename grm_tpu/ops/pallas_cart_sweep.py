@@ -154,7 +154,10 @@ def cart_frontier_scores_pallas(matrix, class_masks, n_node, priors, totals,
     k = matrix.shape[1]
     if matrix.shape[0] != w:
         raise ValueError("matrix word rows must match the mask width")
-    npad = -(-n // 128) * 128  # lane-pad the node axis
+    # Pad the node axis only to sublane granularity (c*npad int8 mask rows
+    # must be a multiple of 32; the f32 impurity tiles need npad % 8): the
+    # impurity math is VPU-bound and npad bounds the VMEM footprint.
+    npad = max(-(-n // 32) * 32, 32)
     bk = min(BLOCK_K if block is None else block, k)
 
     # Class-major mask rows: [class0 node0..Np, class1 node0..Np, ...].

@@ -32,7 +32,7 @@ reference's hot ``sum_rows`` masked-popcount loop
 ``popcount.pyx:76-95``) batched over every (model_type, p, fold) fit of its
 fork-per-HP CV search (``experiment_scm.py:196-248``).
 
-Selection semantics match :func:`grm_tpu.parallel.scm_grid._grid_step`
+Selection semantics match :func:`grm_tpu.parallel.scm_grid._grid_step_impl`
 under exact float32 arithmetic (integer counts; ties broken to the lowest
 block then lowest column, presence beats absence on equal utility). When
 ``p*count`` rounds in float32, a column whose directly-computed utility

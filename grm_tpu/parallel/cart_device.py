@@ -116,7 +116,7 @@ def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
             for idx in node_example_sets
         ]
 
-    from ..ops.pallas_cart_sweep import cart_frontier_scores_pallas
+    from ..ops.pallas_cart_sweep import BLOCK_K, cart_frontier_scores_pallas
     from .scm_device import build_packed_mask
 
     classes = sorted(total_n_examples_by_class)
@@ -136,14 +136,36 @@ def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
         [total_n_examples_by_class[cl] for cl in classes], np.float32
     )
     crit = "gini" if criterion == "gini" else "cross-entropy"
-    cols, scores = cart_frontier_scores_pallas(
-        bit_matrix.data, jnp.asarray(masks), jnp.asarray(n_node),
-        jnp.asarray(priors), jnp.asarray(totals), crit,
-        bit_matrix.n_columns, interpret=(sweep == "pallas_interpret"),
-        block=block,
-    )
-    cols = np.asarray(jax.device_get(cols))
-    scores = np.asarray(jax.device_get(scores))
+
+    # Chunk the frontier to a FIXED node count: bounds the kernel's VMEM
+    # footprint (mask rows, counts, and ~10 per-node f32 impurity tiles all
+    # scale with nodes x classes) and buckets every call of a tree run into
+    # one compiled shape. Short chunks zero-pad (zero masks -> empty
+    # children -> +inf, sliced off).
+    bk = min(BLOCK_K if block is None else block, bit_matrix.data.shape[1])
+    w32p = -(-32 * w // 128) * 128
+    vmem_budget = 10 << 20
+    fixed = w32p * bk  # int8 unpack scratch
+    per_node = c * w32p + c * bk * 4 + 10 * bk * 4
+    chunk = max(32, min(256, (vmem_budget - fixed) // max(per_node, 1)))
+    chunk = max(32, (chunk // 32) * 32)
+
+    cols = np.empty(n, np.int64)
+    scores = np.empty(n, np.float64)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        m = np.zeros((chunk, c, w), np.uint32)
+        nn = np.zeros((chunk, c), np.int32)
+        m[: hi - lo] = masks[lo:hi]
+        nn[: hi - lo] = n_node[lo:hi]
+        ch_cols, ch_scores = cart_frontier_scores_pallas(
+            bit_matrix.data, jnp.asarray(m), jnp.asarray(nn),
+            jnp.asarray(priors), jnp.asarray(totals), crit,
+            bit_matrix.n_columns, interpret=(sweep == "pallas_interpret"),
+            block=block,
+        )
+        cols[lo:hi] = np.asarray(jax.device_get(ch_cols))[: hi - lo]
+        scores[lo:hi] = np.asarray(jax.device_get(ch_scores))[: hi - lo]
     return [
         (None, np.inf) if not np.isfinite(scores[i]) else
         (int(cols[i]), float(scores[i]))

@@ -248,13 +248,6 @@ def _grid_step_impl(matrix, pos, neg, conj, rules, risks, n_rules, active,
     return _apply_rule(state, bits, use_abs, best_col, step_i, n_kmers)
 
 
-_grid_step = partial(
-    jax.jit,
-    static_argnames=("n_kmers", "block", "sweep"),
-    donate_argnums=(1, 2, 3, 4, 5, 6, 7),
-)(_grid_step_impl)
-
-
 @partial(
     jax.jit,
     static_argnames=("n_kmers", "block", "sweep", "max_rules"),

@@ -153,28 +153,10 @@ def test_two_process_sharded_learn_matches_local(tmp_path, rng):
     y = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
     packed = pack_binary_bytes_to_ints(dense, 32)
     w = packed.shape[0]
-    idx = np.arange(n_genomes)
 
-    fits = []
-    for model_type in ["conjunction", "disjunction"]:
-        for p in [0.5, 2.0]:
-            for fold in range(2):
-                te = idx[idx % 2 == fold]
-                tr = idx[idx % 2 != fold]
-                pos = tr[y[tr] == 1]
-                neg = tr[y[tr] == 0]
-                if model_type == "disjunction":
-                    pos, neg = neg, pos
-                fits.append({
-                    "pos_mask": build_packed_mask(pos, n_genomes, w),
-                    "neg_mask": build_packed_mask(neg, n_genomes, w),
-                    "test_pos_mask": build_packed_mask(
-                        te[y[te] == 1], n_genomes, w),
-                    "test_neg_mask": build_packed_mask(
-                        te[y[te] == 0], n_genomes, w),
-                    "p": p,
-                    "model_type": model_type,
-                })
+    from helpers_scm import make_cv_fits
+
+    fits = make_cv_fits(y, n_genomes, w, ps=(0.5, 2.0), n_folds=2)
 
     data_path = str(tmp_path / "learn_inputs.npz")
     np.savez(

@@ -174,27 +174,9 @@ def test_scm_grid_engine_matches_scan_engine(rng, block, sweep):
     packed = pack_binary_bytes_to_ints(dense, 32)
     w = packed.shape[0]
 
-    idx = np.arange(n_genomes)
-    fits = []
-    for model_type in ["conjunction", "disjunction"]:
-        for p in [0.5, 1.0, 3.0]:
-            for fold in range(3):
-                te = idx[idx % 3 == fold]
-                tr = idx[idx % 3 != fold]
-                pos = tr[y[tr] == 1]
-                neg = tr[y[tr] == 0]
-                if model_type == "disjunction":
-                    pos, neg = neg, pos
-                fits.append({
-                    "pos_mask": build_packed_mask(pos, n_genomes, w),
-                    "neg_mask": build_packed_mask(neg, n_genomes, w),
-                    "test_pos_mask": build_packed_mask(
-                        te[y[te] == 1], n_genomes, w),
-                    "test_neg_mask": build_packed_mask(
-                        te[y[te] == 0], n_genomes, w),
-                    "p": p,
-                    "model_type": model_type,
-                })
+    from helpers_scm import make_cv_fits
+
+    fits = make_cv_fits(y, n_genomes, w)
 
     r_scan, n_scan, k_scan = scm_cv_batch_device(packed, fits, n_kmers, 6)
     r_grid, n_grid, k_grid = scm_cv_grid_device(
@@ -222,27 +204,9 @@ def test_scm_grid_sharded_matches_scan_engine(rng, block, sweep):
     packed = pack_binary_bytes_to_ints(dense, 32)
     w = packed.shape[0]
 
-    idx = np.arange(n_genomes)
-    fits = []
-    for model_type in ["conjunction", "disjunction"]:
-        for p in [0.5, 1.0, 3.0]:
-            for fold in range(3):
-                te = idx[idx % 3 == fold]
-                tr = idx[idx % 3 != fold]
-                pos = tr[y[tr] == 1]
-                neg = tr[y[tr] == 0]
-                if model_type == "disjunction":
-                    pos, neg = neg, pos
-                fits.append({
-                    "pos_mask": build_packed_mask(pos, n_genomes, w),
-                    "neg_mask": build_packed_mask(neg, n_genomes, w),
-                    "test_pos_mask": build_packed_mask(
-                        te[y[te] == 1], n_genomes, w),
-                    "test_neg_mask": build_packed_mask(
-                        te[y[te] == 0], n_genomes, w),
-                    "p": p,
-                    "model_type": model_type,
-                })
+    from helpers_scm import make_cv_fits
+
+    fits = make_cv_fits(y, n_genomes, w)
 
     mesh = make_mesh(8)
     r_scan, n_scan, k_scan = scm_cv_batch_device(packed, fits, n_kmers, 6)
@@ -264,36 +228,35 @@ def test_scm_pallas_sweep_ragged_blocks(rng):
     from grm_tpu.parallel.scm_device import build_packed_mask
 
     n_genomes = 70
-    if True:
-        for n_kmers, k_cols in [(531, 531), (500, 531), (130, 256)]:
-            dense = (rng.rand(n_genomes, k_cols) > 0.6).astype(np.uint8)
-            dense[:, n_kmers:] = 0  # upstream padding columns
-            packed = pack_binary_bytes_to_ints(dense, 32)
-            w = packed.shape[0]
-            y = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
-            pos = np.where(y == 1)[0]
-            neg = np.where(y == 0)[0]
-            pm = build_packed_mask(pos, n_genomes, w)
-            nm = build_packed_mask(neg, n_genomes, w)
-            p = 2.0
-            bpu, bpi, bau, bai = scm_utility_argmax_pallas(
-                jnp.asarray(packed), jnp.asarray(nm[None]),
-                jnp.asarray(pm[None]),
-                jnp.asarray(np.array([len(neg)], np.float32)),
-                jnp.asarray(np.array([len(pos)], np.float32)),
-                jnp.asarray(np.array([p], np.float32)),
-                n_kmers, interpret=True, block=128,
-            )
-            cn = dense[neg, :n_kmers].sum(0).astype(np.float32)
-            cp = dense[pos, :n_kmers].sum(0).astype(np.float32)
-            u_pres = (len(neg) - cn) - np.float32(p) * (len(pos) - cp)
-            u_pres[(cn == len(neg)) & (cp == len(pos))] = -np.inf
-            u_abs = cn - np.float32(p) * cp
-            u_abs[(cn == 0) & (cp == 0)] = -np.inf
-            assert int(bpi[0]) == int(np.argmax(u_pres)), (n_kmers, k_cols)
-            assert float(bpu[0]) == float(u_pres.max())
-            assert int(bai[0]) == int(np.argmax(u_abs)), (n_kmers, k_cols)
-            assert float(bau[0]) == float(u_abs.max())
+    for n_kmers, k_cols in [(531, 531), (500, 531), (130, 256)]:
+        dense = (rng.rand(n_genomes, k_cols) > 0.6).astype(np.uint8)
+        dense[:, n_kmers:] = 0  # upstream padding columns
+        packed = pack_binary_bytes_to_ints(dense, 32)
+        w = packed.shape[0]
+        y = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
+        pos = np.where(y == 1)[0]
+        neg = np.where(y == 0)[0]
+        pm = build_packed_mask(pos, n_genomes, w)
+        nm = build_packed_mask(neg, n_genomes, w)
+        p = 2.0
+        bpu, bpi, bau, bai = scm_utility_argmax_pallas(
+            jnp.asarray(packed), jnp.asarray(nm[None]),
+            jnp.asarray(pm[None]),
+            jnp.asarray(np.array([len(neg)], np.float32)),
+            jnp.asarray(np.array([len(pos)], np.float32)),
+            jnp.asarray(np.array([p], np.float32)),
+            n_kmers, interpret=True, block=128,
+        )
+        cn = dense[neg, :n_kmers].sum(0).astype(np.float32)
+        cp = dense[pos, :n_kmers].sum(0).astype(np.float32)
+        u_pres = (len(neg) - cn) - np.float32(p) * (len(pos) - cp)
+        u_pres[(cn == len(neg)) & (cp == len(pos))] = -np.inf
+        u_abs = cn - np.float32(p) * cp
+        u_abs[(cn == 0) & (cp == 0)] = -np.inf
+        assert int(bpi[0]) == int(np.argmax(u_pres)), (n_kmers, k_cols)
+        assert float(bpu[0]) == float(u_pres.max())
+        assert int(bai[0]) == int(np.argmax(u_abs)), (n_kmers, k_cols)
+        assert float(bau[0]) == float(u_abs.max())
 
 
 def test_cart_pallas_frontier_ragged_blocks(rng):
@@ -302,27 +265,27 @@ def test_cart_pallas_frontier_ragged_blocks(rng):
     from grm_tpu.parallel.cart_device import cart_frontier_splits_device
     from grm_tpu.ops.popcount import BitMatrix
 
-    n, K = 90, 500
-    if True:  # 500 = 3 blocks of 128 + ragged 116
-        dense = (rng.rand(n, K) > 0.55).astype(np.uint8)
-        y = (rng.rand(n) > 0.5).astype(np.uint8)
-        packed = pack_binary_bytes_to_ints(dense, 32)
-        bm = BitMatrix(packed, n)
-        priors = {0: 0.5, 1: 0.5}
-        totals = {c: int((y == c).sum()) for c in range(2)}
-        idx = np.arange(n)
-        frontier = [
-            {c: idx[(y == c) & (idx < 70)] for c in range(2)},
-            {c: idx[(y == c) & (idx >= 20)] for c in range(2)},
-        ]
-        for criterion in ["gini", "cross-entropy"]:
-            want = cart_frontier_splits_device(
-                bm, frontier, priors, totals, criterion, sweep="xla"
-            )
-            got = cart_frontier_splits_device(
-                bm, frontier, priors, totals, criterion,
-                sweep="pallas_interpret", block=128,
-            )
-            for (wi, ws), (gi, gs) in zip(want, got):
-                assert wi == gi, (criterion, wi, gi)
-                assert np.isclose(ws, gs, rtol=1e-5)
+    n, K = 90, 500  # 500 = 3 blocks of 128 + ragged 116
+    dense = (rng.rand(n, K) > 0.55).astype(np.uint8)
+    y = (rng.rand(n) > 0.5).astype(np.uint8)
+    packed = pack_binary_bytes_to_ints(dense, 32)
+    bm = BitMatrix(packed, n)
+    priors = {0: 0.5, 1: 0.5}
+    totals = {c: int((y == c).sum()) for c in range(2)}
+    idx = np.arange(n)
+    frontier = [
+        {c: idx[(y == c) & (idx < 70)] for c in range(2)},
+        {c: idx[(y == c) & (idx >= 20)] for c in range(2)},
+    ]
+    for criterion in ["gini", "cross-entropy"]:
+        want = cart_frontier_splits_device(
+            bm, frontier, priors, totals, criterion, sweep="xla"
+        )
+        got = cart_frontier_splits_device(
+            bm, frontier, priors, totals, criterion,
+            sweep="pallas_interpret", block=128,
+        )
+        for (wi, ws), (gi, gs) in zip(want, got):
+            assert wi == gi, (criterion, wi, gi)
+            assert np.isclose(ws, gs, rtol=1e-5)
+

@@ -32,7 +32,12 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from .pallas_scm_sweep import _pad_to, _unpack_masks_i8, _unpack_to_scratch
+from .pallas_scm_sweep import (
+    _pad_to,
+    _unpack_masks_i8,
+    _unpack_to_scratch,
+    pick_block_k,
+)
 
 try:
     from jax.experimental.pallas import tpu as pltpu
@@ -158,7 +163,6 @@ def cart_frontier_scores_pallas(matrix, class_masks, n_node, priors, totals,
     # must be a multiple of 32; the f32 impurity tiles need npad % 8): the
     # impurity math is VPU-bound and npad bounds the VMEM footprint.
     npad = max(-(-n // 32) * 32, 32)
-    bk = min(BLOCK_K if block is None else block, k)
 
     # Class-major mask rows: [class0 node0..Np, class1 node0..Np, ...].
     # Padded node rows are all-zero -> empty children -> +inf everywhere.
@@ -168,6 +172,8 @@ def cart_frontier_scores_pallas(matrix, class_masks, n_node, priors, totals,
     masks_i8 = jnp.concatenate(mask_rows, axis=0)  # (C*Np, 32W)
     masks_i8 = _pad_to(masks_i8, 1, 128)
     w32p = masks_i8.shape[1]
+    # counts (C*Np int32) + ~10 f32 per-node impurity tiles per column.
+    bk = pick_block_k(w32p, c * npad * 4 + 10 * npad * 4, k, block)
 
     nb = -(-k // bk)
 

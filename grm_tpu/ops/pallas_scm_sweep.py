@@ -63,6 +63,20 @@ __all__ = ["scm_utility_argmax_pallas", "BLOCK_K"]
 BLOCK_K = 1024
 _NEG_INF = float(np.finfo(np.float32).min)
 _POS_INF = float(np.finfo(np.float32).max)
+_VMEM_BUDGET = 10 << 20
+
+
+def pick_block_k(w32p, row_bytes_per_col, k, block=None):
+    """Column block size bounded by the VMEM budget.
+
+    Per column the kernel holds ``w32p`` int8 scratch bytes plus
+    ``row_bytes_per_col`` bytes of counts/score intermediates; shrink the
+    block (lane-aligned) when huge genome counts would overflow VMEM.
+    """
+    bk = BLOCK_K if block is None else block
+    fit = _VMEM_BUDGET // max(w32p + row_bytes_per_col, 1)
+    bk = min(bk, max(128, (fit // 128) * 128))
+    return min(bk, k)
 
 
 def _unpack_to_scratch(mat_ref, x_scratch, w, w32p, bk, zero_tail):
@@ -214,7 +228,6 @@ def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
     # must be a multiple of 32): the utility math is VPU-bound, so padding
     # to full 128 lanes would waste up to 60% of the per-block work.
     fp = max(-(-f // 16) * 16, 16)
-    bk = min(BLOCK_K if block is None else block, k)
 
     # Padded fit rows are all-zero -> s == 0 == nn+np -> +/-inf extrema,
     # resolved to junk winners that are sliced off at the end.
@@ -224,6 +237,8 @@ def scm_utility_argmax_pallas(matrix, neg_masks, pos_masks, n_neg, n_pos, ps,
     )  # (2Fp, 32W)
     masks_i8 = _pad_to(masks_i8, 1, 128)  # lane-pad the contraction dim
     w32p = masks_i8.shape[1]
+    # counts (2Fp int32) + ~8 f32 per-fit intermediates per column.
+    bk = pick_block_k(w32p, 2 * fp * 4 + 8 * fp * 4, k, block)
 
     nb = -(-k // bk)
 

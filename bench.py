@@ -93,11 +93,13 @@ def main():
 
     # Generate the packed matrix directly in HBM: this host's CPU takes
     # minutes to fill 422 MB of randomness and the tunneled H2D link is
-    # slow/variable, neither of which is the workload under test.
+    # slow/variable, neither of which is the workload under test.  Use the
+    # rbg PRNG: threefry takes 30-300s to compile at this size on a cold
+    # cache, rbg compiles in under a second.
     t0 = time.time()
     matrix = jax.jit(
         lambda k: jax.random.bits(k, (w, n_kmers), dtype=jnp.uint32)
-    )(jax.random.PRNGKey(0))
+    )(jax.random.key(0, impl="rbg"))
     _ = jax.device_get(matrix[0, :8])
     log("device matrix gen: %.1fs (%.0f MB in HBM)"
         % (time.time() - t0, matrix.nbytes / 1e6))

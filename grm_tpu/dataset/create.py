@@ -183,6 +183,12 @@ def _write_matrix(f, km, gzip, progress_callback):
     compression_opts = gzip if gzip > 0 else None
     n_kmers = km.n_kmers
     k = km.k
+    if n_kmers == 0:
+        raise ValueError(
+            "No k-mers remain after filtering: the singleton filter removed "
+            "every k-mer (each was present in exactly one genome). Pass "
+            "--singleton-kmers / filter_singleton=False to keep them."
+        )
     block = max(1, min(n_kmers, BLOCK_SIZE))
 
     from ..ops.kmer import decode_kmers_bytes

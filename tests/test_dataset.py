@@ -81,6 +81,27 @@ def test_create_from_contigs(small_dataset):
         )
 
 
+def test_create_all_kmers_filtered_is_clean_error(tmp_path, rng):
+    """Singleton filter removing every k-mer must raise a clear ValueError,
+    not an h5py chunk-shape crash (zero-column matrix)."""
+    list_lines = []
+    for i in range(3):
+        gid = "g%d" % i
+        p = tmp_path / ("%s.fna" % gid)
+        _write_fasta(p, ["".join(rng.choice(list("ACGT"), 120))])
+        list_lines.append("%s\t%s" % (gid, p))
+    contig_list = tmp_path / "contigs.tsv"
+    contig_list.write_text("\n".join(list_lines) + "\n")
+    metadata = tmp_path / "meta.tsv"
+    metadata.write_text("g0\t0\ng1\t1\ng2\t1\n")
+    with pytest.raises(ValueError, match="No k-mers remain"):
+        from_contigs(
+            contig_list, tmp_path / "empty.h5", kmer_size=31,
+            filter_singleton=True, phenotype_description="d",
+            phenotype_metadata_path=metadata, gzip=0,
+        )
+
+
 def test_parse_metadata_multiclass(tmp_path):
     m = tmp_path / "meta.tsv"
     m.write_text("g1\thigh\ng2\tlow\ng3\tmid\ng4\thigh\n")

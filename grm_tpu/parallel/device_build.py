@@ -67,22 +67,34 @@ def _build(codes, k, n_genomes, k_budget, filter_singleton):
 
     canon, valid = jax.vmap(lambda c: _extract_canon(c, k))(codes)
     # canon: list of nw arrays (G, L); valid: (G, L)
-    flat_words = [w.reshape(-1) for w in canon]
-    invalid = (~valid.reshape(-1)).astype(jnp.uint32)
-    gid = jnp.repeat(jnp.arange(G, dtype=jnp.uint32), L)
+    # Fold the invalid flag into the sort keys instead of carrying a fourth
+    # key operand: invalid windows get all-ones words and the out-of-range
+    # genome id G, so they sort to the end of their (possibly shared) word
+    # run and after every real genome's rows. A genuine all-ones k-mer (k a
+    # multiple of 16, all-T) still sorts before invalid rows via the gid key,
+    # and validity is recovered as gid < G.
+    valid_flat = valid.reshape(-1)
+    flat_words = [
+        jnp.where(valid_flat, w.reshape(-1), jnp.uint32(0xFFFFFFFF))
+        for w in canon
+    ]
+    gid = jnp.where(
+        valid_flat,
+        jnp.repeat(jnp.arange(G, dtype=jnp.uint32), L),
+        jnp.uint32(G),
+    )
 
-    sorted_ops = _lex_sort([invalid] + flat_words + [gid])
-    inv_s = sorted_ops[0]
-    words_s = sorted_ops[1 : 1 + nw]
+    sorted_ops = _lex_sort(flat_words + [gid])
+    words_s = sorted_ops[:nw]
     gid_s = sorted_ops[-1]
 
-    n = inv_s.shape[0]
+    n = gid_s.shape[0]
     new_kmer = jnp.zeros((n,), bool).at[0].set(True)
     for w in words_s:
         new_kmer = new_kmer | jnp.concatenate(
             [jnp.ones((1,), bool), w[1:] != w[:-1]]
         )
-    valid_s = inv_s == 0
+    valid_s = gid_s < G
     first = new_kmer & valid_s
     col = jnp.cumsum(first.astype(jnp.int32)) - 1  # union column per row
     n_kmers = jnp.sum(first.astype(jnp.int32))
@@ -101,8 +113,18 @@ def _build(codes, k, n_genomes, k_budget, filter_singleton):
         jnp.uint32(0),
     )
     col_safe = jnp.where(keep, col, k_budget).astype(jnp.int32)
-    matrix = jnp.zeros((w_count, k_budget + 1), jnp.uint32)
-    matrix = matrix.at[word_idx, col_safe].add(bit)
+    # For the matrix build keep duplicate rows at their true column (their
+    # bit is already zero) and only route invalid rows — which sort to the
+    # very end — to the trash column: that makes the linearized destination
+    # index nondecreasing ((col, gid) pairs are sorted, so word_idx = gid//32
+    # is nondecreasing within a column run), and a sorted segment-sum beats
+    # a general scatter-add.
+    col_valid = jnp.where(valid_s, col, k_budget).astype(jnp.int32)
+    lin_idx = col_valid * w_count + word_idx
+    matrix = jax.ops.segment_sum(
+        bit, lin_idx, num_segments=(k_budget + 1) * w_count,
+        indices_are_sorted=True,
+    ).reshape(k_budget + 1, w_count).T
     matrix = matrix[:, :k_budget]
 
     # Union k-mer words per column (duplicates write identical values).

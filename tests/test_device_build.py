@@ -35,6 +35,31 @@ def test_device_build_matches_host(rng, k):
     np.testing.assert_array_equal(got32, want32)
 
 
+@pytest.mark.parametrize("k", [16, 32])
+def test_device_build_all_ones_kmer_vs_invalid_sentinel(rng, k):
+    """A genuine all-T k-mer (k % 16 == 0) has all-ones key words, colliding
+    with the sentinel used for invalid windows in the fused sort; the gid key
+    must still separate them."""
+    poly_t = "T" * (k + 3)
+    contig_sets = [
+        [poly_t + "N" + "".join(rng.choice(list("ACGT"), 60))],
+        ["".join(rng.choice(list("ACGT"), 60)) + "NN" + poly_t],
+        ["N" * (k + 2), "".join(rng.choice(list("ACGT"), 60))],
+    ]
+    codes_list = [encode_contigs(c) for c in contig_sets]
+    dm = build_matrix_device(codes_list, k)
+
+    gks = [GenomeKmers("g%d" % i, k, sorted_kmers_np(c, k))
+           for i, c in enumerate(codes_list)]
+    km = build_presence_matrix(gks)
+
+    assert dm.n_kmers == km.n_kmers
+    np.testing.assert_array_equal(dm.union_kmers_host(), km.kmers)
+    got32 = np.asarray(dm.matrix)[:, : dm.n_kmers]
+    want32 = u64_matrix_to_u32(km.matrix)[: got32.shape[0]]
+    np.testing.assert_array_equal(got32, want32)
+
+
 def test_device_build_singleton_filter(rng):
     k = 11
     codes_list = [encode_contigs(c) for c in _genomes(rng)]

@@ -23,3 +23,11 @@ bounds) as an idiomatic JAX/XLA/Pallas stack:
 """
 
 __version__ = "0.1.0"
+
+# Large freed buffers must be reused warm, not re-mmapped and re-faulted:
+# the host pipeline is page-fault-bound on virtualized hosts otherwise (see
+# grm_tpu.hostmem). Two cheap mallopt() calls, gated by GRM_NO_MALLOC_TUNE.
+from .hostmem import tune_host_allocator as _tune_host_allocator
+
+_tune_host_allocator()
+del _tune_host_allocator

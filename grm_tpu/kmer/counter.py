@@ -77,7 +77,11 @@ def count_fasta_many(paths_by_genome_id, k, engine="auto", n_workers=None,
     import os as _os
     from concurrent.futures import ThreadPoolExecutor
 
-    items = list(paths_by_genome_id)
+    # Accept a mapping (gid -> path) or a sequence of (gid, path) pairs.
+    if hasattr(paths_by_genome_id, "items"):
+        items = list(paths_by_genome_id.items())
+    else:
+        items = list(paths_by_genome_id)
     if n_workers is None:
         n_workers = min(len(items), _os.cpu_count() or 1)
     if progress_callback is None:

@@ -45,9 +45,24 @@ def _load():
             return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
+        _register(lib)
+    except AttributeError:
+        # Stale libgrmio.so from an older source tree: rebuild once.
+        if not build(force=True):
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            _register(lib)
+        except (OSError, AttributeError):
+            return None
     except OSError:
         return None
 
+    _lib = lib
+    return lib
+
+
+def _register(lib):
     lib.grm_encode_fasta.restype = ctypes.c_long
     lib.grm_encode_fasta.argtypes = [
         ctypes.c_char_p, ctypes.c_long,
@@ -75,6 +90,41 @@ def _load():
         ctypes.c_long,
     ]
 
+    lib.grm_merge_union_cols64.restype = ctypes.c_long
+    lib.grm_merge_union_cols64.argtypes = [
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),  # list addrs
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),   # sizes
+        ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_long,
+    ]
+
+    lib.grm_set_presence_bits32.restype = None
+    lib.grm_set_presence_bits32.argtypes = [
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_long, ctypes.c_int,
+    ]
+
+    lib.grm_merge_union_bits64.restype = ctypes.c_long
+    lib.grm_merge_union_bits64.argtypes = [
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),  # list addrs
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),   # sizes
+        ctypes.c_int, ctypes.c_int,
+        np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        ctypes.c_long, ctypes.c_long,
+    ]
+
+    lib.grm_compact_rows.restype = None
+    lib.grm_compact_rows.argtypes = [
+        np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+    ]
+
     lib.grm_union_columns.restype = None
     lib.grm_union_columns.argtypes = [
         np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
@@ -90,9 +140,6 @@ def _load():
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ctypes.c_long, ctypes.c_int,
     ]
-
-    _lib = lib
-    return lib
 
 
 def available():
@@ -171,3 +218,110 @@ def merge_union_native(kmer_lists, nw):
         lib.grm_union_columns(union, n, a, a.shape[0], nw, cols)
         col_arrays.append(cols)
     return union, counts, col_arrays
+
+
+def merge_union_cols_native(kmer_lists, nw):
+    """Fused dsk2kover merge for nw <= 2 (k <= 32): ONE loser-tree pass
+    emits the sorted distinct union, per-union genome counts, and every
+    genome's union column indices — no per-genome binary-search pass, no
+    input concatenation (streams are passed by pointer), and outputs are
+    returned as views (first-touch page faults on this class of VM cost
+    more than the merge itself, so fresh pages are kept to a minimum).
+
+    Returns (union (U, nw) uint32, genome_counts (U,) int32,
+             per-genome int32 column arrays (views into one buffer)).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libgrmio unavailable")
+    if nw not in (1, 2):
+        raise ValueError("merge_union_cols_native requires nw in {1, 2}")
+    arrays = [np.ascontiguousarray(np.asarray(a, np.uint32).reshape(-1, nw))
+              for a in kmer_lists]
+    sizes = np.array([a.shape[0] for a in arrays], dtype=np.int64)
+    total = int(sizes.sum())
+    if total >= 2 ** 31:
+        raise ValueError("merge_union_cols_native: total k-mers >= 2^31; "
+                         "use merge_union_native")
+    addrs = np.array([a.ctypes.data for a in arrays], dtype=np.uint64)
+    offsets = np.zeros(len(arrays) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=offsets[1:])
+    cap = max(total, 1)
+    out_union = np.empty((cap, nw), dtype=np.uint32)
+    out_counts = np.empty(cap, dtype=np.int32)
+    out_cols = np.empty(cap, dtype=np.int32)
+    n = lib.grm_merge_union_cols64(
+        addrs, sizes, len(arrays), nw, out_union, out_counts, out_cols, cap
+    )
+    if n == -1:
+        raise RuntimeError("grm_merge_union_cols64 capacity exceeded")
+    if n < 0:
+        raise RuntimeError("grm_merge_union_cols64 failed (code %d)" % n)
+    union = out_union[:n]
+    counts = out_counts[:n]
+    col_arrays = [out_cols[offsets[i]: offsets[i + 1]]
+                  for i in range(len(arrays))]
+    return union, counts, col_arrays
+
+
+def merge_union_bits_native(kmer_lists, nw):
+    """Fully fused dsk2kover role for nw <= 2: ONE loser-tree pass emits the
+    sorted distinct union, per-union genome counts, AND the packed uint64
+    presence matrix — no per-element column buffer, no separate bit-set
+    pass. Outputs are views over cap-sized buffers whose untouched virtual
+    pages cost nothing (first-touch faults dominate on these VMs).
+
+    Returns (union (U, nw) uint32, genome_counts (U,) int32,
+             matrix (ceil(G/64), U) uint64).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libgrmio unavailable")
+    if nw not in (1, 2):
+        raise ValueError("merge_union_bits_native requires nw in {1, 2}")
+    arrays = [np.ascontiguousarray(np.asarray(a, np.uint32).reshape(-1, nw))
+              for a in kmer_lists]
+    sizes = np.array([a.shape[0] for a in arrays], dtype=np.int64)
+    total = int(sizes.sum())
+    if total >= 2 ** 31:
+        raise ValueError("merge_union_bits_native: total k-mers >= 2^31; "
+                         "use merge_union_native")
+    addrs = np.array([a.ctypes.data for a in arrays], dtype=np.uint64)
+    n_genomes = len(arrays)
+    n_words64 = -(-n_genomes // 64)
+    cap = max(total, 1)
+    out_union = np.empty((cap, nw), dtype=np.uint32)
+    out_counts = np.empty(cap, dtype=np.int32)
+    matrix_buf = np.empty(n_words64 * cap, dtype=np.uint64)
+    n = lib.grm_merge_union_bits64(
+        addrs, sizes, n_genomes, nw, out_union, out_counts,
+        matrix_buf, cap, cap,
+    )
+    if n == -1:
+        raise RuntimeError("grm_merge_union_bits64 capacity exceeded")
+    if n < 0:
+        raise RuntimeError("grm_merge_union_bits64 failed (code %d)" % n)
+    lib.grm_compact_rows(matrix_buf, n_words64, n, cap, n)
+    matrix = matrix_buf[: n_words64 * n].reshape(n_words64, n)
+    return out_union[:n], out_counts[:n], matrix
+
+
+def set_presence_bits_native(matrix, col_arrays):
+    """OR genome presence bits into the packed uint64 matrix in place.
+
+    matrix: (ceil(G/64), K) uint64; genome g = bit 63-(g%64) of row g//64.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libgrmio unavailable")
+    for g_idx, cols in enumerate(col_arrays):
+        if cols.dtype == np.int32:
+            cols = np.ascontiguousarray(cols)
+            lib.grm_set_presence_bits32(
+                matrix[g_idx // 64], cols, cols.shape[0], g_idx % 64
+            )
+        else:
+            cols = np.ascontiguousarray(cols, dtype=np.int64)
+            lib.grm_set_presence_bits(
+                matrix[g_idx // 64], cols, cols.shape[0], g_idx % 64
+            )

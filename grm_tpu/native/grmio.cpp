@@ -361,6 +361,244 @@ long grm_merge_union(const uint32_t* lists, const int64_t* offsets,
     return out;
 }
 
+// Fused dsk2kover merge, nw <= 2 fast path (k <= 32, including the k=21/31
+// parity oracles): one pass over the N sorted per-genome k-mer lists emits
+// the sorted distinct union, per-union genome counts, AND each input
+// element's union column (out_cols, aligned with the concatenated input).
+// The generic heap merge above compares (nw)-word rows through a lambda per
+// step and leaves column assignment to per-genome binary searches
+// (grm_union_columns); at 1e8 elements that costs ~30s on this host. Here
+// rows collapse to one uint64 key (big-endian word order makes u64 compare
+// == lexicographic row compare) driven through a loser-tree tournament:
+// log2(N) integer compares per element, no heap function-call machinery,
+// and columns fall out of the emission order for free.
+long grm_merge_union_cols64(const uint64_t* list_addrs, const int64_t* sizes,
+                            int n_lists, int nw, uint32_t* out_union,
+                            int32_t* out_genome_counts, int32_t* out_cols,
+                            long cap) {
+    if (nw < 1 || nw > 2 || n_lists < 1) return -2;
+
+    // Per-stream cursors. Streams are passed as raw addresses (no host-side
+    // concatenation: on this class of VM, first-touch page faults on a fresh
+    // concat buffer cost more than the merge itself).
+    std::vector<const uint32_t*> ptr(n_lists);
+    std::vector<const uint32_t*> end(n_lists);
+    std::vector<uint64_t> cur(n_lists);
+    std::vector<int64_t> col_base(n_lists + 1);
+    std::vector<int64_t> idx(n_lists);
+    // rank orders streams with equal keys; exhausted streams get
+    // n_lists + i so a real all-ones key still beats the sentinel.
+    std::vector<int> rank(n_lists);
+    long remaining = 0;
+
+    auto load = [&](int i) {
+        if (ptr[i] >= end[i]) {
+            cur[i] = ~0ULL;
+            rank[i] = n_lists + i;
+            return;
+        }
+        const uint32_t* row = ptr[i];
+        cur[i] = (nw == 1)
+                     ? (uint64_t)row[0]
+                     : (((uint64_t)row[0] << 32) | (uint64_t)row[1]);
+    };
+    col_base[0] = 0;
+    for (int i = 0; i < n_lists; i++) {
+        ptr[i] = (const uint32_t*)(uintptr_t)list_addrs[i];
+        end[i] = ptr[i] + sizes[i] * nw;
+        idx[i] = 0;
+        rank[i] = i;
+        col_base[i + 1] = col_base[i] + sizes[i];
+        load(i);
+        remaining += sizes[i];
+    }
+
+    // Loser tree over M = next_pow2(n_lists) leaves; tree[n] parks the loser
+    // at internal node n. Padding leaves carry the sentinel key with the
+    // largest ranks, so they never win while real streams remain.
+    int M = 1;
+    while (M < n_lists) M <<= 1;
+    auto less = [&](int a, int b) {
+        uint64_t ka = (a < n_lists) ? cur[a] : ~0ULL;
+        uint64_t kb = (b < n_lists) ? cur[b] : ~0ULL;
+        int ra = (a < n_lists) ? rank[a] : 2 * M + a;
+        int rb = (b < n_lists) ? rank[b] : 2 * M + b;
+        return ka < kb || (ka == kb && ra < rb);
+    };
+    std::vector<int> tree(M);
+    int winner;
+    {
+        std::vector<int> up(2 * M);
+        for (int i = 0; i < M; i++) up[M + i] = i;
+        for (int n = M - 1; n >= 1; n--) {
+            int a = up[2 * n], b = up[2 * n + 1];
+            int w = less(a, b) ? a : b;
+            tree[n] = (w == a) ? b : a;
+            up[n] = w;
+        }
+        winner = up[1];
+    }
+
+    long out = 0;
+    uint64_t prev = 0;
+    while (remaining > 0) {
+        int i = winner;
+        uint64_t key = cur[i];
+        if (out == 0 || key != prev) {
+            if (out >= cap) return -1;
+            uint32_t* dst = out_union + (long)out * nw;
+            if (nw == 1) {
+                dst[0] = (uint32_t)key;
+            } else {
+                dst[0] = (uint32_t)(key >> 32);
+                dst[1] = (uint32_t)key;
+            }
+            out_genome_counts[out] = 0;
+            prev = key;
+            out++;
+        }
+        out_genome_counts[out - 1]++;
+        out_cols[col_base[i] + idx[i]] = (int32_t)(out - 1);
+        idx[i]++;
+        ptr[i] += nw;
+        remaining--;
+        load(i);
+        // Replay the path from leaf i to the root.
+        int node = (M + i) >> 1;
+        winner = i;
+        while (node >= 1) {
+            if (less(tree[node], winner)) {
+                int t = winner;
+                winner = tree[node];
+                tree[node] = t;
+            }
+            node >>= 1;
+        }
+    }
+    return out;
+}
+
+// int32-cols variant of grm_set_presence_bits (pairs with the fused merge).
+void grm_set_presence_bits32(uint64_t* matrix_row, const int32_t* cols,
+                             long n_cols, int bit) {
+    const uint64_t mask = 1ULL << (63 - bit);
+    for (long i = 0; i < n_cols; i++) matrix_row[cols[i]] |= mask;
+}
+
+// Fully fused dsk2kover merge: like grm_merge_union_cols64 but sets the
+// packed presence bits DIRECTLY during emission instead of materializing
+// per-element column indices. Eliminates the cols buffer (the largest
+// output) and the separate bit-set pass; on fault-bound VMs that halves the
+// merge stage again. ``matrix`` is (ceil(n_lists/64), cap)-shaped with row
+// stride ``matrix_stride`` (elements); rows are zeroed lazily column by
+// column as union entries are emitted, so the buffer may be uninitialized
+// and only ceil(n_lists/64) x n_union cells are ever touched. Compact with
+// grm_compact_rows afterwards.
+long grm_merge_union_bits64(const uint64_t* list_addrs, const int64_t* sizes,
+                            int n_lists, int nw, uint32_t* out_union,
+                            int32_t* out_genome_counts, uint64_t* matrix,
+                            long matrix_stride, long cap) {
+    if (nw < 1 || nw > 2 || n_lists < 1) return -2;
+    const int n_words = (n_lists + 63) >> 6;
+
+    std::vector<const uint32_t*> ptr(n_lists);
+    std::vector<const uint32_t*> end(n_lists);
+    std::vector<uint64_t> cur(n_lists);
+    std::vector<int> rank(n_lists);
+    long remaining = 0;
+
+    auto load = [&](int i) {
+        if (ptr[i] >= end[i]) {
+            cur[i] = ~0ULL;
+            rank[i] = n_lists + i;
+            return;
+        }
+        const uint32_t* row = ptr[i];
+        cur[i] = (nw == 1)
+                     ? (uint64_t)row[0]
+                     : (((uint64_t)row[0] << 32) | (uint64_t)row[1]);
+    };
+    for (int i = 0; i < n_lists; i++) {
+        ptr[i] = (const uint32_t*)(uintptr_t)list_addrs[i];
+        end[i] = ptr[i] + sizes[i] * nw;
+        rank[i] = i;
+        load(i);
+        remaining += sizes[i];
+    }
+
+    int M = 1;
+    while (M < n_lists) M <<= 1;
+    auto less = [&](int a, int b) {
+        uint64_t ka = (a < n_lists) ? cur[a] : ~0ULL;
+        uint64_t kb = (b < n_lists) ? cur[b] : ~0ULL;
+        int ra = (a < n_lists) ? rank[a] : 2 * M + a;
+        int rb = (b < n_lists) ? rank[b] : 2 * M + b;
+        return ka < kb || (ka == kb && ra < rb);
+    };
+    std::vector<int> tree(M);
+    int winner;
+    {
+        std::vector<int> up(2 * M);
+        for (int i = 0; i < M; i++) up[M + i] = i;
+        for (int n = M - 1; n >= 1; n--) {
+            int a = up[2 * n], b = up[2 * n + 1];
+            int w = less(a, b) ? a : b;
+            tree[n] = (w == a) ? b : a;
+            up[n] = w;
+        }
+        winner = up[1];
+    }
+
+    long out = 0;
+    uint64_t prev = 0;
+    while (remaining > 0) {
+        int i = winner;
+        uint64_t key = cur[i];
+        if (out == 0 || key != prev) {
+            if (out >= cap) return -1;
+            uint32_t* dst = out_union + (long)out * nw;
+            if (nw == 1) {
+                dst[0] = (uint32_t)key;
+            } else {
+                dst[0] = (uint32_t)(key >> 32);
+                dst[1] = (uint32_t)key;
+            }
+            out_genome_counts[out] = 0;
+            for (int w = 0; w < n_words; w++) matrix[w * matrix_stride + out] = 0;
+            prev = key;
+            out++;
+        }
+        out_genome_counts[out - 1]++;
+        matrix[(long)(i >> 6) * matrix_stride + (out - 1)] |=
+            1ULL << (63 - (i & 63));
+        ptr[i] += nw;
+        remaining--;
+        load(i);
+        int node = (M + i) >> 1;
+        winner = i;
+        while (node >= 1) {
+            if (less(tree[node], winner)) {
+                int t = winner;
+                winner = tree[node];
+                tree[node] = t;
+            }
+            node >>= 1;
+        }
+    }
+    return out;
+}
+
+// Compact rows laid out at src_stride down to dst_stride (dst_stride <=
+// src_stride), ascending: buf[r*dst_stride .. +n_cols) = buf[r*src_stride ..).
+// Safe in place (see proof in the caller): dst never overruns a later src.
+void grm_compact_rows(uint64_t* buf, long n_rows, long n_cols,
+                      long src_stride, long dst_stride) {
+    for (long r = 1; r < n_rows; r++) {
+        memmove(buf + r * dst_stride, buf + r * src_stride,
+                n_cols * sizeof(uint64_t));
+    }
+}
+
 // For one genome's sorted k-mers, find each k-mer's column in the sorted
 // union (binary search). Every genome k-mer must exist in the union.
 void grm_union_columns(const uint32_t* union_kmers, long n_union,

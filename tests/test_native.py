@@ -90,3 +90,68 @@ def test_set_presence_bits():
     want = np.uint64(1) << np.uint64(63 - 5)
     assert row[0] == want and row[3] == want and row[9] == want
     assert row[1] == 0
+
+
+@pytest.mark.parametrize("nw", [1, 2])
+def test_merge_union_cols_matches_generic(rng, nw):
+    k = 13 if nw == 1 else 27
+    lists = []
+    for _ in range(7):
+        codes = encode_contigs([_random_seq(rng, rng.randint(50, 400))])
+        lists.append(sorted_kmers_np(codes, k))
+    lists.append(np.zeros((0, nw), np.uint32))  # exhausted-from-start stream
+
+    union, counts, cols = nb.merge_union_cols_native(lists, nw)
+    union_ref, counts_ref, cols_ref = nb.merge_union_native(lists, nw)
+    np.testing.assert_array_equal(union, union_ref)
+    np.testing.assert_array_equal(counts, counts_ref)
+    for a, b in zip(cols, cols_ref):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_merge_union_cols_max_key(rng):
+    # A real all-ones key (k=16 'TTTT...' fills the uint32 word) must not be
+    # confused with the exhausted-stream sentinel.
+    tmax = np.array([[0xFFFFFFFF]], np.uint32)
+    a = np.array([[1], [0xFFFFFFFF]], np.uint32)
+    union, counts, cols = nb.merge_union_cols_native([a, tmax], 1)
+    np.testing.assert_array_equal(union[:, 0], [1, 0xFFFFFFFF])
+    np.testing.assert_array_equal(counts, [1, 2])
+    np.testing.assert_array_equal(cols[0], [0, 1])
+    np.testing.assert_array_equal(cols[1], [1])
+
+
+def test_merge_union_cols_single_list():
+    a = np.array([[3, 7], [9, 2]], np.uint32)
+    union, counts, cols = nb.merge_union_cols_native([a], 2)
+    np.testing.assert_array_equal(union, a)
+    np.testing.assert_array_equal(counts, [1, 1])
+    np.testing.assert_array_equal(cols[0], [0, 1])
+
+
+def test_set_presence_bits_native_matrix():
+    matrix = np.zeros((2, 6), np.uint64)
+    # 65 genomes: genome 64 lands in word row 1, bit 0 (MSB).
+    col_arrays = [np.array([g % 6], np.int64) for g in range(65)]
+    nb.set_presence_bits_native(matrix, col_arrays)
+    for g in range(65):
+        word, bit = g // 64, np.uint64(1) << np.uint64(63 - (g % 64))
+        assert matrix[word, g % 6] & bit
+
+
+@pytest.mark.parametrize("n_genomes", [3, 65, 130])
+def test_merge_union_bits_matches_generic(rng, n_genomes):
+    k = 17
+    lists = []
+    for _ in range(n_genomes):
+        codes = encode_contigs([_random_seq(rng, rng.randint(30, 120))])
+        lists.append(sorted_kmers_np(codes, k))
+
+    union, counts, matrix = nb.merge_union_bits_native(lists, 2)
+    union_ref, counts_ref, cols_ref = nb.merge_union_native(lists, 2)
+    np.testing.assert_array_equal(union, union_ref)
+    np.testing.assert_array_equal(counts, counts_ref)
+    want = np.zeros((-(-n_genomes // 64), union_ref.shape[0]), np.uint64)
+    for g, cols in enumerate(cols_ref):
+        want[g // 64, cols] |= np.uint64(1) << np.uint64(63 - (g % 64))
+    np.testing.assert_array_equal(matrix, want)

@@ -71,12 +71,26 @@ def _cmd_dataset_create(argv):
     p_contigs.add_argument("--singleton-kmers", action="store_true",
                            help="Include k-mers that occur in only one genome "
                                 "(disables the singleton filter).")
+    p_contigs.add_argument("--n-cpu", "--n-cores", type=int, default=0,
+                           help="Cores used for k-mer counting; 0 = all "
+                                "(reference kover:117).")
+    p_contigs.add_argument("--temp-dir", default=None,
+                           help="Accepted for reference compatibility "
+                                "(kover:121); the in-process pipeline writes "
+                                "no temporary files.")
 
     p_reads = sub.add_parser("from-reads", parents=[common])
     p_reads.add_argument("--genomic-data", required=True)
     p_reads.add_argument("--kmer-size", type=int, default=31)
-    p_reads.add_argument("--abundance-min", type=int, default=1)
+    p_reads.add_argument("--kmer-min-abundance", "--abundance-min",
+                         dest="abundance_min", type=int, default=1,
+                         help="Minimum k-mer occurrences in a genome's reads "
+                              "(reference kover:174).")
     p_reads.add_argument("--singleton-kmers", action="store_true")
+    p_reads.add_argument("--n-cpu", "--n-cores", type=int, default=0,
+                         help="Cores used for k-mer counting; 0 = all.")
+    p_reads.add_argument("--temp-dir", default=None,
+                         help="Accepted for reference compatibility; unused.")
 
     args = parser.parse_args(argv)
     if args.verbose:
@@ -100,14 +114,16 @@ def _cmd_dataset_create(argv):
                      filter_singleton=not args.singleton_kmers,
                      phenotype_description=args.phenotype_description,
                      phenotype_metadata_path=args.phenotype_metadata,
-                     gzip=args.compression, progress_callback=progress)
+                     gzip=args.compression, n_cpu=args.n_cpu,
+                     progress_callback=progress)
     else:
         from_reads(args.genomic_data, args.output, kmer_size=args.kmer_size,
                    abundance_min=args.abundance_min,
                    filter_singleton=not args.singleton_kmers,
                    phenotype_description=args.phenotype_description,
                    phenotype_metadata_path=args.phenotype_metadata,
-                   gzip=args.compression, progress_callback=progress)
+                   gzip=args.compression, n_cpu=args.n_cpu,
+                   progress_callback=progress)
     if args.progress:
         print()
 
@@ -697,6 +713,30 @@ def main(argv=None):
     top.add_argument("subcommand",
                      choices=sorted({s for _, s in _COMMANDS}))
     top.add_argument("--version", action="version", version="grm-tpu 0.1.0")
+    # --cite / --license mirror the reference CLI's informational flags
+    # (bin/kover/kover:1095-1151).
+    if argv and argv[0] == "--cite":
+        print(
+            "The algorithms implemented by this framework were introduced "
+            "in:\n\n"
+            "Drouin, A. et al. (2019). Interpretable genotype-to-phenotype "
+            "classifiers with performance guarantees. Scientific Reports, "
+            "9(1), 4071.\n\n"
+            "Drouin, A. et al. (2016). Predictive computational phenotyping "
+            "and biomarker discovery using reference-free genome "
+            "comparisons. BMC Genomics, 17(1), 754."
+        )
+        return
+    if argv and argv[0] == "--license":
+        print(
+            "grm-tpu is free software: you can redistribute it and/or "
+            "modify it under the terms of the GNU General Public License "
+            "as published by the Free Software Foundation, either version "
+            "3 of the License, or (at your option) any later version. It "
+            "is distributed WITHOUT ANY WARRANTY; see "
+            "<http://www.gnu.org/licenses/> for details."
+        )
+        return
     if not argv or argv[0] in ("-h", "--help", "--version"):
         top.parse_args(argv or ["-h"])
         return

@@ -219,12 +219,16 @@ def _write_matrix(f, km, gzip, progress_callback):
 
 def from_contigs(contig_list_path, output_path, kmer_size, filter_singleton=False,
                  phenotype_description=None, phenotype_metadata_path=None, gzip=4,
-                 warning_callback=None, error_callback=None, progress_callback=None):
+                 n_cpu=None, warning_callback=None, error_callback=None,
+                 progress_callback=None):
     """Create a dataset from assembled genomes (reference create.py:278-396).
 
     ``contig_list_path``: two-column file, ``genome_id<whitespace>fasta_path``.
     ``filter_singleton``: apply the dsk2kover singleton filter.
+    ``n_cpu``: cores for counting and the partition-parallel merge
+    (multidsk ``-nb-cores``, kmer_count.py:34); None/0 = all cores.
     """
+    n_cpu = n_cpu or None
     warning_callback, error_callback, progress_callback = _callbacks(
         warning_callback, error_callback, progress_callback
     )
@@ -252,19 +256,23 @@ def from_contigs(contig_list_path, output_path, kmer_size, filter_singleton=Fals
     genome_kmers = count_fasta_many(
         [(str(gid), contig_file_by_genome_id[str(gid)]) for gid in genome_ids],
         kmer_size,
+        n_workers=n_cpu,
         progress_callback=progress_callback,
     )
 
-    km = build_presence_matrix(genome_kmers, filter_singleton=filter_singleton)
+    km = build_presence_matrix(genome_kmers, filter_singleton=filter_singleton,
+                               n_threads=n_cpu)
     _write_matrix(f, km, gzip, progress_callback)
     f.close()
 
 
 def from_reads(reads_list_path, output_path, kmer_size, abundance_min=1,
                filter_singleton=False, phenotype_description=None,
-               phenotype_metadata_path=None, gzip=4, warning_callback=None,
-               error_callback=None, progress_callback=None):
+               phenotype_metadata_path=None, gzip=4, n_cpu=None,
+               warning_callback=None, error_callback=None,
+               progress_callback=None):
     """Create a dataset from read directories (reference create.py:399-523)."""
+    n_cpu = n_cpu or None
     warning_callback, error_callback, progress_callback = _callbacks(
         warning_callback, error_callback, progress_callback
     )
@@ -300,7 +308,8 @@ def from_reads(reads_list_path, output_path, kmer_size, abundance_min=1,
         )
     progress_callback("K-mer counting", 1.0)
 
-    km = build_presence_matrix(genome_kmers, filter_singleton=filter_singleton)
+    km = build_presence_matrix(genome_kmers, filter_singleton=filter_singleton,
+                               n_threads=n_cpu)
     _write_matrix(f, km, gzip, progress_callback)
     f.close()
 

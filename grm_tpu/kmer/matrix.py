@@ -81,7 +81,7 @@ class KmerMatrix:
 
 
 def build_presence_matrix(genome_kmers, filter_singleton=False, k=None,
-                          engine="auto"):
+                          engine="auto", n_threads=None):
     """Merge per-genome sorted k-mer sets into the packed presence matrix.
 
     Parameters
@@ -120,10 +120,10 @@ def build_presence_matrix(genome_kmers, filter_singleton=False, k=None,
         # no per-element column buffer — ~4x end-to-end vs the generic
         # heap-merge path on a 50-genome build).
         if nw <= 2:
-            from ..native.bindings import merge_union_bits_native
+            from ..native.bindings import merge_union_bits_parallel
 
-            union_kmers, genome_counts, matrix = merge_union_bits_native(
-                [g.kmers for g in genome_kmers], nw
+            union_kmers, genome_counts, matrix = merge_union_bits_parallel(
+                [g.kmers for g in genome_kmers], nw, n_threads=n_threads
             )
         else:
             from ..native.bindings import merge_union_native

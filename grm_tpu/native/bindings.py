@@ -306,6 +306,111 @@ def merge_union_bits_native(kmer_lists, nw):
     return out_union[:n], out_counts[:n], matrix
 
 
+def merge_union_bits_parallel(kmer_lists, nw, n_threads=None):
+    """Partition-parallel fused dsk2kover merge (nw <= 2).
+
+    The fused loser-tree merge (:func:`merge_union_bits_native`) is a single
+    sequential stream. Here the canonical key space is split into balanced
+    ranges on the leading uint32 word (every per-genome list is sorted, so a
+    range is a contiguous slice found by binary search), and each range is
+    merged independently by the SAME native kernel — ctypes releases the GIL,
+    so ranges run on separate cores. Output is bit-identical to the serial
+    merge: ranges are disjoint and ordered, so the final union/counts/matrix
+    are the concatenations of the per-range outputs.
+
+    This is the host-side analogue of the framework's k-mer-column sharding:
+    the same hash/sort-partitioned key space that `parallel/build.py` spreads
+    over devices is spread over host cores here (the reference's multidsk
+    `-nb-cores` role, kmer_count.py:34).
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libgrmio unavailable")
+    if nw not in (1, 2):
+        raise ValueError("merge_union_bits_parallel requires nw in {1, 2}")
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    arrays = [np.ascontiguousarray(np.asarray(a, np.uint32).reshape(-1, nw))
+              for a in kmer_lists]
+    sizes = np.array([a.shape[0] for a in arrays], dtype=np.int64)
+    total = int(sizes.sum())
+    if n_threads <= 1 or total < (1 << 22) or len(arrays) < 2:
+        return merge_union_bits_native(arrays, nw)
+    if total >= 2 ** 31:
+        raise ValueError("merge_union_bits_parallel: total k-mers >= 2^31")
+
+    n_genomes = len(arrays)
+    n_words64 = -(-n_genomes // 64)
+
+    # Balanced range boundaries on the leading word, from a global sample.
+    n_parts = min(4 * n_threads, max(total // (1 << 20), n_threads), 256)
+    n_parts = max(n_parts, 2)
+    samples = []
+    for a in arrays:
+        if a.shape[0]:
+            step = max(a.shape[0] // 512, 1)
+            samples.append(np.ascontiguousarray(a[::step, 0]))
+    sample = np.sort(np.concatenate(samples))
+    q = (np.arange(1, n_parts) * len(sample)) // n_parts
+    boundaries = np.unique(sample[q])  # ascending interior boundaries
+    n_parts = len(boundaries) + 1
+
+    # Per-array range starts: rows with word0 < b come first (word0 is the
+    # primary sort key), so searchsorted on the word0 column slices exactly.
+    starts = np.zeros((len(arrays), n_parts + 1), dtype=np.int64)
+    for i, a in enumerate(arrays):
+        if a.shape[0]:
+            w0 = np.ascontiguousarray(a[:, 0])
+            starts[i, 1:-1] = np.searchsorted(w0, boundaries, side="left")
+            starts[i, -1] = a.shape[0]
+
+    part_out = [None] * n_parts
+
+    def run_part(p):
+        sub_sizes = starts[:, p + 1] - starts[:, p]
+        cap = max(int(sub_sizes.sum()), 1)
+        addrs = np.array(
+            [a.ctypes.data + int(starts[i, p]) * nw * 4
+             for i, a in enumerate(arrays)],
+            dtype=np.uint64,
+        )
+        out_union = np.empty((cap, nw), dtype=np.uint32)
+        out_counts = np.empty(cap, dtype=np.int32)
+        matrix_buf = np.empty(n_words64 * cap, dtype=np.uint64)
+        n = lib.grm_merge_union_bits64(
+            addrs, np.ascontiguousarray(sub_sizes), n_genomes, nw,
+            out_union, out_counts, matrix_buf, cap, cap,
+        )
+        if n < 0:
+            raise RuntimeError("grm_merge_union_bits64 failed (code %d)" % n)
+        part_out[p] = (n, out_union, out_counts, matrix_buf, cap)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        list(pool.map(run_part, range(n_parts)))
+
+    ns = [po[0] for po in part_out]
+    n_union = int(sum(ns))
+    union = np.empty((n_union, nw), dtype=np.uint32)
+    counts = np.empty(n_union, dtype=np.int32)
+    matrix = np.empty((n_words64, n_union), dtype=np.uint64)
+    offs = np.zeros(n_parts + 1, dtype=np.int64)
+    np.cumsum(ns, out=offs[1:])
+
+    def copy_part(p):
+        n, out_union, out_counts, matrix_buf, cap = part_out[p]
+        lo, hi = offs[p], offs[p + 1]
+        union[lo:hi] = out_union[:n]
+        counts[lo:hi] = out_counts[:n]
+        for w in range(n_words64):
+            matrix[w, lo:hi] = matrix_buf[w * cap : w * cap + n]
+
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        list(pool.map(copy_part, range(n_parts)))
+    return union, counts, matrix
+
+
 def set_presence_bits_native(matrix, col_arrays):
     """OR genome presence bits into the packed uint64 matrix in place.
 

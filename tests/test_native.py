@@ -155,3 +155,34 @@ def test_merge_union_bits_matches_generic(rng, n_genomes):
     for g, cols in enumerate(cols_ref):
         want[g // 64, cols] |= np.uint64(1) << np.uint64(63 - (g % 64))
     np.testing.assert_array_equal(matrix, want)
+
+
+@pytest.mark.parametrize("n_genomes,nw", [(3, 1), (65, 2)])
+def test_merge_union_bits_parallel_matches_serial(rng, n_genomes, nw):
+    k = 9 if nw == 1 else 17
+    base_len = 40000 if nw == 1 else 2500
+    lists = []
+    for _ in range(n_genomes):
+        codes = encode_contigs([_random_seq(rng, rng.randint(base_len, base_len + 1000))])
+        lists.append(sorted_kmers_np(codes, k))
+
+    import grm_tpu.native.bindings as bindings
+
+    # Replicate the genome set until the total crosses the threaded-path
+    # gate (2^22 elements), so the partitioned merge really runs.
+    reps = 1
+    while sum(l.shape[0] for l in lists) * reps <= (1 << 22):
+        reps *= 2
+    big = lists * reps
+    u_par, c_par, m_par = bindings.merge_union_bits_parallel(big, nw, n_threads=3)
+    u_ser, c_ser, m_ser = bindings.merge_union_bits_native(big, nw)
+    np.testing.assert_array_equal(u_par, u_ser)
+    np.testing.assert_array_equal(c_par, c_ser)
+    np.testing.assert_array_equal(m_par, m_ser)
+
+    # The small-input fallback is exact too.
+    u_p2, c_p2, m_p2 = bindings.merge_union_bits_parallel(lists, nw, n_threads=2)
+    u_s2, c_s2, m_s2 = bindings.merge_union_bits_native(lists, nw)
+    np.testing.assert_array_equal(u_p2, u_s2)
+    np.testing.assert_array_equal(c_p2, c_s2)
+    np.testing.assert_array_equal(m_p2, m_s2)

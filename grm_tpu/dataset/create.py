@@ -297,15 +297,27 @@ def from_reads(reads_list_path, output_path, kmer_size, abundance_min=1,
         phenotype_metadata_path, gzip, warning_callback, error_callback
     )
 
-    genome_kmers = []
-    for i, gid in enumerate(genome_ids):
-        progress_callback("K-mer counting", float(i) / len(genome_ids))
-        genome_kmers.append(
-            count_reads_dir(
-                reads_dir_by_genome_id[str(gid)], kmer_size,
-                abundance_min=abundance_min, genome_id=str(gid)
-            )
+    # Reads counting is thread-parallel like count_fasta_many: the native
+    # counter releases the GIL (multidsk -nb-cores role).
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_workers = n_cpu or (os.cpu_count() or 1)
+    done = [0]
+
+    def _count_one(gid):
+        out = count_reads_dir(
+            reads_dir_by_genome_id[str(gid)], kmer_size,
+            abundance_min=abundance_min, genome_id=str(gid)
         )
+        done[0] += 1
+        progress_callback("K-mer counting", done[0] / max(len(genome_ids), 1))
+        return out
+
+    if n_workers > 1 and len(genome_ids) > 1:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            genome_kmers = list(pool.map(_count_one, [str(g) for g in genome_ids]))
+    else:
+        genome_kmers = [_count_one(str(gid)) for gid in genome_ids]
     progress_callback("K-mer counting", 1.0)
 
     km = build_presence_matrix(genome_kmers, filter_singleton=filter_singleton,

@@ -56,10 +56,66 @@ def _ensure_accelerator():
     log("devices: %s" % (devices,))
 
 
+def bench_ingest():
+    """Host-native ingest benchmark: FASTA -> packed presence matrix.
+
+    The DSK + dsk2kover role (SURVEY.md section 2.5) on synthetic
+    bacterial-scale genomes; reports Mbp/s and genomes/s (BASELINE.md
+    throughput vocabulary). Skipped with BENCH_INGEST=0.
+    """
+    import shutil
+    import tempfile
+
+    n_genomes = int(os.environ.get("BENCH_INGEST_GENOMES", 24))
+    mbp = float(os.environ.get("BENCH_INGEST_MBP", 2.0))
+    glen = int(mbp * 1e6)
+    tmp = tempfile.mkdtemp(prefix="grm_bench_ingest_")
+    try:
+        rng = np.random.RandomState(0)
+        bases = np.frombuffer(b"ACGT", dtype="S1")
+        backbone = rng.randint(0, 4, glen)
+        paths = []
+        for g in range(n_genomes):
+            seq = backbone.copy()
+            muts = rng.randint(0, glen, glen // 100)
+            seq[muts] = rng.randint(0, 4, len(muts))
+            p = os.path.join(tmp, "g%d.fna" % g)
+            with open(p, "wb") as f:
+                f.write(b">c0\n")
+                f.write(bases[seq].tobytes())
+                f.write(b"\n")
+            paths.append(("g%d" % g, p))
+
+        from grm_tpu.kmer.counter import count_fasta_many
+        from grm_tpu.kmer.matrix import build_presence_matrix
+
+        t0 = time.time()
+        gks = count_fasta_many(paths, 31, engine="auto")
+        t_count = time.time() - t0
+        t0 = time.time()
+        km = build_presence_matrix(gks, filter_singleton=True)
+        t_merge = time.time() - t0
+        total_mbp = n_genomes * mbp
+        log("ingest: %d genomes x %.1f Mbp, k=31 -> %.1fM union kmers; "
+            "count %.1fs + merge/pack %.1fs = %.1f Mbp/s, %.2f genomes/s "
+            "(host-native, %d cores)"
+            % (n_genomes, mbp, km.n_kmers / 1e6, t_count, t_merge,
+               total_mbp / (t_count + t_merge),
+               n_genomes / (t_count + t_merge), os.cpu_count() or 1))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     import jax
 
     _ensure_accelerator()
+
+    if os.environ.get("BENCH_INGEST", "1") != "0":
+        try:
+            bench_ingest()
+        except Exception as e:  # ingest bench is auxiliary; never fail the run
+            log("ingest bench skipped (%s)" % e)
 
     # Persistent compile cache: repeat bench runs (and driver rounds) skip
     # the remote compile, whose latency is highly variable on this rig.

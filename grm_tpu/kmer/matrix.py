@@ -114,23 +114,17 @@ def build_presence_matrix(genome_kmers, filter_singleton=False, k=None,
     col_arrays = None
     matrix = None
     if use_native:
-        # dsk2kover role: streaming N-way merge over the sorted lists. For
-        # nw <= 2 (k <= 32) ONE fused loser-tree pass emits union, counts
-        # AND the packed presence matrix (no per-genome binary-search sweep,
-        # no per-element column buffer — ~4x end-to-end vs the generic
-        # heap-merge path on a 50-genome build).
-        if nw <= 2:
-            from ..native.bindings import merge_union_bits_parallel
+        # dsk2kover role: ONE fused loser-tree pass per key-space partition
+        # emits union, counts AND the packed presence matrix (no per-genome
+        # binary-search sweep, no per-element column buffer — ~4x end-to-end
+        # vs the generic heap-merge path on a 50-genome build), partitions
+        # running thread-parallel across cores. k <= 32 takes the u64-key
+        # kernel; larger k the multiword-row kernel.
+        from ..native.bindings import merge_union_bits_parallel
 
-            union_kmers, genome_counts, matrix = merge_union_bits_parallel(
-                [g.kmers for g in genome_kmers], nw, n_threads=n_threads
-            )
-        else:
-            from ..native.bindings import merge_union_native
-
-            union_kmers, genome_counts, col_arrays = merge_union_native(
-                [g.kmers for g in genome_kmers], nw
-            )
+        union_kmers, genome_counts, matrix = merge_union_bits_parallel(
+            [g.kmers for g in genome_kmers], nw, n_threads=n_threads
+        )
         n_kmers = union_kmers.shape[0]
     else:
         sizes = [g.n_kmers for g in genome_kmers]

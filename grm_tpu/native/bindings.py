@@ -119,6 +119,9 @@ def _register(lib):
         ctypes.c_long, ctypes.c_long,
     ]
 
+    lib.grm_merge_union_bits_rows.restype = ctypes.c_long
+    lib.grm_merge_union_bits_rows.argtypes = lib.grm_merge_union_bits64.argtypes
+
     lib.grm_compact_rows.restype = None
     lib.grm_compact_rows.argtypes = [
         np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
@@ -265,7 +268,7 @@ def merge_union_cols_native(kmer_lists, nw):
 
 
 def merge_union_bits_native(kmer_lists, nw):
-    """Fully fused dsk2kover role for nw <= 2: ONE loser-tree pass emits the
+    """Fully fused dsk2kover role for nw in [1, 8]: ONE loser-tree pass emits the
     sorted distinct union, per-union genome counts, AND the packed uint64
     presence matrix — no per-element column buffer, no separate bit-set
     pass. Outputs are views over cap-sized buffers whose untouched virtual
@@ -277,8 +280,8 @@ def merge_union_bits_native(kmer_lists, nw):
     lib = _load()
     if lib is None:
         raise RuntimeError("libgrmio unavailable")
-    if nw not in (1, 2):
-        raise ValueError("merge_union_bits_native requires nw in {1, 2}")
+    if not 1 <= nw <= 8:
+        raise ValueError("merge_union_bits_native requires nw in [1, 8]")
     arrays = [np.ascontiguousarray(np.asarray(a, np.uint32).reshape(-1, nw))
               for a in kmer_lists]
     sizes = np.array([a.shape[0] for a in arrays], dtype=np.int64)
@@ -293,7 +296,9 @@ def merge_union_bits_native(kmer_lists, nw):
     out_union = np.empty((cap, nw), dtype=np.uint32)
     out_counts = np.empty(cap, dtype=np.int32)
     matrix_buf = np.empty(n_words64 * cap, dtype=np.uint64)
-    n = lib.grm_merge_union_bits64(
+    kernel = (lib.grm_merge_union_bits64 if nw <= 2
+              else lib.grm_merge_union_bits_rows)
+    n = kernel(
         addrs, sizes, n_genomes, nw, out_union, out_counts,
         matrix_buf, cap, cap,
     )
@@ -307,7 +312,7 @@ def merge_union_bits_native(kmer_lists, nw):
 
 
 def merge_union_bits_parallel(kmer_lists, nw, n_threads=None):
-    """Partition-parallel fused dsk2kover merge (nw <= 2).
+    """Partition-parallel fused dsk2kover merge (nw in [1, 8], k up to 128).
 
     The fused loser-tree merge (:func:`merge_union_bits_native`) is a single
     sequential stream. Here the canonical key space is split into balanced
@@ -326,8 +331,8 @@ def merge_union_bits_parallel(kmer_lists, nw, n_threads=None):
     lib = _load()
     if lib is None:
         raise RuntimeError("libgrmio unavailable")
-    if nw not in (1, 2):
-        raise ValueError("merge_union_bits_parallel requires nw in {1, 2}")
+    if not 1 <= nw <= 8:
+        raise ValueError("merge_union_bits_parallel requires nw in [1, 8]")
     if n_threads is None:
         n_threads = os.cpu_count() or 1
     arrays = [np.ascontiguousarray(np.asarray(a, np.uint32).reshape(-1, nw))
@@ -377,7 +382,9 @@ def merge_union_bits_parallel(kmer_lists, nw, n_threads=None):
         out_union = np.empty((cap, nw), dtype=np.uint32)
         out_counts = np.empty(cap, dtype=np.int32)
         matrix_buf = np.empty(n_words64 * cap, dtype=np.uint64)
-        n = lib.grm_merge_union_bits64(
+        kernel = (lib.grm_merge_union_bits64 if nw <= 2
+                  else lib.grm_merge_union_bits_rows)
+        n = kernel(
             addrs, np.ascontiguousarray(sub_sizes), n_genomes, nw,
             out_union, out_counts, matrix_buf, cap, cap,
         )

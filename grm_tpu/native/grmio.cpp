@@ -590,6 +590,89 @@ long grm_merge_union_bits64(const uint64_t* list_addrs, const int64_t* sizes,
     return out;
 }
 
+// Generalization of grm_merge_union_bits64 to any row width nw in [1, 8]
+// (k up to 128): the loser tree runs on (row pointer, rank) entries with
+// lexicographic multiword compares. Exhausted streams are flagged instead
+// of carrying a sentinel key, so every real key value is representable.
+// Same output contract as the u64 variant.
+long grm_merge_union_bits_rows(const uint64_t* list_addrs, const int64_t* sizes,
+                               int n_lists, int nw, uint32_t* out_union,
+                               int32_t* out_genome_counts, uint64_t* matrix,
+                               long matrix_stride, long cap) {
+    if (nw < 1 || nw > 8 || n_lists < 1) return -2;
+    const int n_words = (n_lists + 63) >> 6;
+
+    std::vector<const uint32_t*> ptr(n_lists);
+    std::vector<const uint32_t*> end(n_lists);
+    std::vector<char> done(n_lists);
+    long remaining = 0;
+    for (int i = 0; i < n_lists; i++) {
+        ptr[i] = (const uint32_t*)(uintptr_t)list_addrs[i];
+        end[i] = ptr[i] + sizes[i] * nw;
+        done[i] = (sizes[i] == 0);
+        remaining += sizes[i];
+    }
+
+    int M = 1;
+    while (M < n_lists) M <<= 1;
+    // less(a, b): does stream a's head precede stream b's head?
+    auto less = [&](int a, int b) {
+        const bool da = (a >= n_lists) || done[a];
+        const bool db = (b >= n_lists) || done[b];
+        if (da) return false;   // exhausted streams never precede
+        if (db) return true;    // live stream precedes an exhausted one
+        const uint32_t* ra = ptr[a];
+        const uint32_t* rb = ptr[b];
+        for (int j = 0; j < nw; j++) {
+            if (ra[j] != rb[j]) return ra[j] < rb[j];
+        }
+        return a < b;
+    };
+    std::vector<int> tree(M);
+    int winner;
+    {
+        std::vector<int> up(2 * M);
+        for (int i = 0; i < M; i++) up[M + i] = i;
+        for (int n = M - 1; n >= 1; n--) {
+            int a = up[2 * n], b = up[2 * n + 1];
+            int w = less(a, b) ? a : b;
+            tree[n] = (w == a) ? b : a;
+            up[n] = w;
+        }
+        winner = up[1];
+    }
+
+    long out = 0;
+    while (remaining > 0) {
+        const int i = winner;
+        const uint32_t* row = ptr[i];
+        if (out == 0 || !row_eq_n(out_union + (out - 1) * nw, row, nw)) {
+            if (out >= cap) return -1;
+            memcpy(out_union + (long)out * nw, row, nw * sizeof(uint32_t));
+            out_genome_counts[out] = 0;
+            for (int w = 0; w < n_words; w++) matrix[w * matrix_stride + out] = 0;
+            out++;
+        }
+        out_genome_counts[out - 1]++;
+        matrix[(long)(i >> 6) * matrix_stride + (out - 1)] |=
+            1ULL << (63 - (i & 63));
+        ptr[i] += nw;
+        remaining--;
+        if (ptr[i] >= end[i]) done[i] = 1;
+        int node = (M + i) >> 1;
+        winner = i;
+        while (node >= 1) {
+            if (less(tree[node], winner)) {
+                int t = winner;
+                winner = tree[node];
+                tree[node] = t;
+            }
+            node >>= 1;
+        }
+    }
+    return out;
+}
+
 // Compact rows laid out at src_stride down to dst_stride (dst_stride <=
 // src_stride), ascending: buf[r*dst_stride .. +n_cols) = buf[r*src_stride ..).
 // Safe in place (see proof in the caller): dst never overruns a later src.

@@ -186,3 +186,32 @@ def test_merge_union_bits_parallel_matches_serial(rng, n_genomes, nw):
     np.testing.assert_array_equal(u_p2, u_s2)
     np.testing.assert_array_equal(c_p2, c_s2)
     np.testing.assert_array_equal(m_p2, m_s2)
+
+
+@pytest.mark.parametrize("k,nw", [(47, 3), (63, 4), (101, 7)])
+def test_merge_union_bits_rows_matches_generic(rng, k, nw):
+    lists = []
+    for _ in range(70):
+        codes = encode_contigs([_random_seq(rng, rng.randint(150, 400))])
+        lists.append(sorted_kmers_np(codes, k))
+
+    union, counts, matrix = nb.merge_union_bits_native(lists, nw)
+    union_ref, counts_ref, cols_ref = nb.merge_union_native(lists, nw)
+    np.testing.assert_array_equal(union, union_ref)
+    np.testing.assert_array_equal(counts, counts_ref)
+    want = np.zeros((2, union_ref.shape[0]), np.uint64)
+    for g, cols in enumerate(cols_ref):
+        want[g // 64, cols] |= np.uint64(1) << np.uint64(63 - (g % 64))
+    np.testing.assert_array_equal(matrix, want)
+
+    # Parallel driver agrees for multiword rows too (force the threaded
+    # path by replication past the 2^22-element gate).
+    reps = 1
+    while sum(l.shape[0] for l in lists) * reps <= (1 << 22):
+        reps *= 2
+    big = lists * reps
+    u_par, c_par, m_par = nb.merge_union_bits_parallel(big, nw, n_threads=3)
+    u_ser, c_ser, m_ser = nb.merge_union_bits_native(big, nw)
+    np.testing.assert_array_equal(u_par, u_ser)
+    np.testing.assert_array_equal(c_par, c_ser)
+    np.testing.assert_array_equal(m_par, m_ser)

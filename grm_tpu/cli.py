@@ -513,36 +513,67 @@ def _cmd_kmer_matrix(argv):
     parser.add_argument("--genome-dir", help="Directory of .fna/.fasta files")
     parser.add_argument("--genome-list",
                         help="Two-column file: genome_id <tab> fasta_path")
+    parser.add_argument("--reads-list",
+                        help="Two-column file: genome_id <tab> fastq_dir "
+                             "(reads mode; pairs with --kmer-min-abundance)")
     parser.add_argument("--kmer-size", type=int, default=21)
+    parser.add_argument("--kmer-min-abundance", "--abundance-min",
+                        dest="abundance_min", type=int, default=1,
+                        help="Reads mode: drop k-mers seen fewer times in a "
+                             "genome's reads (multidsk -abundance-min).")
     parser.add_argument("--filter-singleton", action="store_true")
+    parser.add_argument("--n-cpu", "--n-cores", type=int, default=0)
     parser.add_argument("--out", required=True)
     args = parser.parse_args(argv)
 
-    from .kmer.counter import count_fasta
     from .kmer.matrix import build_presence_matrix, matrix_to_tsv
 
-    if (args.genome_dir is None) == (args.genome_list is None):
-        print("Error: specify exactly one of --genome-dir / --genome-list.")
+    n_sources = sum(
+        x is not None
+        for x in (args.genome_dir, args.genome_list, args.reads_list)
+    )
+    if n_sources != 1:
+        print("Error: specify exactly one of --genome-dir / --genome-list / "
+              "--reads-list.")
         sys.exit(1)
 
-    if args.genome_dir:
-        files = sorted(
-            f for f in os.listdir(args.genome_dir)
-            if f.endswith((".fna", ".fa", ".fasta", ".fna.gz", ".fa.gz", ".fasta.gz"))
-        )
-        pairs = [
-            (os.path.splitext(f.replace(".gz", ""))[0],
-             os.path.join(args.genome_dir, f))
-            for f in files
-        ]
-    else:
-        with open(args.genome_list) as fh:
+    n_cpu = args.n_cpu or None
+    if args.reads_list:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from .kmer.counter import count_reads_dir
+
+        with open(args.reads_list) as fh:
             pairs = [tuple(l.split()) for l in fh if l.strip()]
+        with ThreadPoolExecutor(max_workers=n_cpu or (os.cpu_count() or 1)) as pool:
+            genome_kmers = list(pool.map(
+                lambda gp: count_reads_dir(
+                    gp[1], args.kmer_size,
+                    abundance_min=args.abundance_min, genome_id=gp[0]
+                ),
+                pairs,
+            ))
+    else:
+        if args.genome_dir:
+            files = sorted(
+                f for f in os.listdir(args.genome_dir)
+                if f.endswith((".fna", ".fa", ".fasta", ".fna.gz", ".fa.gz", ".fasta.gz"))
+            )
+            pairs = [
+                (os.path.splitext(f.replace(".gz", ""))[0],
+                 os.path.join(args.genome_dir, f))
+                for f in files
+            ]
+        else:
+            with open(args.genome_list) as fh:
+                pairs = [tuple(l.split()) for l in fh if l.strip()]
 
-    from .kmer.counter import count_fasta_many
+        from .kmer.counter import count_fasta_many
 
-    genome_kmers = count_fasta_many(pairs, args.kmer_size)
-    km = build_presence_matrix(genome_kmers, filter_singleton=args.filter_singleton)
+        genome_kmers = count_fasta_many(pairs, args.kmer_size, n_workers=n_cpu)
+    km = build_presence_matrix(genome_kmers,
+                               filter_singleton=args.filter_singleton,
+                               n_threads=n_cpu)
     matrix_to_tsv(km, args.out)
     print(
         "%d genomes x %d k-mers -> %s" % (km.n_genomes, km.n_kmers, args.out)

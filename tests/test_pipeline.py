@@ -63,3 +63,49 @@ def test_in_memory_pipeline_sharded(inmem):
     sharded = train_scm(ds2, random_seed=2, mesh=make_mesh(8))
     assert [str(r) for r in plain.model.rules] == [str(r) for r in sharded.model.rules]
     assert plain.test_metrics["risk"][0] == sharded.test_metrics["risk"][0]
+
+
+def test_planted_marker_full_artifact_pipeline(tmp_path, rng):
+    """Biology-shaped E2E: a resistance cassette planted in class-1 genomes
+    must be recovered as a Presence rule with zero test risk by BOTH the
+    exact host engine and the device CV-grid engine, through the full HDF5
+    artifact path (create -> split -> learn)."""
+    from grm_tpu.dataset import from_contigs
+    from grm_tpu.dataset.split import split_with_proportion
+    from grm_tpu.learning.experiments import learn_SCM
+
+    bases = np.array(list("ACGT"))
+    backbone = rng.randint(0, 4, 8000)
+    marker = rng.randint(0, 4, 80)
+    lines_c, lines_m = [], []
+    for g in range(16):
+        seq = backbone.copy()
+        seq[rng.randint(0, len(seq), 60)] = rng.randint(0, 4, 60)
+        label = g % 2
+        full = np.concatenate([seq, marker]) if label else seq
+        p = tmp_path / ("h%d.fna" % g)
+        p.write_text(">c0\n%s\n" % "".join(bases[full]))
+        lines_c.append("gen%d\t%s" % (g, p))
+        lines_m.append("gen%d\t%d" % (g, label))
+    (tmp_path / "c.tsv").write_text("\n".join(lines_c) + "\n")
+    (tmp_path / "m.tsv").write_text("\n".join(lines_m) + "\n")
+    ds = tmp_path / "ds.h5"
+    from_contigs(tmp_path / "c.tsv", ds, kmer_size=21,
+                 phenotype_description="amr",
+                 phenotype_metadata_path=tmp_path / "m.tsv", gzip=0)
+    split_with_proportion(ds, "sp", train_prop=0.75, random_seed=7, n_folds=3)
+
+    results = {}
+    for engine in ("host", "device"):
+        out = learn_SCM(dataset_file=ds, split_name="sp",
+                        model_type=["conjunction", "disjunction"],
+                        p=[0.562, 1.0, 1.778], max_rules=5,
+                        parameter_selection="cv", random_seed=3,
+                        engine=engine)
+        _, _, _, test_m, model, _, _, _ = out
+        results[engine] = ([str(r) for r in model.rules], test_m["risk"][0])
+
+    assert results["host"] == results["device"]
+    rules, risk = results["host"]
+    assert risk == 0.0
+    assert len(rules) >= 1 and rules[0].startswith("Presence(")

@@ -30,7 +30,7 @@ UTIL_BLOCK_SIZE = 1000000
 
 class DecisionTreeClassifier:
     def __init__(self, criterion, max_depth, min_samples_split, class_importance,
-                 engine="host"):
+                 engine="host", mesh=None):
         supported_criteria = ["gini", "cross-entropy"]
         if criterion not in supported_criteria:
             raise ValueError(
@@ -50,6 +50,10 @@ class DecisionTreeClassifier:
         # "device": impurity + argmin on device (f32), only the winning rule
         # index fetched — for accelerators with expensive D2H transfers.
         self.engine = engine
+        # Optional ("rows", "cols") device mesh: with engine="device",
+        # frontier scoring shards the k-mer columns over the mesh
+        # (cart_frontier_splits_sharded).
+        self.mesh = mesh
         self.decision_tree = None
 
     def fit(self, rules, rule_classifications, example_idx, rule_blacklist=None,
@@ -242,13 +246,27 @@ class DecisionTreeClassifier:
             ]
             device_results = None
             if use_device and splittable:
-                from ..parallel.cart_device import cart_frontier_splits_device
+                if self.mesh is not None:
+                    from ..parallel.cart_device import (
+                        cart_frontier_splits_sharded,
+                    )
 
-                device_results = cart_frontier_splits_device(
-                    rule_classifications.bit_matrix,
-                    [node.class_examples_idx for node in splittable],
-                    altered_priors, n_total_class_examples, self.criterion,
-                )
+                    device_results = cart_frontier_splits_sharded(
+                        rule_classifications.bit_matrix,
+                        [node.class_examples_idx for node in splittable],
+                        altered_priors, n_total_class_examples,
+                        self.criterion, self.mesh,
+                    )
+                else:
+                    from ..parallel.cart_device import (
+                        cart_frontier_splits_device,
+                    )
+
+                    device_results = cart_frontier_splits_device(
+                        rule_classifications.bit_matrix,
+                        [node.class_examples_idx for node in splittable],
+                        altered_priors, n_total_class_examples, self.criterion,
+                    )
             nodes_to_split = deque()
             for node_i, node in enumerate(splittable):
                 (selected_rule_idx, equivalent_rule_idx, left_idx, right_idx) = (

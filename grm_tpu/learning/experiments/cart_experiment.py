@@ -129,7 +129,7 @@ def _class_example_idx(example_idx, labels, n_classes):
 
 
 def _learn_pruned_tree_bound(hps, dataset, split_name, delta, max_genome_size,
-                             rule_blacklist, engine="host"):
+                             rule_blacklist, engine="host", mesh=None):
     """Grow a master tree and prune by bound value (experiment_cart.py:208-294)."""
     split = dataset.get_split(split_name)
     train_idx = split.train_genome_idx
@@ -144,6 +144,7 @@ def _learn_pruned_tree_bound(hps, dataset, split_name, delta, max_genome_size,
         min_samples_split=hps["min_samples_split"],
         class_importance=hps["class_importance"],
         engine=engine,
+        mesh=mesh,
     )
     master.fit(
         rules=rules,
@@ -180,7 +181,8 @@ def _learn_pruned_tree_bound(hps, dataset, split_name, delta, max_genome_size,
     return hps, min_score, min_score_tree
 
 
-def _learn_pruned_tree_cv(hps, dataset, split_name, rule_blacklist, engine="host"):
+def _learn_pruned_tree_cv(hps, dataset, split_name, rule_blacklist, engine="host",
+                          mesh=None):
     """Breiman-style CV cost-complexity pruning (experiment_cart.py:297-434)."""
     split = dataset.get_split(split_name)
     train_idx = split.train_genome_idx
@@ -196,6 +198,7 @@ def _learn_pruned_tree_cv(hps, dataset, split_name, rule_blacklist, engine="host
             min_samples_split=hps["min_samples_split"],
             class_importance=hps["class_importance"],
             engine=engine,
+            mesh=mesh,
         )
 
     fold_predictors = [_make_predictor() for _ in split.folds]
@@ -350,8 +353,8 @@ def _find_rule_blacklist(dataset, kmer_blacklist_file, warning_callback):
 def learn_CART(dataset_file, split_name, criterion, max_depth, min_samples_split,
                class_importance, bound_delta=None, bound_max_genome_size=None,
                kmer_blacklist_file=None, parameter_selection="cv", n_cpu=None,
-               authorized_rules="", engine="host", progress_callback=None, warning_callback=None,
-               error_callback=None):
+               authorized_rules="", engine="host", mesh=None, progress_callback=None,
+               warning_callback=None, error_callback=None):
     """Learn a CART model (reference entry point experiment_cart.py:521-646)."""
     if warning_callback is None:
         warning_callback = lambda w: logging.warning(w)
@@ -391,7 +394,8 @@ def learn_CART(dataset_file, split_name, criterion, max_depth, min_samples_split
                 )
             )
         func = partial(_learn_pruned_tree_bound, delta=bound_delta,
-                       max_genome_size=bound_max_genome_size, engine=engine)
+                       max_genome_size=bound_max_genome_size, engine=engine,
+                       mesh=mesh)
         best_hp_score, best_hps, best_master_tree = train_tree(
             dataset, split_name, criterion, class_importance, max_depth,
             min_samples_split, rule_blacklist, progress_callback, func,
@@ -406,7 +410,8 @@ def learn_CART(dataset_file, split_name, criterion, max_depth, min_samples_split
         best_hp_score, best_hps, best_master_tree = train_tree(
             dataset, split_name, criterion, class_importance, max_depth,
             min_samples_split, rule_blacklist, progress_callback,
-            partial(_learn_pruned_tree_cv, engine=engine), "cross-validation",
+            partial(_learn_pruned_tree_cv, engine=engine, mesh=mesh),
+            "cross-validation",
         )
     else:
         error_callback(ValueError("Unknown hyperparameter selection strategy specified."))

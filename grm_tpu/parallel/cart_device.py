@@ -19,7 +19,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cart_best_split_device", "cart_frontier_splits_device"]
+__all__ = [
+    "cart_best_split_device",
+    "cart_frontier_splits_device",
+    "cart_frontier_splits_sharded",
+]
 
 
 @partial(jax.jit, static_argnames=("criterion",))
@@ -166,6 +170,152 @@ def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
         )
         cols[lo:hi] = np.asarray(jax.device_get(ch_cols))[: hi - lo]
         scores[lo:hi] = np.asarray(jax.device_get(ch_scores))[: hi - lo]
+    return [
+        (None, np.inf) if not np.isfinite(scores[i]) else
+        (int(cols[i]), float(scores[i]))
+        for i in range(n)
+    ]
+
+
+def _frontier_masks(bit_matrix, node_example_sets, altered_priors,
+                    total_n_examples_by_class):
+    """Shared mask/param assembly: (masks (N,C,W) u32, priors, totals)."""
+    from .scm_device import build_packed_mask
+
+    classes = sorted(total_n_examples_by_class)
+    n, c, w = len(node_example_sets), len(classes), bit_matrix.n_words
+    masks = np.zeros((n, c, w), np.uint32)
+    for i, example_idx in enumerate(node_example_sets):
+        for ci, cl in enumerate(classes):
+            idx = example_idx.get(cl, ())
+            if len(idx):
+                masks[i, ci] = build_packed_mask(idx, bit_matrix.n_rows, w)
+    priors = np.array([altered_priors[cl] for cl in classes], np.float32)
+    totals = np.array(
+        [total_n_examples_by_class[cl] for cl in classes], np.float32
+    )
+    return masks, priors, totals
+
+
+def _sharded_frontier_fn(mesh, sweep, crit, local_k, _cache={}):
+    """Build (and cache) the jitted shard_map frontier scorer.
+
+    Keyed so repeated BFS levels of a tree run reuse one compiled program
+    per chunk shape instead of re-tracing a fresh closure every level.
+    """
+    key = (mesh, sweep, crit, local_k)
+    if key in _cache:
+        return _cache[key]
+
+    from jax.sharding import PartitionSpec as P
+
+    def body(matrix_local, masks, priors, totals):
+        if sweep == "xla":
+            cols_l, scores_l = jax.vmap(
+                lambda cm: _best_split(matrix_local, cm, priors, totals, crit)
+            )(masks)
+        else:
+            from ..ops.pallas_cart_sweep import cart_frontier_scores_pallas
+
+            n_node = jnp.sum(
+                jax.lax.population_count(masks), axis=2
+            ).astype(jnp.int32)
+            cols_l, scores_l = cart_frontier_scores_pallas(
+                matrix_local, masks, n_node, priors, totals, crit,
+                local_k, interpret=(sweep == "pallas_interpret"),
+            )
+        # (S, Nc) gathered winners, shard order == ascending column ranges.
+        all_scores = jax.lax.all_gather(scores_l, "cols")
+        all_cols = jax.lax.all_gather(cols_l, "cols")
+        best_shard = jnp.argmin(all_scores, axis=0)  # first occurrence
+        nn = jnp.arange(all_scores.shape[1])
+        best_score = all_scores[best_shard, nn]
+        best_col = (best_shard * local_k
+                    + all_cols[best_shard, nn]).astype(jnp.int32)
+        return best_col, best_score
+
+    rep = P()
+    run = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(None, "cols"), rep, rep, rep),
+            out_specs=(rep, rep),
+            check_vma=False,
+        )
+    )
+    _cache[key] = run
+    return run
+
+
+def cart_frontier_splits_sharded(bit_matrix, node_example_sets, altered_priors,
+                                 total_n_examples_by_class, criterion, mesh,
+                                 sweep=None):
+    """Column-sharded frontier split scoring over a ("rows", "cols") mesh.
+
+    The matrix's k-mer columns spread over the mesh "cols" axis (the
+    framework's long-axis parallelism, SURVEY.md section 2.6); node masks
+    are replicated. Each shard scores the frontier on its local columns,
+    the per-shard winners combine with an ``all_gather`` of O(N x shards)
+    scalars, and the global winner per node is the min score with ties to
+    the lowest global column (all_gather shard order == ascending column
+    ranges, so a first-occurrence argmin suffices). Zero padding columns
+    self-exclude: an all-zero column makes the left child empty, which the
+    scorer already sends to +inf.
+
+    Same return contract as :func:`cart_frontier_splits_device`.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh.shape.get("rows", 1) != 1:
+        raise ValueError("cart_frontier_splits_sharded shards columns only")
+    if sweep is None:
+        sweep = "pallas" if jax.default_backend() == "tpu" else "xla"
+    n_shards = mesh.shape["cols"]
+
+    masks, priors, totals = _frontier_masks(
+        bit_matrix, node_example_sets, altered_priors,
+        total_n_examples_by_class,
+    )
+    n = masks.shape[0]
+    crit = "gini" if criterion == "gini" else "cross-entropy"
+
+    matrix = bit_matrix.data
+    kp = matrix.shape[1]
+    col_pad = (-kp) % n_shards
+    sharding = NamedSharding(mesh, P(None, "cols"))
+    if not isinstance(matrix, jax.Array):
+        if col_pad:
+            matrix = np.pad(np.asarray(matrix), ((0, 0), (0, col_pad)))
+        matrix = jax.device_put(matrix, sharding)
+    elif col_pad or matrix.sharding != sharding:
+        matrix = jax.jit(
+            lambda m: jnp.pad(m, ((0, 0), (0, col_pad))),
+            out_shardings=sharding,
+        )(matrix)
+    local_k = matrix.shape[1] // n_shards
+    # Real columns beyond bit_matrix.n_columns (artifact padding) must also
+    # self-exclude; BitMatrix guarantees padding columns are zero.
+
+    rep_sharding = NamedSharding(mesh, P())
+    priors_d = jax.device_put(priors, rep_sharding)
+    totals_d = jax.device_put(totals, rep_sharding)
+    run = _sharded_frontier_fn(mesh, sweep, crit, local_k)
+
+    # Fixed-size frontier chunks: bound the per-shard VMEM footprint and
+    # bucket every call of a tree run into one compiled shape (zero-mask
+    # padding rows -> empty children -> +inf, sliced off).
+    chunk = min(128, max(32, -(-n // 32) * 32))
+    cols = np.empty(n, np.int64)
+    scores = np.empty(n, np.float64)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        m = np.zeros((chunk,) + masks.shape[1:], np.uint32)
+        m[: hi - lo] = masks[lo:hi]
+        ch_cols, ch_scores = jax.device_get(run(
+            matrix, jax.device_put(m, rep_sharding), priors_d, totals_d
+        ))
+        cols[lo:hi] = ch_cols[: hi - lo]
+        scores[lo:hi] = ch_scores[: hi - lo]
     return [
         (None, np.inf) if not np.isfinite(scores[i]) else
         (int(cols[i]), float(scores[i]))

@@ -223,3 +223,20 @@ def test_frontier_pallas_matches_per_node_xla(rng):
             assert np.isclose(ws, gs, rtol=1e-5) or (
                 not np.isfinite(ws) and not np.isfinite(gs)
             )
+
+
+def test_learn_cart_sharded_matches_device(planted_dataset):
+    """Column-sharded frontier scoring over the 8-device mesh must pick the
+    same tree as the single-device engine."""
+    from grm_tpu.parallel.mesh import make_mesh
+
+    ds_path, marker, k = planted_dataset
+    kwargs = dict(dataset_file=ds_path, split_name="sp", criterion="gini",
+                  max_depth=3, min_samples_split=2,
+                  class_importance={0: 1.0, 1: 1.0},
+                  parameter_selection="cv", engine="device")
+    dev = learn_CART(**kwargs)
+    shd = learn_CART(mesh=make_mesh(8), **kwargs)
+    assert str(dev[4]) == str(shd[4])
+    assert dev[3]["risk"] == shd[3]["risk"]
+    assert dev[3]["risk"][0] == 0.0

@@ -148,7 +148,11 @@ def _sweep_xla(matrix, pos, neg, ps, n_neg, n_pos, n_kmers, block,
         jnp.full((f,), neg_inf), jnp.zeros((f,), jnp.int32),
     )
     if axis_name is not None:
-        init = tuple(jax.lax.pvary(x, axis_name) for x in init)
+        pcast = getattr(jax.lax, "pcast", None)
+        if pcast is not None:
+            init = tuple(pcast(x, axis_name, to="varying") for x in init)
+        else:  # pragma: no cover - older jax
+            init = tuple(jax.lax.pvary(x, axis_name) for x in init)
     (bpu, bpi, bau, bai), _ = jax.lax.scan(
         scan_block, init, jnp.arange(nb, dtype=jnp.int32)
     )

@@ -380,17 +380,22 @@ long grm_merge_union_cols64(const uint64_t* list_addrs, const int64_t* sizes,
                             long cap) {
     if (nw < 1 || nw > 2 || n_lists < 1) return -2;
 
+    // Loser tree over M = next_pow2(n_lists) leaves; tree[n] parks the loser
+    // at internal node n. cur/rank are sized M so padding leaves carry real
+    // sentinel entries (the branchless replay indexes them directly).
+    int M = 1;
+    while (M < n_lists) M <<= 1;
     // Per-stream cursors. Streams are passed as raw addresses (no host-side
     // concatenation: on this class of VM, first-touch page faults on a fresh
     // concat buffer cost more than the merge itself).
     std::vector<const uint32_t*> ptr(n_lists);
     std::vector<const uint32_t*> end(n_lists);
-    std::vector<uint64_t> cur(n_lists);
+    std::vector<uint64_t> cur(M, ~0ULL);
     std::vector<int64_t> col_base(n_lists + 1);
     std::vector<int64_t> idx(n_lists);
     // rank orders streams with equal keys; exhausted streams get
     // n_lists + i so a real all-ones key still beats the sentinel.
-    std::vector<int> rank(n_lists);
+    std::vector<int> rank(M);
     long remaining = 0;
 
     auto load = [&](int i) {
@@ -404,6 +409,7 @@ long grm_merge_union_cols64(const uint64_t* list_addrs, const int64_t* sizes,
                      ? (uint64_t)row[0]
                      : (((uint64_t)row[0] << 32) | (uint64_t)row[1]);
     };
+    for (int i = 0; i < M; i++) rank[i] = 2 * M + i;  // padding sentinels
     col_base[0] = 0;
     for (int i = 0; i < n_lists; i++) {
         ptr[i] = (const uint32_t*)(uintptr_t)list_addrs[i];
@@ -415,17 +421,8 @@ long grm_merge_union_cols64(const uint64_t* list_addrs, const int64_t* sizes,
         remaining += sizes[i];
     }
 
-    // Loser tree over M = next_pow2(n_lists) leaves; tree[n] parks the loser
-    // at internal node n. Padding leaves carry the sentinel key with the
-    // largest ranks, so they never win while real streams remain.
-    int M = 1;
-    while (M < n_lists) M <<= 1;
     auto less = [&](int a, int b) {
-        uint64_t ka = (a < n_lists) ? cur[a] : ~0ULL;
-        uint64_t kb = (b < n_lists) ? cur[b] : ~0ULL;
-        int ra = (a < n_lists) ? rank[a] : 2 * M + a;
-        int rb = (b < n_lists) ? rank[b] : 2 * M + b;
-        return ka < kb || (ka == kb && ra < rb);
+        return cur[a] < cur[b] || (cur[a] == cur[b] && rank[a] < rank[b]);
     };
     std::vector<int> tree(M);
     int winner;
@@ -465,15 +462,21 @@ long grm_merge_union_cols64(const uint64_t* list_addrs, const int64_t* sizes,
         ptr[i] += nw;
         remaining--;
         load(i);
-        // Replay the path from leaf i to the root.
+        // Branchless replay from leaf i to the root (see
+        // grm_merge_union_bits64 for why).
         int node = (M + i) >> 1;
         winner = i;
+        uint64_t wk = cur[winner];
+        int wr = rank[winner];
         while (node >= 1) {
-            if (less(tree[node], winner)) {
-                int t = winner;
-                winner = tree[node];
-                tree[node] = t;
-            }
+            const int t = tree[node];
+            const uint64_t tk = cur[t];
+            const int tr = rank[t];
+            const bool sw = (tk < wk) | ((tk == wk) & (tr < wr));
+            tree[node] = sw ? winner : t;
+            winner = sw ? t : winner;
+            wk = sw ? tk : wk;
+            wr = sw ? tr : wr;
             node >>= 1;
         }
     }
@@ -503,10 +506,14 @@ long grm_merge_union_bits64(const uint64_t* list_addrs, const int64_t* sizes,
     if (nw < 1 || nw > 2 || n_lists < 1) return -2;
     const int n_words = (n_lists + 63) >> 6;
 
+    int M = 1;
+    while (M < n_lists) M <<= 1;
+    // Arrays sized M so padding leaves [n_lists, M) carry real sentinel
+    // entries — the branchless replay indexes them directly.
     std::vector<const uint32_t*> ptr(n_lists);
     std::vector<const uint32_t*> end(n_lists);
-    std::vector<uint64_t> cur(n_lists);
-    std::vector<int> rank(n_lists);
+    std::vector<uint64_t> cur(M, ~0ULL);
+    std::vector<int> rank(M);
     long remaining = 0;
 
     auto load = [&](int i) {
@@ -520,6 +527,7 @@ long grm_merge_union_bits64(const uint64_t* list_addrs, const int64_t* sizes,
                      ? (uint64_t)row[0]
                      : (((uint64_t)row[0] << 32) | (uint64_t)row[1]);
     };
+    for (int i = 0; i < M; i++) rank[i] = 2 * M + i;  // padding sentinels
     for (int i = 0; i < n_lists; i++) {
         ptr[i] = (const uint32_t*)(uintptr_t)list_addrs[i];
         end[i] = ptr[i] + sizes[i] * nw;
@@ -528,14 +536,8 @@ long grm_merge_union_bits64(const uint64_t* list_addrs, const int64_t* sizes,
         remaining += sizes[i];
     }
 
-    int M = 1;
-    while (M < n_lists) M <<= 1;
     auto less = [&](int a, int b) {
-        uint64_t ka = (a < n_lists) ? cur[a] : ~0ULL;
-        uint64_t kb = (b < n_lists) ? cur[b] : ~0ULL;
-        int ra = (a < n_lists) ? rank[a] : 2 * M + a;
-        int rb = (b < n_lists) ? rank[b] : 2 * M + b;
-        return ka < kb || (ka == kb && ra < rb);
+        return cur[a] < cur[b] || (cur[a] == cur[b] && rank[a] < rank[b]);
     };
     std::vector<int> tree(M);
     int winner;
@@ -576,14 +578,23 @@ long grm_merge_union_bits64(const uint64_t* list_addrs, const int64_t* sizes,
         ptr[i] += nw;
         remaining--;
         load(i);
+        // Branchless replay: the loser/winner swap outcome is ~random, so
+        // a branchy swap pays a misprediction per level per element (the
+        // dominant cost of the flat merge). Conditional-select keeps the
+        // pipeline full; keys and ranks compare arithmetically.
         int node = (M + i) >> 1;
         winner = i;
+        uint64_t wk = cur[winner];
+        int wr = rank[winner];
         while (node >= 1) {
-            if (less(tree[node], winner)) {
-                int t = winner;
-                winner = tree[node];
-                tree[node] = t;
-            }
+            const int t = tree[node];
+            const uint64_t tk = cur[t];
+            const int tr = rank[t];
+            const bool sw = (tk < wk) | ((tk == wk) & (tr < wr));
+            tree[node] = sw ? winner : t;
+            winner = sw ? t : winner;
+            wk = sw ? tk : wk;
+            wr = sw ? tr : wr;
             node >>= 1;
         }
     }

@@ -311,7 +311,8 @@ def merge_union_bits_native(kmer_lists, nw):
     return out_union[:n], out_counts[:n], matrix
 
 
-def merge_union_bits_parallel(kmer_lists, nw, n_threads=None):
+def merge_union_bits_parallel(kmer_lists, nw, n_threads=None,
+                              min_total=1 << 22):
     """Partition-parallel fused dsk2kover merge (nw in [1, 8], k up to 128).
 
     The fused loser-tree merge (:func:`merge_union_bits_native`) is a single
@@ -339,7 +340,7 @@ def merge_union_bits_parallel(kmer_lists, nw, n_threads=None):
               for a in kmer_lists]
     sizes = np.array([a.shape[0] for a in arrays], dtype=np.int64)
     total = int(sizes.sum())
-    if n_threads <= 1 or total < (1 << 22) or len(arrays) < 2:
+    if n_threads <= 1 or total < min_total or len(arrays) < 2:
         return merge_union_bits_native(arrays, nw)
     if total >= 2 ** 31:
         raise ValueError("merge_union_bits_parallel: total k-mers >= 2^31")

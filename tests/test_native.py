@@ -168,13 +168,12 @@ def test_merge_union_bits_parallel_matches_serial(rng, n_genomes, nw):
 
     import grm_tpu.native.bindings as bindings
 
-    # Replicate the genome set until the total crosses the threaded-path
-    # gate (2^22 elements), so the partitioned merge really runs.
-    reps = 1
-    while sum(l.shape[0] for l in lists) * reps <= (1 << 22):
-        reps *= 2
-    big = lists * reps
-    u_par, c_par, m_par = bindings.merge_union_bits_parallel(big, nw, n_threads=3)
+    # Drop the threaded-path gate so the partitioned merge really runs
+    # at test scale (a light replication still exercises multi-partition
+    # boundaries).
+    big = lists * 4
+    u_par, c_par, m_par = bindings.merge_union_bits_parallel(
+        big, nw, n_threads=3, min_total=1)
     u_ser, c_ser, m_ser = bindings.merge_union_bits_native(big, nw)
     np.testing.assert_array_equal(u_par, u_ser)
     np.testing.assert_array_equal(c_par, c_ser)
@@ -204,13 +203,11 @@ def test_merge_union_bits_rows_matches_generic(rng, k, nw):
         want[g // 64, cols] |= np.uint64(1) << np.uint64(63 - (g % 64))
     np.testing.assert_array_equal(matrix, want)
 
-    # Parallel driver agrees for multiword rows too (force the threaded
-    # path by replication past the 2^22-element gate).
-    reps = 1
-    while sum(l.shape[0] for l in lists) * reps <= (1 << 22):
-        reps *= 2
-    big = lists * reps
-    u_par, c_par, m_par = nb.merge_union_bits_parallel(big, nw, n_threads=3)
+    # Parallel driver agrees for multiword rows too (gate dropped so the
+    # threaded path runs at test scale).
+    big = lists * 4
+    u_par, c_par, m_par = nb.merge_union_bits_parallel(
+        big, nw, n_threads=3, min_total=1)
     u_ser, c_ser, m_ser = nb.merge_union_bits_native(big, nw)
     np.testing.assert_array_equal(u_par, u_ser)
     np.testing.assert_array_equal(c_par, c_ser)

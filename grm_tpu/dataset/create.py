@@ -206,15 +206,63 @@ def _write_matrix(f, km, gzip, progress_callback):
         compression=compression,
         compression_opts=compression_opts,
     )
-    f.create_dataset(
-        "kmer_matrix",
-        data=km.matrix,
-        dtype=KMER_MATRIX_DTYPE,
-        compression=compression,
-        compression_opts=compression_opts,
-        chunks=(1, block),
-    )
+    _write_matrix_chunks(f, np.ascontiguousarray(km.matrix,
+                                                 dtype=KMER_MATRIX_DTYPE),
+                         gzip, block, progress_callback)
     progress_callback("Creating", 1.0)
+
+
+def _write_matrix_chunks(f, matrix, gzip, block, progress_callback,
+                         name="kmer_matrix"):
+    """Write the packed matrix dataset with thread-parallel gzip.
+
+    h5py's filter pipeline compresses chunks serially on one core; at
+    published-dataset scale (GBs of packed matrix) the gzip becomes the
+    slowest ingest stage. Chunks are independent deflate streams, so
+    compress them on a thread pool (zlib releases the GIL) and hand the
+    ready bytes to ``write_direct_chunk`` — byte-compatible with the
+    reference layout (chunked ``(1, block)``, deflate level = ``gzip``,
+    ``create.py:224-230``).
+    """
+    n_rows, n_cols = matrix.shape
+    ds = f.create_dataset(
+        name,
+        shape=matrix.shape,
+        dtype=matrix.dtype,
+        compression="gzip" if gzip > 0 else None,
+        compression_opts=gzip if gzip > 0 else None,
+        chunks=(1, block) if n_cols else None,
+    )
+    if not n_cols:
+        return
+    if gzip <= 0:
+        ds[...] = matrix
+        return
+
+    import zlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunk_slices = [
+        (r, c, min(c + block, n_cols))
+        for r in range(n_rows)
+        for c in range(0, n_cols, block)
+    ]
+
+    def compress(args):
+        r, c0, c1 = args
+        chunk = matrix[r : r + 1, c0:c1]
+        if c1 - c0 < block:  # ragged tail: HDF5 chunks are full-size
+            chunk = np.pad(chunk, ((0, 0), (0, block - (c1 - c0))))
+        return r, c0, zlib.compress(np.ascontiguousarray(chunk).tobytes(),
+                                    gzip)
+
+    n_workers = min(os.cpu_count() or 1, 8)
+    done = 0
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        for r, c0, payload in pool.map(compress, chunk_slices):
+            ds.id.write_direct_chunk((r, c0), payload, filter_mask=0)
+            done += 1
+            progress_callback("Creating", done / len(chunk_slices))
 
 
 def from_contigs(contig_list_path, output_path, kmer_size, filter_singleton=False,
@@ -388,8 +436,8 @@ def from_tsv(tsv_path, output_path, phenotype_description=None,
         compression=compression,
         compression_opts=compression_opts,
     )
-    f.create_dataset("kmer_matrix", data=packed, dtype=KMER_MATRIX_DTYPE,
-                     compression=compression, compression_opts=compression_opts,
-                     chunks=(1, block))
+    _write_matrix_chunks(f, np.ascontiguousarray(packed,
+                                                 dtype=KMER_MATRIX_DTYPE),
+                         gzip, block, progress_callback)
     progress_callback("Creating", 1.0)
     f.close()

@@ -197,7 +197,7 @@ def _cmd_dataset_info(argv):
         for gid in ds.genome_identifiers:
             print(gid)
         print()
-    if args.genome_count:
+    if args.genome_count or args.all:
         print("Genome count:", ds.genome_count, end="\n\n")
     if args.kmers or args.all:
         print("Kmer sequences (fasta):")
@@ -218,10 +218,6 @@ def _cmd_dataset_info(argv):
             print("No phenotype metadata.", end="\n\n")
     if args.phenotype_tags or args.all:
         print("Phenotype tags: ", ", ".join(str(t) for t in ds.phenotype.tags), end="\n\n")
-    if args.compression or args.all:
-        print("Compression:", ds.compression, end="\n\n")
-    if args.classification_type or args.all:
-        print("Classification type:", ds.classification_type, end="\n\n")
     if args.splits or args.all:
         splits = ds.splits
         if splits:
@@ -230,6 +226,13 @@ def _cmd_dataset_info(argv):
                 print(split)
         else:
             print("There are no splits available for learning.")
+        print()
+    if args.uuid or args.all:
+        print("UUID:", ds.uuid, end="\n\n")
+    if args.compression or args.all:
+        print("Compression:", ds.compression, end="\n\n")
+    if args.classification_type or args.all:
+        print("Classification type:", ds.classification_type, end="\n\n")
 
 
 # ---------------------------------------------------------------------------

@@ -67,6 +67,14 @@ def test_cli_full_pipeline(cli_workspace):
     assert "sp1" in r.stdout
     assert "resistant, susceptible" in r.stdout
 
+    r = _run(["dataset", "info", "--dataset", "amr.h5", "--all"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    for field in ("Genome type:", "Genome source:", "Genome count: 12",
+                  "K-mer length:", "K-mer count:", "Phenotype description:",
+                  "Phenotype tags:", "UUID:", "Compression:",
+                  "Classification type:", "splits"):
+        assert field in r.stdout, field
+
     r = _run(["learn", "scm", "--dataset", "amr.h5", "--split", "sp1",
               "--model-type", "conjunction", "disjunction",
               "--p", "0.5", "1.0", "--max-rules", "3",

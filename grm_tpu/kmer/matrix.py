@@ -149,18 +149,13 @@ def build_presence_matrix(genome_kmers, filter_singleton=False, k=None,
             offset += sizes[g_idx]
             genome_counts[cols] += 1
 
-    if matrix is None:
+    if matrix is None:  # numpy fallback path (no native library)
         n_words64 = -(-n_genomes // 64)
         matrix = np.zeros((n_words64, n_kmers), dtype=np.uint64)
-        if use_native:
-            from ..native.bindings import set_presence_bits_native
-
-            set_presence_bits_native(matrix, col_arrays)
-        else:
-            for g_idx, cols in enumerate(col_arrays):
-                word = g_idx // 64
-                bit = np.uint64(1) << np.uint64(63 - (g_idx % 64))
-                matrix[word, cols] |= bit
+        for g_idx, cols in enumerate(col_arrays):
+            word = g_idx // 64
+            bit = np.uint64(1) << np.uint64(63 - (g_idx % 64))
+            matrix[word, cols] |= bit
 
     if filter_singleton:
         keep = genome_counts != 1

@@ -61,12 +61,15 @@ except ImportError:  # pragma: no cover
 __all__ = ["scm_utility_argmax_pallas", "BLOCK_K"]
 
 # 4K columns per block: measured ~16% faster than 1K at median-dataset
-# scale on v5e (fewer grid steps amortize the per-block mask reload; VMEM
-# stays far under the chip's budget — the scratch tile is w32p * BLOCK_K).
+# scale on v5e (fewer grid steps amortize the per-block mask reload).
 BLOCK_K = 4096
 _NEG_INF = float(np.finfo(np.float32).min)
 _POS_INF = float(np.finfo(np.float32).max)
-_VMEM_BUDGET = 24 << 20
+# The scoped-vmem stack limit is 16 MB on v5e; budget below it so the
+# scratch + counts + score tiles fit at ANY genome count (a 24 MB budget
+# compiled fine at 342 genomes but OOMed the scoped stack at the largest
+# published dataset's 5022 genomes / 157 word rows).
+_VMEM_BUDGET = 13 << 20
 
 
 def pick_block_k(w32p, row_bytes_per_col, k, block=None):

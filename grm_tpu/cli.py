@@ -28,6 +28,15 @@ import numpy as np
 DEFAULT_P = [0.1, 0.316, 0.562, 1.0, 1.778, 3.162, 10.0, 999999.0]
 
 
+def _make_cli_mesh(n_devices):
+    """("rows","cols") mesh over N local devices for --n-devices, or None."""
+    if not n_devices or n_devices <= 1:
+        return None
+    from .parallel.mesh import make_mesh
+
+    return make_mesh(n_devices, row_devices=1)
+
+
 def _progress_printer(enabled):
     if not enabled:
         return None
@@ -259,6 +268,9 @@ def _cmd_learn_scm(argv):
     parser.add_argument("--engine", choices=["host", "device"], default="host",
                         help="host = exact reference selection semantics; "
                              "device = fused on-accelerator CV/fit (fast path).")
+    parser.add_argument("--n-devices", type=int, default=0,
+                        help="Shard k-mer columns over N local accelerator "
+                             "devices (device engine; 0 = single device).")
     parser.add_argument("--output-dir", default=".")
     parser.add_argument("-x", "--progress", action="store_true")
     parser.add_argument("-v", "--verbose", action="store_true")
@@ -313,6 +325,7 @@ def _cmd_learn_scm(argv):
         random_seed=args.random_seed,
         authorized_rules=args.authorized_rules,
         engine=args.engine,
+        mesh=_make_cli_mesh(args.n_devices),
         progress_callback=progress,
     )
     running_time = time() - start
@@ -395,6 +408,9 @@ def _cmd_learn_tree(argv):
                         help="host = exact reference split-selection "
                              "semantics; device = on-accelerator impurity "
                              "argmin (fast path).")
+    parser.add_argument("--n-devices", type=int, default=0,
+                        help="Shard k-mer columns over N local accelerator "
+                             "devices (device engine; 0 = single device).")
     parser.add_argument("--output-dir", default=".")
     parser.add_argument("-x", "--progress", action="store_true")
     parser.add_argument("-v", "--verbose", action="store_true")
@@ -465,6 +481,7 @@ def _cmd_learn_tree(argv):
         authorized_rules=args.authorized_rules,
         n_cpu=args.n_cpu,
         engine=args.engine,
+        mesh=_make_cli_mesh(args.n_devices),
         progress_callback=progress,
     )
     running_time = time() - start

@@ -11,10 +11,15 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run(args, cwd):
+def _run(args, cwd, n_devices=1):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["GRM_PLATFORM"] = "cpu"  # sitecustomize may override JAX_PLATFORMS
+    if n_devices > 1:
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=%d" % n_devices
+        )
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     # Share compiled XLA programs across the spawned CLI processes.
     env["JAX_COMPILATION_CACHE_DIR"] = "/tmp/grm_jax_cache"
@@ -153,3 +158,18 @@ def test_cli_errors(cli_workspace):
              cwd=tmp)
     assert r.returncode != 0
     assert "does not exist" in r.stdout
+
+
+def test_cli_learn_n_devices(cli_workspace):
+    """--engine device --n-devices N (column-sharded engines through the
+    CLI) picks the same model as the default host engine."""
+    tmp = cli_workspace
+    r = _run(["learn", "scm", "--dataset", "amr.h5", "--split", "sp1",
+              "--p", "0.5", "1.0", "--max-rules", "3", "--hp-choice", "cv",
+              "--engine", "device", "--n-devices", "4",
+              "--output-dir", "scm_dev4"], cwd=tmp, n_devices=4)
+    assert r.returncode == 0, r.stderr
+    sharded = json.loads((tmp / "scm_dev4" / "results.json").read_text())
+    host = json.loads((tmp / "scm_out" / "results.json").read_text())
+    assert sharded["model"]["rules"] == host["model"]["rules"]
+    assert sharded["metrics"]["test"]["risk"] == host["metrics"]["test"]["risk"]

@@ -624,31 +624,54 @@ long grm_merge_union_bits_rows(const uint64_t* list_addrs, const int64_t* sizes,
     if (nw < 1 || nw > 8 || n_lists < 1) return -2;
     const int n_words = (n_lists + 63) >> 6;
 
+    int M = 1;
+    while (M < n_lists) M <<= 1;
+    // Each stream caches a 64-bit PREFIX of its head row (first two words,
+    // big-endian significant): the replay compares prefixes branchlessly
+    // like the u64 kernel, and falls to a full-row tie compare only when
+    // prefixes are equal (rare for k > 32 — it needs a shared 32-base
+    // prefix). cur/rank are sized M so padding leaves hold sentinels.
     std::vector<const uint32_t*> ptr(n_lists);
     std::vector<const uint32_t*> end(n_lists);
-    std::vector<char> done(n_lists);
+    std::vector<uint64_t> cur(M, ~0ULL);
+    std::vector<int> rank(M);
     long remaining = 0;
+
+    auto load = [&](int i) {
+        if (ptr[i] >= end[i]) {
+            cur[i] = ~0ULL;
+            rank[i] = n_lists + i;
+            return;
+        }
+        const uint32_t* row = ptr[i];
+        cur[i] = (nw == 1)
+                     ? (uint64_t)row[0]
+                     : (((uint64_t)row[0] << 32) | (uint64_t)row[1]);
+    };
+    for (int i = 0; i < M; i++) rank[i] = 2 * M + i;  // padding sentinels
     for (int i = 0; i < n_lists; i++) {
         ptr[i] = (const uint32_t*)(uintptr_t)list_addrs[i];
         end[i] = ptr[i] + sizes[i] * nw;
-        done[i] = (sizes[i] == 0);
+        rank[i] = i;
+        load(i);
         remaining += sizes[i];
     }
 
-    int M = 1;
-    while (M < n_lists) M <<= 1;
-    // less(a, b): does stream a's head precede stream b's head?
-    auto less = [&](int a, int b) {
-        const bool da = (a >= n_lists) || done[a];
-        const bool db = (b >= n_lists) || done[b];
-        if (da) return false;   // exhausted streams never precede
-        if (db) return true;    // live stream precedes an exhausted one
+    // Equal-prefix ordering: exhausted/padding (rank >= n_lists) order by
+    // rank (live streams always precede them); live streams compare the
+    // tail words, then rank.
+    auto tie_less = [&](int a, int b) {
+        if (rank[a] >= n_lists || rank[b] >= n_lists)
+            return rank[a] < rank[b];
         const uint32_t* ra = ptr[a];
         const uint32_t* rb = ptr[b];
-        for (int j = 0; j < nw; j++) {
+        for (int j = 2; j < nw; j++) {
             if (ra[j] != rb[j]) return ra[j] < rb[j];
         }
-        return a < b;
+        return rank[a] < rank[b];
+    };
+    auto less = [&](int a, int b) {
+        return cur[a] < cur[b] || (cur[a] == cur[b] && tie_less(a, b));
     };
     std::vector<int> tree(M);
     int winner;
@@ -680,15 +703,24 @@ long grm_merge_union_bits_rows(const uint64_t* list_addrs, const int64_t* sizes,
             1ULL << (63 - (i & 63));
         ptr[i] += nw;
         remaining--;
-        if (ptr[i] >= end[i]) done[i] = 1;
+        load(i);
+        // Replay: branchless prefix select; the equal-prefix fallback is a
+        // predictable rarely-taken branch.
         int node = (M + i) >> 1;
         winner = i;
+        uint64_t wk = cur[winner];
         while (node >= 1) {
-            if (less(tree[node], winner)) {
-                int t = winner;
-                winner = tree[node];
-                tree[node] = t;
+            const int t = tree[node];
+            const uint64_t tk = cur[t];
+            bool sw;
+            if (tk != wk) {
+                sw = tk < wk;
+            } else {
+                sw = tie_less(t, winner);
             }
+            tree[node] = sw ? winner : t;
+            winner = sw ? t : winner;
+            wk = sw ? tk : wk;
             node >>= 1;
         }
     }

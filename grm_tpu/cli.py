@@ -28,10 +28,26 @@ import numpy as np
 DEFAULT_P = [0.1, 0.316, 0.562, 1.0, 1.778, 3.162, 10.0, 999999.0]
 
 
-def _make_cli_mesh(n_devices):
-    """("rows","cols") mesh over N local devices for --n-devices, or None."""
+def _make_cli_mesh(n_devices, engine):
+    """("rows","cols") mesh over N local devices for --n-devices, or None.
+
+    Validates the request: sharding requires the device engine and N
+    available local devices (a silent fallback would hide that the user's
+    sharding never happened).
+    """
     if not n_devices or n_devices <= 1:
         return None
+    if engine != "device":
+        print("Error: --n-devices requires --engine device (the host engine "
+              "is the single-process exact-parity path).")
+        sys.exit(1)
+    import jax
+
+    available = len(jax.devices())
+    if available < n_devices:
+        print("Error: --n-devices %d exceeds the %d available local "
+              "device(s)." % (n_devices, available))
+        sys.exit(1)
     from .parallel.mesh import make_mesh
 
     return make_mesh(n_devices, row_devices=1)
@@ -325,7 +341,7 @@ def _cmd_learn_scm(argv):
         random_seed=args.random_seed,
         authorized_rules=args.authorized_rules,
         engine=args.engine,
-        mesh=_make_cli_mesh(args.n_devices),
+        mesh=_make_cli_mesh(args.n_devices, args.engine),
         progress_callback=progress,
     )
     running_time = time() - start
@@ -481,7 +497,7 @@ def _cmd_learn_tree(argv):
         authorized_rules=args.authorized_rules,
         n_cpu=args.n_cpu,
         engine=args.engine,
-        mesh=_make_cli_mesh(args.n_devices),
+        mesh=_make_cli_mesh(args.n_devices, args.engine),
         progress_callback=progress,
     )
     running_time = time() - start
@@ -559,20 +575,14 @@ def _cmd_kmer_matrix(argv):
 
     n_cpu = args.n_cpu or None
     if args.reads_list:
-        from concurrent.futures import ThreadPoolExecutor
-
-        from .kmer.counter import count_reads_dir
+        from .kmer.counter import count_reads_many
 
         with open(args.reads_list) as fh:
             pairs = [tuple(l.split()) for l in fh if l.strip()]
-        with ThreadPoolExecutor(max_workers=n_cpu or (os.cpu_count() or 1)) as pool:
-            genome_kmers = list(pool.map(
-                lambda gp: count_reads_dir(
-                    gp[1], args.kmer_size,
-                    abundance_min=args.abundance_min, genome_id=gp[0]
-                ),
-                pairs,
-            ))
+        genome_kmers = count_reads_many(
+            pairs, args.kmer_size, abundance_min=args.abundance_min,
+            n_workers=n_cpu,
+        )
     else:
         if args.genome_dir:
             files = sorted(

@@ -25,7 +25,7 @@ from uuid import uuid1
 import numpy as np
 import h5py
 
-from ..kmer.counter import count_fasta, count_fasta_many, count_reads_dir
+from ..kmer.counter import count_fasta_many, count_reads_many
 from ..kmer.matrix import build_presence_matrix
 from ..ops.kmer import n_words_for_k
 from ..utils import minimum_uint_size, pack_binary_bytes_to_ints
@@ -258,11 +258,18 @@ def _write_matrix_chunks(f, matrix, gzip, block, progress_callback,
 
     n_workers = min(os.cpu_count() or 1, 8)
     done = 0
+    # Bounded in-flight window: pool.map over the whole list would let the
+    # compress workers run arbitrarily far ahead of the serial writer and
+    # buffer GBs of payloads on a slow filesystem.
+    window = 4 * n_workers
     with ThreadPoolExecutor(max_workers=n_workers) as pool:
-        for r, c0, payload in pool.map(compress, chunk_slices):
-            ds.id.write_direct_chunk((r, c0), payload, filter_mask=0)
-            done += 1
-            progress_callback("Creating", done / len(chunk_slices))
+        for lo in range(0, len(chunk_slices), window):
+            for r, c0, payload in pool.map(
+                compress, chunk_slices[lo : lo + window]
+            ):
+                ds.id.write_direct_chunk((r, c0), payload, filter_mask=0)
+                done += 1
+                progress_callback("Creating", done / len(chunk_slices))
 
 
 def from_contigs(contig_list_path, output_path, kmer_size, filter_singleton=False,
@@ -345,28 +352,11 @@ def from_reads(reads_list_path, output_path, kmer_size, abundance_min=1,
         phenotype_metadata_path, gzip, warning_callback, error_callback
     )
 
-    # Reads counting is thread-parallel like count_fasta_many: the native
-    # counter releases the GIL (multidsk -nb-cores role).
-    from concurrent.futures import ThreadPoolExecutor
-
-    n_workers = n_cpu or (os.cpu_count() or 1)
-    done = [0]
-
-    def _count_one(gid):
-        out = count_reads_dir(
-            reads_dir_by_genome_id[str(gid)], kmer_size,
-            abundance_min=abundance_min, genome_id=str(gid)
-        )
-        done[0] += 1
-        progress_callback("K-mer counting", done[0] / max(len(genome_ids), 1))
-        return out
-
-    if n_workers > 1 and len(genome_ids) > 1:
-        with ThreadPoolExecutor(max_workers=n_workers) as pool:
-            genome_kmers = list(pool.map(_count_one, [str(g) for g in genome_ids]))
-    else:
-        genome_kmers = [_count_one(str(gid)) for gid in genome_ids]
-    progress_callback("K-mer counting", 1.0)
+    genome_kmers = count_reads_many(
+        [(str(gid), reads_dir_by_genome_id[str(gid)]) for gid in genome_ids],
+        kmer_size, abundance_min=abundance_min, n_workers=n_cpu,
+        progress_callback=progress_callback,
+    )
 
     km = build_presence_matrix(genome_kmers, filter_singleton=filter_singleton,
                                n_threads=n_cpu)

@@ -20,7 +20,8 @@ import numpy as np
 from ..ops.kmer import encode_contigs, n_words_for_k, sorted_kmers_np
 from ..utils import fasta_to_sequences
 
-__all__ = ["GenomeKmers", "count_fasta", "count_reads_dir", "fastq_to_sequences"]
+__all__ = ["GenomeKmers", "count_fasta", "count_fasta_many",
+           "count_reads_dir", "count_reads_many", "fastq_to_sequences"]
 
 READS_EXTENSIONS = (".fastq", ".fastq.gz")
 
@@ -106,6 +107,43 @@ def count_fasta_many(paths_by_genome_id, k, engine="auto", n_workers=None,
             for i, out in pool.map(lambda a: work(*a),
                                    [(i, g, p) for i, (g, p) in enumerate(items)]):
                 results[i] = out
+    progress_callback("K-mer counting", 1.0)
+    return results
+
+
+def count_reads_many(dirs_by_genome_id, k, abundance_min=1, n_workers=None,
+                     progress_callback=None):
+    """Count many genomes' read directories concurrently (reads-mode
+    multidsk -nb-cores role); same pool semantics as count_fasta_many.
+
+    ``dirs_by_genome_id``: mapping or sequence of (genome_id, fastq_dir).
+    Returns GenomeKmers in the input order.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+    from itertools import count as _count
+
+    if hasattr(dirs_by_genome_id, "items"):
+        items = list(dirs_by_genome_id.items())
+    else:
+        items = list(dirs_by_genome_id)
+    if n_workers is None:
+        n_workers = min(len(items), os.cpu_count() or 1)
+    if progress_callback is None:
+        progress_callback = lambda t, p: None
+    done = _count(1)
+
+    def work(args):
+        gid, rdir = args
+        out = count_reads_dir(rdir, k, abundance_min=abundance_min,
+                              genome_id=str(gid))
+        progress_callback("K-mer counting", next(done) / max(len(items), 1))
+        return out
+
+    if n_workers > 1 and len(items) > 1:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            results = list(pool.map(work, items))
+    else:
+        results = [work(it) for it in items]
     progress_callback("K-mer counting", 1.0)
     return results
 

@@ -303,9 +303,13 @@ def merge_union_bits_native(kmer_lists, nw):
         matrix_buf, cap, cap,
     )
     if n == -1:
-        raise RuntimeError("grm_merge_union_bits64 capacity exceeded")
+        raise RuntimeError("fused union merge capacity exceeded")
     if n < 0:
-        raise RuntimeError("grm_merge_union_bits64 failed (code %d)" % n)
+        raise RuntimeError(
+            "%s failed (code %d)"
+            % ("grm_merge_union_bits64" if nw <= 2
+               else "grm_merge_union_bits_rows", n)
+        )
     lib.grm_compact_rows(matrix_buf, n_words64, n, cap, n)
     matrix = matrix_buf[: n_words64 * n].reshape(n_words64, n)
     return out_union[:n], out_counts[:n], matrix
@@ -390,7 +394,11 @@ def merge_union_bits_parallel(kmer_lists, nw, n_threads=None,
             out_union, out_counts, matrix_buf, cap, cap,
         )
         if n < 0:
-            raise RuntimeError("grm_merge_union_bits64 failed (code %d)" % n)
+            raise RuntimeError(
+                "%s failed (code %d)"
+                % ("grm_merge_union_bits64" if nw <= 2
+                   else "grm_merge_union_bits_rows", n)
+            )
         part_out[p] = (n, out_union, out_counts, matrix_buf, cap)
 
     from concurrent.futures import ThreadPoolExecutor

@@ -121,24 +121,12 @@ def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
         ]
 
     from ..ops.pallas_cart_sweep import BLOCK_K, cart_frontier_scores_pallas
-    from .scm_device import build_packed_mask
 
-    classes = sorted(total_n_examples_by_class)
-    n, c, w = len(node_example_sets), len(classes), bit_matrix.n_words
-    masks = np.zeros((n, c, w), np.uint32)
-    n_node = np.zeros((n, c), np.int32)
-    for i, example_idx in enumerate(node_example_sets):
-        for ci, cl in enumerate(classes):
-            idx = example_idx.get(cl, ())
-            if len(idx):
-                masks[i, ci] = build_packed_mask(
-                    idx, bit_matrix.n_rows, w
-                )
-                n_node[i, ci] = len(idx)
-    priors = np.array([altered_priors[cl] for cl in classes], np.float32)
-    totals = np.array(
-        [total_n_examples_by_class[cl] for cl in classes], np.float32
+    masks, n_node, priors, totals = _frontier_masks(
+        bit_matrix, node_example_sets, altered_priors,
+        total_n_examples_by_class,
     )
+    c, w = masks.shape[1], masks.shape[2]
     crit = "gini" if criterion == "gini" else "cross-entropy"
 
     # Chunk the frontier to a FIXED node count: bounds the kernel's VMEM
@@ -154,20 +142,57 @@ def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
     chunk = max(32, min(256, (vmem_budget - fixed) // max(per_node, 1)))
     chunk = max(32, (chunk // 32) * 32)
 
-    cols = np.empty(n, np.int64)
-    scores = np.empty(n, np.float64)
-    for lo in range(0, n, chunk):
-        hi = min(lo + chunk, n)
-        m = np.zeros((chunk, c, w), np.uint32)
-        nn = np.zeros((chunk, c), np.int32)
-        m[: hi - lo] = masks[lo:hi]
-        nn[: hi - lo] = n_node[lo:hi]
-        ch_cols, ch_scores = cart_frontier_scores_pallas(
+    def score_chunk(m, nn):
+        return cart_frontier_scores_pallas(
             bit_matrix.data, jnp.asarray(m), jnp.asarray(nn),
             jnp.asarray(priors), jnp.asarray(totals), crit,
             bit_matrix.n_columns, interpret=(sweep == "pallas_interpret"),
             block=block,
         )
+
+    return _chunked_frontier_scores(masks, n_node, chunk, score_chunk)
+
+
+def _frontier_masks(bit_matrix, node_example_sets, altered_priors,
+                    total_n_examples_by_class):
+    """Shared mask/param assembly.
+
+    Returns (masks (N,C,W) uint32, n_node (N,C) int32, priors (C,) f32,
+    totals (C,) f32) over the sorted class key set.
+    """
+    from .scm_device import build_packed_mask
+
+    classes = sorted(total_n_examples_by_class)
+    n, c, w = len(node_example_sets), len(classes), bit_matrix.n_words
+    masks = np.zeros((n, c, w), np.uint32)
+    n_node = np.zeros((n, c), np.int32)
+    for i, example_idx in enumerate(node_example_sets):
+        for ci, cl in enumerate(classes):
+            idx = example_idx.get(cl, ())
+            if len(idx):
+                masks[i, ci] = build_packed_mask(idx, bit_matrix.n_rows, w)
+                n_node[i, ci] = len(idx)
+    priors = np.array([altered_priors[cl] for cl in classes], np.float32)
+    totals = np.array(
+        [total_n_examples_by_class[cl] for cl in classes], np.float32
+    )
+    return masks, n_node, priors, totals
+
+
+def _chunked_frontier_scores(masks, n_node, chunk, score_chunk):
+    """Run ``score_chunk(masks_chunk, n_node_chunk)`` over fixed-size
+    zero-padded frontier chunks (zero masks -> empty children -> +inf,
+    sliced off); returns the per-node (kmer_idx or None, score) list."""
+    n = masks.shape[0]
+    cols = np.empty(n, np.int64)
+    scores = np.empty(n, np.float64)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        m = np.zeros((chunk,) + masks.shape[1:], np.uint32)
+        nn = np.zeros((chunk,) + n_node.shape[1:], np.int32)
+        m[: hi - lo] = masks[lo:hi]
+        nn[: hi - lo] = n_node[lo:hi]
+        ch_cols, ch_scores = score_chunk(m, nn)
         cols[lo:hi] = np.asarray(jax.device_get(ch_cols))[: hi - lo]
         scores[lo:hi] = np.asarray(jax.device_get(ch_scores))[: hi - lo]
     return [
@@ -177,35 +202,19 @@ def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
     ]
 
 
-def _frontier_masks(bit_matrix, node_example_sets, altered_priors,
-                    total_n_examples_by_class):
-    """Shared mask/param assembly: (masks (N,C,W) u32, priors, totals)."""
-    from .scm_device import build_packed_mask
-
-    classes = sorted(total_n_examples_by_class)
-    n, c, w = len(node_example_sets), len(classes), bit_matrix.n_words
-    masks = np.zeros((n, c, w), np.uint32)
-    for i, example_idx in enumerate(node_example_sets):
-        for ci, cl in enumerate(classes):
-            idx = example_idx.get(cl, ())
-            if len(idx):
-                masks[i, ci] = build_packed_mask(idx, bit_matrix.n_rows, w)
-    priors = np.array([altered_priors[cl] for cl in classes], np.float32)
-    totals = np.array(
-        [total_n_examples_by_class[cl] for cl in classes], np.float32
-    )
-    return masks, priors, totals
-
-
 def _sharded_frontier_fn(mesh, sweep, crit, local_k, _cache={}):
     """Build (and cache) the jitted shard_map frontier scorer.
 
     Keyed so repeated BFS levels of a tree run reuse one compiled program
     per chunk shape instead of re-tracing a fresh closure every level.
+    FIFO-bounded so long-lived processes over many datasets/meshes don't
+    pin compiled programs (and their meshes) forever.
     """
     key = (mesh, sweep, crit, local_k)
     if key in _cache:
         return _cache[key]
+    while len(_cache) >= 16:
+        _cache.pop(next(iter(_cache)))
 
     from jax.sharding import PartitionSpec as P
 
@@ -272,26 +281,35 @@ def cart_frontier_splits_sharded(bit_matrix, node_example_sets, altered_priors,
         sweep = "pallas" if jax.default_backend() == "tpu" else "xla"
     n_shards = mesh.shape["cols"]
 
-    masks, priors, totals = _frontier_masks(
+    masks, n_node, priors, totals = _frontier_masks(
         bit_matrix, node_example_sets, altered_priors,
         total_n_examples_by_class,
     )
-    n = masks.shape[0]
     crit = "gini" if criterion == "gini" else "cross-entropy"
 
-    matrix = bit_matrix.data
-    kp = matrix.shape[1]
-    col_pad = (-kp) % n_shards
-    sharding = NamedSharding(mesh, P(None, "cols"))
-    if not isinstance(matrix, jax.Array):
-        if col_pad:
-            matrix = np.pad(np.asarray(matrix), ((0, 0), (0, col_pad)))
-        matrix = jax.device_put(matrix, sharding)
-    elif col_pad or matrix.sharding != sharding:
-        matrix = jax.jit(
-            lambda m: jnp.pad(m, ((0, 0), (0, col_pad))),
-            out_shardings=sharding,
-        )(matrix)
+    # Shard (and column-pad) the matrix ONCE per (bit_matrix, mesh): every
+    # BFS level of every fold/HP tree re-enters here, and re-distributing a
+    # multi-GB matrix each call would dominate the run.
+    cache = getattr(bit_matrix, "_cart_shard_cache", None)
+    if cache is None:
+        cache = bit_matrix._cart_shard_cache = {}
+    matrix = cache.get(mesh)
+    if matrix is None:
+        raw = bit_matrix.data
+        kp = raw.shape[1]
+        col_pad = (-kp) % n_shards
+        sharding = NamedSharding(mesh, P(None, "cols"))
+        if not isinstance(raw, jax.Array):
+            if col_pad:
+                raw = np.pad(np.asarray(raw), ((0, 0), (0, col_pad)))
+            matrix = jax.device_put(raw, sharding)
+        elif col_pad or raw.sharding != sharding:
+            matrix = jax.jit(
+                _pad_cols, static_argnums=1, out_shardings=sharding
+            )(raw, col_pad)
+        else:
+            matrix = raw
+        cache[mesh] = matrix
     local_k = matrix.shape[1] // n_shards
     # Real columns beyond bit_matrix.n_columns (artifact padding) must also
     # self-exclude; BitMatrix guarantees padding columns are zero.
@@ -302,22 +320,16 @@ def cart_frontier_splits_sharded(bit_matrix, node_example_sets, altered_priors,
     run = _sharded_frontier_fn(mesh, sweep, crit, local_k)
 
     # Fixed-size frontier chunks: bound the per-shard VMEM footprint and
-    # bucket every call of a tree run into one compiled shape (zero-mask
-    # padding rows -> empty children -> +inf, sliced off).
-    chunk = min(128, max(32, -(-n // 32) * 32))
-    cols = np.empty(n, np.int64)
-    scores = np.empty(n, np.float64)
-    for lo in range(0, n, chunk):
-        hi = min(lo + chunk, n)
-        m = np.zeros((chunk,) + masks.shape[1:], np.uint32)
-        m[: hi - lo] = masks[lo:hi]
-        ch_cols, ch_scores = jax.device_get(run(
-            matrix, jax.device_put(m, rep_sharding), priors_d, totals_d
-        ))
-        cols[lo:hi] = ch_cols[: hi - lo]
-        scores[lo:hi] = ch_scores[: hi - lo]
-    return [
-        (None, np.inf) if not np.isfinite(scores[i]) else
-        (int(cols[i]), float(scores[i]))
-        for i in range(n)
-    ]
+    # bucket every call of a tree run into one compiled shape.
+    chunk = min(128, max(32, -(-masks.shape[0] // 32) * 32))
+
+    def score_chunk(m, nn):
+        del nn  # per-node counts derive from mask popcounts in the body
+        return run(matrix, jax.device_put(m, rep_sharding), priors_d,
+                   totals_d)
+
+    return _chunked_frontier_scores(masks, n_node, chunk, score_chunk)
+
+
+def _pad_cols(m, col_pad):
+    return jnp.pad(m, ((0, 0), (0, col_pad)))

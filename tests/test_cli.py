@@ -162,14 +162,34 @@ def test_cli_errors(cli_workspace):
 
 def test_cli_learn_n_devices(cli_workspace):
     """--engine device --n-devices N (column-sharded engines through the
-    CLI) picks the same model as the default host engine."""
+    CLI) picks the same model as the default host engine. Self-contained:
+    builds its own dataset so it runs in any test order."""
     tmp = cli_workspace
-    r = _run(["learn", "scm", "--dataset", "amr.h5", "--split", "sp1",
-              "--p", "0.5", "1.0", "--max-rules", "3", "--hp-choice", "cv",
-              "--engine", "device", "--n-devices", "4",
-              "--output-dir", "scm_dev4"], cwd=tmp, n_devices=4)
+    r = _run(["dataset", "create", "from-contigs",
+              "--genomic-data", "contigs.tsv", "--output", "nd.h5",
+              "--kmer-size", "15", "--singleton-kmers",
+              "--phenotype-description", "test amr",
+              "--phenotype-metadata", "meta.tsv"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    r = _run(["dataset", "split", "--dataset", "nd.h5", "--id", "sp",
+              "--train-size", "0.75", "--folds", "2", "--random-seed", "9"],
+             cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    common = ["learn", "scm", "--dataset", "nd.h5", "--split", "sp",
+              "--p", "0.5", "1.0", "--max-rules", "3", "--hp-choice", "cv"]
+    r = _run(common + ["--engine", "device", "--n-devices", "4",
+                       "--output-dir", "scm_dev4"], cwd=tmp, n_devices=4)
+    assert r.returncode == 0, r.stderr
+    r = _run(common + ["--output-dir", "scm_host_nd"], cwd=tmp)
     assert r.returncode == 0, r.stderr
     sharded = json.loads((tmp / "scm_dev4" / "results.json").read_text())
-    host = json.loads((tmp / "scm_out" / "results.json").read_text())
+    host = json.loads((tmp / "scm_host_nd" / "results.json").read_text())
     assert sharded["model"]["rules"] == host["model"]["rules"]
     assert sharded["metrics"]["test"]["risk"] == host["metrics"]["test"]["risk"]
+
+    # --n-devices with the host engine must refuse loudly, not silently
+    # ignore the sharding request.
+    r = _run(common + ["--n-devices", "4", "--output-dir", "x"],
+             cwd=tmp, n_devices=4)
+    assert r.returncode != 0
+    assert "requires --engine device" in r.stdout

@@ -235,6 +235,43 @@ def main():
         % (max_rules * n_kmers / wall / 1e9,
            max_rules * n_kmers * n_genomes / wall / 1e9))
 
+    # CART frontier core on the same resident matrix: one fused pass
+    # scoring a 16-node BFS frontier (the learner's per-level unit).
+    if os.environ.get("BENCH_CART", "1") != "0":
+        try:
+            from grm_tpu.ops.pallas_cart_sweep import (
+                cart_frontier_scores_pallas,
+            )
+
+            N, C = 16, 2
+            cm = jnp.asarray(
+                np.random.RandomState(1).randint(
+                    0, 2**32, (N, C, w), dtype=np.uint64
+                ).astype(np.uint32)
+            )
+            nn_node = jnp.asarray(
+                np.random.RandomState(2).randint(20, 170, (N, C)).astype(
+                    np.float32
+                )
+            )
+            pri = jnp.asarray(np.full(C, 0.5, np.float32))
+            tot = jnp.asarray(np.full(C, n_genomes / 2.0, np.float32))
+            out = cart_frontier_scores_pallas(
+                matrix, cm, nn_node, pri, tot, "gini", n_kmers
+            )
+            jax.device_get(out)
+            outs = []
+            t0 = time.time()
+            for _ in range(5):
+                outs.append(cart_frontier_scores_pallas(
+                    matrix, cm, nn_node, pri, tot, "gini", n_kmers
+                ))
+            jax.device_get(outs)
+            log("CART frontier core: %.1f ms per fused pass scoring %d "
+                "tree nodes" % ((time.time() - t0) / 5 * 1e3, N))
+        except Exception as e:  # auxiliary; never fail the bench
+            log("CART core bench skipped (%s)" % str(e)[:120])
+
     value = wall
     print(json.dumps({
         "metric": "scm_cv_core_wall_clock_median_dataset",

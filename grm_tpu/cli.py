@@ -552,6 +552,12 @@ def _cmd_kmer_matrix(argv):
     parser.add_argument("--reads-list",
                         help="Two-column file: genome_id <tab> fastq_dir "
                              "(reads mode; pairs with --kmer-min-abundance)")
+    parser.add_argument("--survey-conf",
+                        help="Ray Surveyor survey.conf (the reference's "
+                             "generated config, src/app.py:3812-3835): takes "
+                             "k and the genome list from the file; --out "
+                             "defaults to the conf's -output path + "
+                             "'.kmer_matrix.tsv'.")
     parser.add_argument("--kmer-size", type=int, default=21)
     parser.add_argument("--kmer-min-abundance", "--abundance-min",
                         dest="abundance_min", type=int, default=1,
@@ -559,18 +565,29 @@ def _cmd_kmer_matrix(argv):
                              "genome's reads (multidsk -abundance-min).")
     parser.add_argument("--filter-singleton", action="store_true")
     parser.add_argument("--n-cpu", "--n-cores", type=int, default=0)
-    parser.add_argument("--out", required=True)
+    parser.add_argument("--out")
     args = parser.parse_args(argv)
 
-    from .kmer.matrix import build_presence_matrix, matrix_to_tsv
+    from .kmer.matrix import (build_presence_matrix, matrix_to_tsv,
+                              parse_survey_conf)
 
     n_sources = sum(
         x is not None
-        for x in (args.genome_dir, args.genome_list, args.reads_list)
+        for x in (args.genome_dir, args.genome_list, args.reads_list,
+                  args.survey_conf)
     )
     if n_sources != 1:
         print("Error: specify exactly one of --genome-dir / --genome-list / "
-              "--reads-list.")
+              "--reads-list / --survey-conf.")
+        sys.exit(1)
+    if args.survey_conf:
+        args.kmer_size, conf_pairs, conf_output = parse_survey_conf(
+            args.survey_conf
+        )
+        if args.out is None and conf_output:
+            args.out = conf_output + ".kmer_matrix.tsv"
+    if args.out is None:
+        print("Error: --out is required (or a survey.conf with -output).")
         sys.exit(1)
 
     n_cpu = args.n_cpu or None
@@ -583,6 +600,11 @@ def _cmd_kmer_matrix(argv):
             pairs, args.kmer_size, abundance_min=args.abundance_min,
             n_workers=n_cpu,
         )
+    elif args.survey_conf:
+        from .kmer.counter import count_fasta_many
+
+        genome_kmers = count_fasta_many(conf_pairs, args.kmer_size,
+                                        n_workers=n_cpu)
     else:
         if args.genome_dir:
             files = sorted(

@@ -208,6 +208,37 @@ def counts_to_tsv(genome, path):
             f.write(b"\n")
 
 
+def parse_survey_conf(path):
+    """Parse a Ray Surveyor ``survey.conf`` (reference grammar written at
+    ``src/app.py:3812-3835``): ``-k K``, ``-run-surveyor``,
+    ``-output <path>``, ``-write-kmer-matrix``, and one
+    ``-read-sample-assembly <name> <fasta>`` per genome.
+
+    Returns (k, [(name, fasta_path), ...], output_path_or_None) so existing
+    GRM/Ray workflows drop into ``grm kmer matrix --survey-conf``.
+    """
+    k = None
+    pairs = []
+    output = None
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "-k" and len(parts) >= 2:
+                k = int(parts[1])
+            elif parts[0] == "-output" and len(parts) >= 2:
+                output = parts[1]
+            elif parts[0] == "-read-sample-assembly" and len(parts) >= 3:
+                pairs.append((parts[1], parts[2]))
+            # -run-surveyor / -write-kmer-matrix are implied by this tool.
+    if k is None:
+        raise ValueError("survey.conf is missing the -k <kmer size> line")
+    if not pairs:
+        raise ValueError("survey.conf lists no -read-sample-assembly entries")
+    return k, pairs, output
+
+
 def read_matrix_tsv(path):
     """Read a presence TSV back: (genome_ids, kmer_strings, dense (G, K))."""
     with open(path) as f:

@@ -39,3 +39,27 @@ def test_class_importance_bad_value_exits():
 def test_class_importance_empty_class_exits():
     with pytest.raises(SystemExit):
         _parse_class_importances(["a:", "b:", "1"], ["a", "b"])
+
+
+def test_parse_survey_conf(tmp_path):
+    """Reference survey.conf grammar (src/app.py:3812-3835) round-trips."""
+    from grm_tpu.kmer.matrix import parse_survey_conf
+
+    conf = tmp_path / "survey.conf"
+    conf.write_text(
+        "-k 31\n-run-surveyor\n-output /data/out/survey.res\n"
+        "-write-kmer-matrix\n"
+        "-read-sample-assembly g1 /data/g1.fna\n"
+        "-read-sample-assembly g2 /data/g2.fna\n"
+    )
+    k, pairs, output = parse_survey_conf(conf)
+    assert k == 31
+    assert pairs == [("g1", "/data/g1.fna"), ("g2", "/data/g2.fna")]
+    assert output == "/data/out/survey.res"
+
+    bad = tmp_path / "bad.conf"
+    bad.write_text("-run-surveyor\n")
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_survey_conf(bad)

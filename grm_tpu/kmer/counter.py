@@ -17,7 +17,7 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from ..ops.kmer import encode_contigs, n_words_for_k, sorted_kmers_np
+from ..ops.kmer import encode_contigs, sorted_kmers_np
 from ..utils import fasta_to_sequences
 
 __all__ = ["GenomeKmers", "count_fasta", "count_fasta_many",

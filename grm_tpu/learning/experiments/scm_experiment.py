@@ -363,12 +363,15 @@ def _column_sharding(mesh):
 
 
 def _cross_validation_device(dataset, split_name, model_types, p_values,
-                             max_rules, progress_callback, mesh=None):
+                             max_rules, progress_callback, mesh=None,
+                             rule_blacklist=()):
     """Device-engine CV: the entire HP grid in one XLA program.
 
     Same selection rules as :func:`_cross_validation`, but fold scores come
-    from the device CV engines (pure-argmax rule selection; no
-    blacklist/tiebreaker support) — all iteration-major grid engines that
+    from the device CV engines (pure-argmax rule selection; no exact-tie
+    tiebreaker support; blacklists exclude rules via the XLA sweep's
+    column masks on the single-device grid engine) — all iteration-major
+    grid engines that
     make one matrix pass per greedy iteration scoring every fit at once:
     :func:`grm_tpu.parallel.scm_grid.scm_cv_grid_device` on a single device,
     :func:`grm_tpu.parallel.scm_grid.scm_cv_grid_sharded` when the k-mer
@@ -409,10 +412,16 @@ def _cross_validation_device(dataset, split_name, model_types, p_values,
                 "model_type": model_type,
             })
 
+    if len(rule_blacklist) and mesh is not None:
+        raise ValueError(
+            "k-mer blacklists are only supported by the unsharded device "
+            "engine (or the host engine)"
+        )
     progress_callback("Cross-validation", 0.0)
     if mesh is None:
         _, _, risks = scm_cv_grid_device(bm.data, fits, bm.n_columns,
-                                         max_rules)
+                                         max_rules,
+                                         excl_rules=rule_blacklist)
     elif mesh.shape.get("rows", 1) == 1:
         _, _, risks = scm_cv_grid_sharded(bm.data, fits, bm.n_columns,
                                           max_rules, mesh)
@@ -451,7 +460,7 @@ def _cross_validation_device(dataset, split_name, model_types, p_values,
 
 
 def _full_train_device(dataset, split_name, model_type, p, max_rules,
-                       progress_callback, mesh=None):
+                       progress_callback, mesh=None, rule_blacklist=()):
     """Device-engine final training: one batched fit, model rebuilt on host."""
     from ...parallel.mesh import scm_fit_batch_device
     from ...parallel.scm_device import build_packed_mask
@@ -473,14 +482,31 @@ def _full_train_device(dataset, split_name, model_type, p, max_rules,
     import jax.numpy as jnp
 
     progress_callback("Training", 0)
-    rules_arr, n_rules, _ = scm_fit_batch_device(
-        bm.data,
-        jnp.asarray(build_packed_mask(pos, dataset.genome_count, bm.n_words)[None]),
-        jnp.asarray(build_packed_mask(neg, dataset.genome_count, bm.n_words)[None]),
-        jnp.asarray(np.array([p], np.float32)),
-        bm.n_columns,
-        max_rules,
-    )
+    if len(rule_blacklist):
+        # Blacklist exclusion lives in the grid engine's XLA sweep: run the
+        # final fit as a one-fit grid (test masks unused -> zeros).
+        from ...parallel.scm_grid import scm_cv_grid_device
+
+        zero = np.zeros(bm.n_words, np.uint32)
+        fit = {"pos_mask": build_packed_mask(pos, dataset.genome_count,
+                                             bm.n_words),
+               "neg_mask": build_packed_mask(neg, dataset.genome_count,
+                                             bm.n_words),
+               "test_pos_mask": zero, "test_neg_mask": zero,
+               "p": p, "model_type": model_type}
+        rules_arr, n_rules, _ = scm_cv_grid_device(
+            bm.data, [fit], bm.n_columns, max_rules,
+            excl_rules=rule_blacklist,
+        )
+    else:
+        rules_arr, n_rules, _ = scm_fit_batch_device(
+            bm.data,
+            jnp.asarray(build_packed_mask(pos, dataset.genome_count, bm.n_words)[None]),
+            jnp.asarray(build_packed_mask(neg, dataset.genome_count, bm.n_words)[None]),
+            jnp.asarray(np.array([p], np.float32)),
+            bm.n_columns,
+            max_rules,
+        )
     rule_idx = [int(r) for r in np.asarray(rules_arr)[0] if r >= 0]
     progress_callback("Training", 1.0)
 
@@ -594,13 +620,15 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
                 Exception("Cross-validation cannot be performed on a split with no folds.")
             )
         if engine == "device":
-            if len(rule_blacklist) > 0:
+            if len(rule_blacklist) > 0 and mesh is not None:
                 error_callback(
-                    Exception("The device engine does not support k-mer blacklists.")
+                    Exception("The sharded device engine does not support "
+                              "k-mer blacklists; use --engine host or run "
+                              "unsharded.")
                 )
             best_hp_score, best_hp = _cross_validation_device(
                 dataset, split_name, model_type, p, max_rules, progress_callback,
-                mesh=mesh,
+                mesh=mesh, rule_blacklist=rule_blacklist,
             )
         else:
             best_hp_score, best_hp = _cross_validation(
@@ -626,6 +654,7 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
         model, rule_importances, equivalent_rules = _full_train_device(
             dataset, split_name, best_hp["model_type"], best_hp["p"],
             best_hp["max_rules"], progress_callback, mesh=mesh,
+            rule_blacklist=rule_blacklist,
         )
     else:
         model, rule_importances, equivalent_rules = _full_train(

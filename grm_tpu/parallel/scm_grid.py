@@ -86,14 +86,16 @@ def _fold_risks(conj, tpos, tneg, n_tpos, n_tneg, is_disj):
 
 
 def _sweep_xla(matrix, pos, neg, ps, n_neg, n_pos, n_kmers, block,
-               col_offset, axis_name=None):
+               col_offset, axis_name=None, excl=None):
     """Best presence/absence utility + GLOBAL column per fit over the local
     matrix columns, via a block scan of MXU contractions.
 
     ``col_offset`` (traced) is the global index of the local column 0;
     columns at global index >= n_kmers are padding and excluded.
     ``axis_name`` marks the scan carry as varying over that manual mesh
-    axis when the sweep runs inside shard_map.
+    axis when the sweep runs inside shard_map. ``excl`` (optional (2, Kp)
+    bool): rules to exclude — row 0 presence, row 1 absence (the k-mer
+    blacklist, experiment_scm.py:632-671).
     """
     f = pos.shape[0]
     w, kp = matrix.shape
@@ -121,13 +123,19 @@ def _sweep_xla(matrix, pos, neg, ps, n_neg, n_pos, n_kmers, block,
         cn, cp = counts[:f], counts[f:]
         col_idx = col_offset + b * block + jnp.arange(block)
         pad = (col_idx >= n_kmers)[None, :]
+        if excl is not None:
+            eb = jax.lax.dynamic_slice(excl, (0, b * block), (2, block))
+            pad_pres = pad | eb[0][None, :]
+            pad_abs = pad | eb[1][None, :]
+        else:
+            pad_pres = pad_abs = pad
         cnf, cpf = cn.astype(jnp.float32), cp.astype(jnp.float32)
         u_pres = (nn - cnf) - ps[:, None] * (np_ - cpf)
         u_pres = jnp.where(
-            pad | ((cn == n_neg[:, None]) & (cp == n_pos[:, None])),
+            pad_pres | ((cn == n_neg[:, None]) & (cp == n_pos[:, None])),
             neg_inf, u_pres)
         u_abs = cnf - ps[:, None] * cpf
-        u_abs = jnp.where(pad | ((cn == 0) & (cp == 0)), neg_inf, u_abs)
+        u_abs = jnp.where(pad_abs | ((cn == 0) & (cp == 0)), neg_inf, u_abs)
 
         bp = jnp.argmax(u_pres, axis=1)
         up = u_pres[rows, bp]
@@ -212,7 +220,7 @@ def _apply_rule(state, bits, use_abs, best_col, step_i, n_kmers):
 
 def _grid_step_impl(matrix, pos, neg, conj, rules, risks, n_rules, active,
                     tpos, tneg, n_tpos, n_tneg, ps, is_disj, step_i,
-                    n_kmers, block, sweep="xla"):
+                    n_kmers, block, sweep="xla", excl=None):
     """One greedy SCM iteration for ALL fits: one pass over the matrix.
 
     matrix: (W, Kp) uint32 packed presence (Kp a multiple of ``block``).
@@ -237,7 +245,7 @@ def _grid_step_impl(matrix, pos, neg, conj, rules, risks, n_rules, active,
     else:
         bpu, bpi, bau, bai = _sweep_xla(
             matrix, pos, neg, ps, n_neg, n_pos, n_kmers, block,
-            jnp.int32(0),
+            jnp.int32(0), excl=excl,
         )
 
     # Presence wins ties against absence (argmax-over-concat semantics).
@@ -259,7 +267,7 @@ def _grid_step_impl(matrix, pos, neg, conj, rules, risks, n_rules, active,
 )
 def _grid_run(matrix, pos, neg, conj, rules, risks, n_rules, active,
               tpos, tneg, n_tpos, n_tneg, ps, is_disj,
-              n_kmers, block, sweep, max_rules):
+              n_kmers, block, sweep, max_rules, excl=None):
     """All greedy iterations in ONE program: lax.scan over _grid_step_impl
     (one dispatch and one fetch for the whole CV grid training)."""
 
@@ -268,7 +276,7 @@ def _grid_run(matrix, pos, neg, conj, rules, risks, n_rules, active,
         return _grid_step_impl(
             matrix, pos, neg, conj, rules, risks, n_rules, active,
             tpos, tneg, n_tpos, n_tneg, ps, is_disj, i,
-            n_kmers, block, sweep,
+            n_kmers, block, sweep, excl=excl,
         ), None
 
     state, _ = jax.lax.scan(
@@ -389,7 +397,7 @@ def _init_state(pos, neg, tpos, tneg, is_disj, n_fits, max_rules):
 
 
 def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None,
-                       sweep=None):
+                       sweep=None, excl_rules=None):
     """Run the batched CV fits, iteration-major on the MXU.
 
     Same contract as :func:`grm_tpu.parallel.scm_device.scm_cv_batch_device`:
@@ -400,8 +408,14 @@ def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None,
 
     ``sweep`` picks the matrix-pass backend ("xla", "pallas",
     "pallas_interpret"); default is the fused Pallas kernel on TPU and the
-    XLA block scan elsewhere.
+    XLA block scan elsewhere. ``excl_rules`` (optional int array, values in
+    [0, 2K)): blacklisted rules (presence idx k, absence idx k + n_kmers)
+    excluded from selection — the k-mer-blacklist contract of
+    experiment_scm.py:632-671. Exclusion masking lives in the XLA sweep, so
+    a non-empty blacklist selects sweep="xla".
     """
+    if excl_rules is not None and len(excl_rules):
+        sweep = "xla"
     if sweep is None:
         sweep = "pallas" if jax.default_backend() == "tpu" else "xla"
     pos, neg, tpos, tneg, ps, is_disj = _build_fit_arrays(fits)
@@ -425,6 +439,14 @@ def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None,
         pos, neg, tpos, tneg, is_disj, n_fits, max_rules
     )
 
+    excl = None
+    if excl_rules is not None and len(excl_rules):
+        excl_np = np.zeros((2, matrix.shape[1]), bool)
+        er = np.asarray(excl_rules, np.int64)
+        excl_np[0, er[er < n_kmers]] = True
+        excl_np[1, er[er >= n_kmers] - n_kmers] = True
+        excl = jnp.asarray(excl_np)
+
     # Materialize the donated state on device (donating host numpy buffers
     # only triggers copy warnings).
     pos, neg, conj, rules, risks, n_rules, active = (
@@ -434,7 +456,7 @@ def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None,
     pos, neg, conj, rules, risks, n_rules, active = _grid_run(
         matrix, pos, neg, conj, rules, risks, n_rules, active,
         tpos, tneg, n_tpos, n_tneg, ps, is_disj,
-        n_kmers, block, sweep, max_rules,
+        n_kmers, block, sweep, max_rules, excl=excl,
     )
     rules, n_rules, risks = jax.device_get((rules, n_rules, risks))
     return np.asarray(rules), np.asarray(n_rules), np.asarray(risks)

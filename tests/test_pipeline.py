@@ -109,3 +109,57 @@ def test_planted_marker_full_artifact_pipeline(tmp_path, rng):
     rules, risk = results["host"]
     assert risk == 0.0
     assert len(rules) >= 1 and rules[0].startswith("Presence(")
+
+
+def test_blacklist_device_engine_matches_host(tmp_path, rng):
+    """k-mer blacklists on the device engine (grid-engine XLA sweep column
+    masks) pick the same model as the host engine: blacklisting the planted
+    marker's winning k-mer forces both engines to the same fallback rule."""
+    from grm_tpu.dataset import from_contigs
+    from grm_tpu.dataset.split import split_with_proportion
+    from grm_tpu.learning.experiments import learn_SCM
+
+    bases = np.array(list("ACGT"))
+    backbone = rng.randint(0, 4, 6000)
+    marker = rng.randint(0, 4, 80)
+    lines_c, lines_m = [], []
+    for g in range(14):
+        seq = backbone.copy()
+        seq[rng.randint(0, len(seq), 40)] = rng.randint(0, 4, 40)
+        label = g % 2
+        full = np.concatenate([seq, marker]) if label else seq
+        p = tmp_path / ("b%d.fna" % g)
+        p.write_text(">c0\n%s\n" % "".join(bases[full]))
+        lines_c.append("bl%d\t%s" % (g, p))
+        lines_m.append("bl%d\t%d" % (g, label))
+    (tmp_path / "c.tsv").write_text("\n".join(lines_c) + "\n")
+    (tmp_path / "m.tsv").write_text("\n".join(lines_m) + "\n")
+    ds = tmp_path / "ds.h5"
+    from_contigs(tmp_path / "c.tsv", ds, kmer_size=21,
+                 phenotype_description="amr",
+                 phenotype_metadata_path=tmp_path / "m.tsv", gzip=0)
+    split_with_proportion(ds, "sp", train_prop=0.75, random_seed=11,
+                          n_folds=2)
+
+    # Find the rule both engines pick without a blacklist, then ban its
+    # k-mer and re-learn with both engines.
+    base = learn_SCM(dataset_file=ds, split_name="sp",
+                     model_type=["conjunction"], p=[1.0], max_rules=1,
+                     parameter_selection="none", random_seed=3,
+                     engine="host")
+    banned = base[4].rules[0].kmer_sequence
+    blacklist = tmp_path / "blacklist.txt"
+    blacklist.write_text(banned + "\n")
+
+    out = {}
+    for engine in ("host", "device"):
+        r = learn_SCM(dataset_file=ds, split_name="sp",
+                      model_type=["conjunction", "disjunction"],
+                      p=[0.562, 1.0], max_rules=3,
+                      kmer_blacklist_file=str(blacklist),
+                      parameter_selection="cv", random_seed=3,
+                      engine=engine)
+        rules = [str(x) for x in r[4].rules]
+        assert banned not in " ".join(rules), (engine, rules)
+        out[engine] = (rules, r[3]["risk"][0])
+    assert out["host"] == out["device"], out

@@ -69,27 +69,26 @@ def main():
     def timed(fn):
         fn()  # compile
         best = float("inf")
+        out = None
         for _ in range(3):
             t0 = time.time()
-            fn()
+            out = fn()
             best = min(best, time.time() - t0)
-        return best
+        return best, out
 
-    t1 = timed(lambda: scm_cv_grid_device(matrix, fits, n_kmers, max_rules))
+    t1, out1 = timed(
+        lambda: scm_cv_grid_device(matrix, fits, n_kmers, max_rules))
     print("1 device: %.3fs (%d fits x %d rules, %d x %.1fM matrix)"
           % (t1, len(fits), max_rules, n_genomes, n_kmers / 1e6))
 
     if n_devices > 1:
         mesh = make_mesh(n_devices, row_devices=1)
-        tn = timed(lambda: scm_cv_grid_sharded(
+        tn, outN = timed(lambda: scm_cv_grid_sharded(
             matrix, fits, n_kmers, max_rules, mesh))
         eff = t1 / (tn * n_devices)
         print("%d devices: %.3fs  speedup %.2fx  efficiency %.0f%%"
               % (n_devices, tn, t1 / tn, 100 * eff))
-        rules1, _, _ = scm_cv_grid_device(matrix, fits, n_kmers, max_rules)
-        rulesN, _, _ = scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules,
-                                           mesh)
-        assert np.array_equal(rules1, rulesN), "sharded model must match"
+        assert np.array_equal(out1[0], outN[0]), "sharded model must match"
         print("sharded model identical to single-device model")
 
 

@@ -571,6 +571,10 @@ def _cmd_kmer_matrix(argv):
     from .kmer.matrix import (build_presence_matrix, matrix_to_tsv,
                               parse_survey_conf)
 
+    # Normalize empty strings so source counting and dispatch agree.
+    for attr in ("genome_dir", "genome_list", "reads_list", "survey_conf"):
+        if getattr(args, attr) == "":
+            setattr(args, attr, None)
     n_sources = sum(
         x is not None
         for x in (args.genome_dir, args.genome_list, args.reads_list,
@@ -581,9 +585,13 @@ def _cmd_kmer_matrix(argv):
               "--reads-list / --survey-conf.")
         sys.exit(1)
     if args.survey_conf:
-        args.kmer_size, conf_pairs, conf_output = parse_survey_conf(
-            args.survey_conf
-        )
+        try:
+            args.kmer_size, conf_pairs, conf_output = parse_survey_conf(
+                args.survey_conf
+            )
+        except (OSError, ValueError) as e:
+            print("Error: cannot read survey.conf: %s" % e)
+            sys.exit(1)
         if args.out is None and conf_output:
             args.out = conf_output + ".kmer_matrix.tsv"
     if args.out is None:

@@ -25,6 +25,7 @@ __all__ = [
     "build_presence_matrix",
     "matrix_to_tsv",
     "counts_to_tsv",
+    "parse_survey_conf",
     "read_matrix_tsv",
     "kmer_rows_sort_key",
 ]
@@ -226,11 +227,21 @@ def parse_survey_conf(path):
             if not parts:
                 continue
             if parts[0] == "-k" and len(parts) >= 2:
-                k = int(parts[1])
+                try:
+                    k = int(parts[1])
+                except ValueError:
+                    raise ValueError(
+                        "survey.conf has a non-integer -k value: %r" % parts[1]
+                    )
             elif parts[0] == "-output" and len(parts) >= 2:
-                output = parts[1]
+                # maxsplit keeps paths containing spaces intact.
+                output = line.split(None, 1)[1].strip()
             elif parts[0] == "-read-sample-assembly" and len(parts) >= 3:
-                pairs.append((parts[1], parts[2]))
+                # name is the fasta stem (no spaces in the generator's
+                # output); the REST of the line is the path, which may
+                # contain spaces.
+                _, name, fasta = line.split(None, 2)
+                pairs.append((name, fasta.strip()))
             # -run-surveyor / -write-kmer-matrix are implied by this tool.
     if k is None:
         raise ValueError("survey.conf is missing the -k <kmer size> line")

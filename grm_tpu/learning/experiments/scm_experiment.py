@@ -483,6 +483,11 @@ def _full_train_device(dataset, split_name, model_type, p, max_rules,
 
     progress_callback("Training", 0)
     if len(rule_blacklist):
+        if mesh is not None:
+            raise ValueError(
+                "k-mer blacklists are only supported by the unsharded "
+                "device engine (or the host engine)"
+            )
         # Blacklist exclusion lives in the grid engine's XLA sweep: run the
         # final fit as a one-fit grid (test masks unused -> zeros).
         from ...parallel.scm_grid import scm_cv_grid_device
@@ -578,8 +583,10 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
     ``engine``: "host" reproduces the reference's selection semantics exactly
     (np.isclose ties + risk-table tiebreakers, count vectors scanned on the
     host). "device" keeps the whole CV grid and final fit on device in fused
-    XLA programs (pure-argmax ties, no blacklist support) — the fast path for
-    accelerators where device->host transfers are expensive.
+    XLA programs (pure-argmax ties) — the fast path for accelerators where
+    device->host transfers are expensive; k-mer blacklists are supported
+    unsharded (rule-column exclusion masks in the sweep), while sharded runs
+    with a blacklist error explicitly.
     """
     if warning_callback is None:
         warning_callback = lambda w: logging.warning(w)
@@ -596,6 +603,12 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
     p = np.unique(np.atleast_1d(p))
 
     dataset = GrmDataset(dataset_file)
+    if (engine == "device" and mesh is not None
+            and kmer_blacklist_file is not None):
+        error_callback(
+            Exception("The sharded device engine does not support k-mer "
+                      "blacklists; use --engine host or run unsharded.")
+        )
     rule_blacklist = _find_rule_blacklist(dataset, kmer_blacklist_file,
                                           warning_callback)
 
@@ -620,12 +633,6 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
                 Exception("Cross-validation cannot be performed on a split with no folds.")
             )
         if engine == "device":
-            if len(rule_blacklist) > 0 and mesh is not None:
-                error_callback(
-                    Exception("The sharded device engine does not support "
-                              "k-mer blacklists; use --engine host or run "
-                              "unsharded.")
-                )
             best_hp_score, best_hp = _cross_validation_device(
                 dataset, split_name, model_type, p, max_rules, progress_callback,
                 mesh=mesh, rule_blacklist=rule_blacklist,

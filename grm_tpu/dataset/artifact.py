@@ -19,6 +19,8 @@ learning layer (uint32 layout, HBM-resident).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import h5py
 
@@ -185,9 +187,20 @@ class GrmDataset:
 
     # -- matrices -----------------------------------------------------------
     def kmer_matrix_u64(self):
-        """Host copy of the packed uint64 matrix (reference layout)."""
+        """Host copy of the packed uint64 matrix (reference layout).
+
+        gzip-chunked matrices decompress on a thread pool: the raw chunk
+        bytes are read serially (HDF5 is not thread-safe) but inflate —
+        the dominant cost at GB scale — parallelizes across cores, the
+        read-side counterpart of the parallel writer in
+        :func:`grm_tpu.dataset.create._write_matrix_chunks`.
+        """
         with self.open() as f:
-            return f["kmer_matrix"][...]
+            ds = f["kmer_matrix"]
+            if (ds.compression != "gzip" or ds.chunks is None
+                    or ds.shape[1] == 0):
+                return ds[...]
+            return _parallel_gzip_read(ds)
 
     @staticmethod
     def _device_memory_budget():
@@ -255,3 +268,45 @@ class GrmDataset:
         dense = dense[:, inverse]
         dense[:, invert] = 1 - dense[:, invert]
         return dense
+
+
+def _parallel_gzip_read(ds):
+    """Read a gzip-chunked 2D dataset with thread-parallel inflate.
+
+    Raw chunk bytes stream off the file serially (h5py/HDF5 hold a global
+    lock); zlib.decompress releases the GIL, so inflation and the output
+    copies run on a pool. Chunks are stored full-size; the ragged tail is
+    sliced on copy. In-flight raw payloads are window-bounded.
+    """
+    import zlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_rows, n_cols = ds.shape
+    crows, ccols = ds.chunks
+    out = np.empty(ds.shape, ds.dtype)
+    itemsize = out.itemsize
+
+    def inflate(args):
+        r, c, raw = args
+        arr = np.frombuffer(zlib.decompress(raw), dtype=ds.dtype).reshape(
+            crows, ccols
+        )
+        h = min(crows, n_rows - r)
+        w = min(ccols, n_cols - c)
+        out[r : r + h, c : c + w] = arr[:h, :w]
+
+    coords = [
+        (r, c)
+        for r in range(0, n_rows, crows)
+        for c in range(0, n_cols, ccols)
+    ]
+    n_workers = min(os.cpu_count() or 1, 8)
+    window = 4 * n_workers
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        for lo in range(0, len(coords), window):
+            batch = [
+                (r, c, ds.id.read_direct_chunk((r, c))[1])
+                for r, c in coords[lo : lo + window]
+            ]
+            list(pool.map(inflate, batch))
+    return out

@@ -227,7 +227,25 @@ class DecisionTreeClassifier:
         current_level = [root]
         runtime_infos = {}
         min_samples_split = max(self.min_samples_split, 2)
-        use_device = self.engine == "device" and not len(rule_blacklist)
+        # The device scorer evaluates presence-rule splits; a blacklist maps
+        # to exact column exclusion ONLY when it bans whole k-mers (every
+        # presence index paired with its absence index — the kover blacklist
+        # contract, experiment_scm.py:632-671). Unpaired blacklists and
+        # sharded runs take the exact host scorer.
+        device_excl = None
+        blacklist_ok = True
+        if len(rule_blacklist):
+            n_kmers = rule_classifications.shape[1] // 2
+            bl = set(int(r) for r in rule_blacklist)
+            pres = {r for r in bl if r < n_kmers}
+            blacklist_ok = (
+                bl == pres | {r + n_kmers for r in pres}
+                and self.mesh is None
+            )
+            if blacklist_ok:
+                device_excl = np.zeros(n_kmers, bool)
+                device_excl[sorted(pres)] = True
+        use_device = self.engine == "device" and blacklist_ok
 
         # Level-synchronous BFS (node order identical to the reference's
         # FIFO deque): nodes of one depth are independent, so the device
@@ -266,6 +284,7 @@ class DecisionTreeClassifier:
                         rule_classifications.bit_matrix,
                         [node.class_examples_idx for node in splittable],
                         altered_priors, n_total_class_examples, self.criterion,
+                        excl=device_excl,
                     )
             nodes_to_split = deque()
             for node_i, node in enumerate(splittable):

@@ -27,12 +27,15 @@ __all__ = [
 
 
 @partial(jax.jit, static_argnames=("criterion",))
-def _best_split(matrix, class_masks, priors, totals, criterion):
+def _best_split(matrix, class_masks, priors, totals, criterion, excl=None):
     """matrix (W, K) uint32; class_masks (C, W) uint32; priors/totals (C,).
 
     Returns (best_kmer_idx int32, best_score f32). Scores follow the
     reference's 'sum of child impurities, multiplied by node probability'
-    formulation; empty children score +inf.
+    formulation; empty children score +inf. ``excl`` (optional (K,) bool)
+    excludes k-mer columns — the blacklist contract (kover blacklists ban a
+    k-mer's presence AND absence rules together, so column exclusion is
+    exact for the presence-split scorer).
     """
     counts = jnp.sum(
         jax.lax.population_count(
@@ -63,12 +66,14 @@ def _best_split(matrix, class_masks, priors, totals, criterion):
     score = child_score(left) + child_score(right)
     empty = (jnp.sum(left, axis=0) == 0) | (jnp.sum(right, axis=0) == 0)
     score = jnp.where(empty, jnp.inf, score)
+    if excl is not None:
+        score = jnp.where(excl, jnp.inf, score)
     best = jnp.argmin(score)
     return best.astype(jnp.int32), score[best]
 
 
 def cart_best_split_device(bit_matrix, class_example_idx, altered_priors,
-                           total_n_examples_by_class, criterion):
+                           total_n_examples_by_class, criterion, excl=None):
     """Find the best presence-rule split for a node on device.
 
     Returns (kmer_idx, score) or (None, inf) when no valid split exists.
@@ -89,6 +94,7 @@ def cart_best_split_device(bit_matrix, class_example_idx, altered_priors,
     best, score = _best_split(
         bit_matrix.data, jnp.asarray(masks), jnp.asarray(priors),
         jnp.asarray(totals), crit,
+        excl=None if excl is None else jnp.asarray(excl),
     )
     score = float(jax.device_get(score))
     if not np.isfinite(score):
@@ -98,7 +104,7 @@ def cart_best_split_device(bit_matrix, class_example_idx, altered_priors,
 
 def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
                                 total_n_examples_by_class, criterion,
-                                sweep=None, block=None):
+                                sweep=None, block=None, excl=None):
     """Best presence-rule split for a whole BFS frontier in one matrix pass.
 
     ``node_example_sets`` is a list of per-node ``{class: example_idx}``
@@ -107,15 +113,20 @@ def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
     frontier kernel (:mod:`grm_tpu.ops.pallas_cart_sweep`) scores every
     node in one pass; elsewhere it falls back to the per-node XLA scorer.
     ``sweep``: "pallas", "pallas_interpret", or "xla" (default: pallas on
-    TPU, xla otherwise).
+    TPU, xla otherwise). ``excl`` (optional (K,) bool): excluded k-mer
+    columns (blacklist); exclusion lives in the XLA scorer, so a non-None
+    excl selects sweep="xla".
     """
+    if excl is not None:
+        sweep = "xla"
     if sweep is None:
         sweep = "pallas" if jax.default_backend() == "tpu" else "xla"
     if sweep == "xla":
+        excl_d = None if excl is None else jnp.asarray(excl)
         return [
             cart_best_split_device(
                 bit_matrix, idx, altered_priors,
-                total_n_examples_by_class, criterion,
+                total_n_examples_by_class, criterion, excl=excl_d,
             )
             for idx in node_example_sets
         ]

@@ -240,3 +240,29 @@ def test_learn_cart_sharded_matches_device(planted_dataset):
     assert str(dev[4]) == str(shd[4])
     assert dev[3]["risk"] == shd[3]["risk"]
     assert dev[3]["risk"][0] == 0.0
+
+
+def test_learn_cart_device_blacklist_matches_host(planted_dataset, tmp_path):
+    """A k-mer blacklist on the CART device engine (column exclusion in the
+    split scorer) picks the same tree as the host engine and avoids the
+    banned k-mer."""
+    ds_path, marker, k = planted_dataset
+    base = learn_CART(dataset_file=ds_path, split_name="sp", criterion="gini",
+                      max_depth=2, min_samples_split=2,
+                      class_importance={0: 1.0, 1: 1.0},
+                      parameter_selection="cv", engine="device")
+    banned = base[4].decision_tree.rules[0].kmer_sequence
+    bl = tmp_path / "bl.txt"
+    bl.write_text(banned + "\n")
+
+    out = {}
+    for engine in ("host", "device"):
+        r = learn_CART(dataset_file=ds_path, split_name="sp",
+                       criterion="gini", max_depth=2, min_samples_split=2,
+                       class_importance={0: 1.0, 1: 1.0},
+                       kmer_blacklist_file=str(bl),
+                       parameter_selection="cv", engine=engine)
+        rules = [x.kmer_sequence for x in r[4].decision_tree.rules]
+        assert banned not in rules, (engine, rules)
+        out[engine] = (rules, r[3]["risk"][0])
+    assert out["host"] == out["device"], out

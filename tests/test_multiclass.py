@@ -85,3 +85,20 @@ def test_multiclass_cart_report(multiclass_dataset, tmp_path):
     )
     assert "Confusion Matrix" in report
     assert "high" in report and "mid" in report
+
+
+def test_learn_cart_multiclass_device_engines(multiclass_dataset):
+    """Multiclass (3-class) trees from the device engine — single-device and
+    column-sharded — match the host engine."""
+    from grm_tpu.parallel.mesh import make_mesh
+
+    kwargs = dict(dataset_file=multiclass_dataset, split_name="s",
+                  criterion="gini", max_depth=4, min_samples_split=2,
+                  class_importance={0: 1.0, 1: 1.0, 2: 1.0},
+                  parameter_selection="cv")
+    host = learn_CART(engine="host", **kwargs)
+    dev = learn_CART(engine="device", **kwargs)
+    shd = learn_CART(engine="device", mesh=make_mesh(8), **kwargs)
+    assert str(host[4]) == str(dev[4]) == str(shd[4])
+    assert host[3]["risk"] == dev[3]["risk"] == shd[3]["risk"]
+    assert dev[3]["risk"][0] == 0.0

@@ -156,8 +156,17 @@ def count_fasta(path, k, genome_id=None, keep_counts=False, engine="auto"):
     never span contig boundaries. ``engine``: 'device' (XLA), 'native'
     (libgrmio) or 'auto'; both produce identical sorted output.
     """
-    contigs = fasta_to_sequences(path)
-    codes = encode_contigs(contigs)
+    engine = _resolve_engine(engine)
+    if engine == "native":
+        # The C parser encodes straight from the raw bytes (5x the Python
+        # parse) and, GIL-free, keeps the counting thread pool scaling.
+        from ..native.bindings import encode_fasta_native
+
+        opener = _gzip.open if str(path).endswith(".gz") else open
+        with opener(path, "rb") as f:
+            codes = encode_fasta_native(f.read())
+    else:
+        codes = encode_contigs(fasta_to_sequences(path))
     out = _count_codes(codes, k, keep_counts, engine)
     gid = genome_id or _stem(path)
     if keep_counts:
@@ -192,10 +201,24 @@ def count_reads_dir(read_dir, k, abundance_min=1, genome_id=None, engine="auto")
     )
     if not files:
         raise IOError("No FASTQ files found in %s" % read_dir)
-    seqs = []
-    for f in files:
-        seqs.extend(fastq_to_sequences(f))
-    codes = encode_contigs(seqs)
+    engine = _resolve_engine(engine)
+    if engine == "native":
+        from ..native.bindings import encode_fasta_native
+
+        parts = []
+        for fp in files:
+            opener = _gzip.open if str(fp).endswith(".gz") else open
+            with opener(fp, "rb") as f:
+                codes = encode_fasta_native(f.read(), fastq=True)
+            if parts and len(codes):
+                parts.append(np.array([4], np.int8))
+            parts.append(codes)
+        codes = np.concatenate(parts) if parts else np.zeros(0, np.int8)
+    else:
+        seqs = []
+        for f in files:
+            seqs.extend(fastq_to_sequences(f))
+        codes = encode_contigs(seqs)
     kmers, counts = _count_codes(codes, k, True, engine)
     keep = counts >= abundance_min
     return GenomeKmers(

@@ -193,12 +193,10 @@ def _write_matrix(f, km, gzip, progress_callback):
 
     from ..ops.kmer import decode_kmers_bytes
 
-    f.create_dataset(
-        "kmer_sequences",
-        data=decode_kmers_bytes(km.kmers, k),
-        compression=compression,
-        compression_opts=compression_opts,
-    )
+    # kmer_sequences is ~1 GB of text at published scale: same parallel
+    # deflate treatment as the matrix.
+    _write_1d_chunks(f, "kmer_sequences", decode_kmers_bytes(km.kmers, k),
+                     gzip)
     f.create_dataset(
         "kmer_by_matrix_column",
         data=np.arange(n_kmers),
@@ -210,6 +208,43 @@ def _write_matrix(f, km, gzip, progress_callback):
                                                  dtype=KMER_MATRIX_DTYPE),
                          gzip, block, progress_callback)
     progress_callback("Creating", 1.0)
+
+
+def _write_1d_chunks(f, name, data, gzip):
+    """Write a 1-D dataset with thread-parallel gzip (see _write_matrix_chunks)."""
+    n = data.shape[0]
+    chunk_len = max(1, min(n, (4 << 20) // max(data.itemsize, 1)))
+    if gzip <= 0 or n * data.itemsize < (1 << 20):
+        f.create_dataset(
+            name, data=data,
+            compression="gzip" if gzip > 0 else None,
+            compression_opts=gzip if gzip > 0 else None,
+        )
+        return
+
+    import zlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    ds = f.create_dataset(
+        name, shape=data.shape, dtype=data.dtype,
+        compression="gzip", compression_opts=gzip, chunks=(chunk_len,),
+    )
+
+    def compress(c0):
+        chunk = data[c0 : c0 + chunk_len]
+        if chunk.shape[0] < chunk_len:  # ragged tail: chunks are full-size
+            chunk = np.concatenate(
+                [chunk, np.zeros(chunk_len - chunk.shape[0], data.dtype)]
+            )
+        return c0, zlib.compress(np.ascontiguousarray(chunk).tobytes(), gzip)
+
+    starts = list(range(0, n, chunk_len))
+    n_workers = min(os.cpu_count() or 1, 8)
+    window = 4 * n_workers
+    with ThreadPoolExecutor(max_workers=n_workers) as pool:
+        for lo in range(0, len(starts), window):
+            for c0, payload in pool.map(compress, starts[lo : lo + window]):
+                ds.id.write_direct_chunk((c0,), payload, filter_mask=0)
 
 
 def _write_matrix_chunks(f, matrix, gzip, block, progress_callback,

@@ -109,6 +109,13 @@ def bench_ingest():
 def main():
     import jax
 
+    # GRM_PLATFORM escape hatch (same as cli.main): the container's
+    # sitecustomize registers the TPU plugin over JAX_PLATFORMS, so tests
+    # and CPU-only runs force the backend here instead.
+    plat = os.environ.get("GRM_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+
     _ensure_accelerator()
 
     if os.environ.get("BENCH_INGEST", "1") != "0":

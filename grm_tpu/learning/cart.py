@@ -17,15 +17,61 @@ from __future__ import annotations
 import logging
 from collections import deque
 from copy import deepcopy
+from dataclasses import dataclass, field
 from math import ceil
 
 import numpy as np
 
 from .tree import ProbabilisticTreeNode
 
-__all__ = ["DecisionTreeClassifier", "prune_tree"]
+__all__ = [
+    "DecisionTreeClassifier",
+    "FrontierRequest",
+    "prune_tree",
+    "service_frontier_request",
+]
 
 UTIL_BLOCK_SIZE = 1000000
+
+
+@dataclass
+class FrontierRequest:
+    """One BFS level's frontier-scoring work, yielded by
+    :meth:`DecisionTreeClassifier.fit_stepwise`.
+
+    The forest-batched engine concatenates requests from many trees (per
+    criterion) into one fused device pass; ``altered_priors`` /
+    ``total_n_examples_by_class`` therefore ride along per request so nodes
+    of different trees (different folds / class importances) can share a
+    pass with per-node priors.
+    """
+
+    node_sets: list = field(default_factory=list)
+    altered_priors: dict = field(default_factory=dict)
+    total_n_examples_by_class: dict = field(default_factory=dict)
+    criterion: str = "gini"
+    excl: object = None          # optional (K,) bool column blacklist
+    mesh: object = None          # optional ("rows", "cols") device mesh
+    bit_matrix: object = None    # the packed presence matrix to score over
+
+
+def service_frontier_request(request):
+    """Score one tree's frontier request (the non-batched drive path)."""
+    if request.mesh is not None:
+        from ..parallel.cart_device import cart_frontier_splits_sharded
+
+        return cart_frontier_splits_sharded(
+            request.bit_matrix, request.node_sets, request.altered_priors,
+            request.total_n_examples_by_class, request.criterion,
+            request.mesh,
+        )
+    from ..parallel.cart_device import cart_frontier_splits_device
+
+    return cart_frontier_splits_device(
+        request.bit_matrix, request.node_sets, request.altered_priors,
+        request.total_n_examples_by_class, request.criterion,
+        excl=request.excl,
+    )
 
 
 class DecisionTreeClassifier:
@@ -58,6 +104,29 @@ class DecisionTreeClassifier:
 
     def fit(self, rules, rule_classifications, example_idx, rule_blacklist=None,
             tiebreaker=None, level_callback=None, split_callback=None):
+        """Grow the tree, servicing this tree's frontier-score requests
+        one by one. :meth:`fit_stepwise` is the generator form used by the
+        forest-batched engine (:mod:`grm_tpu.parallel.cart_forest`), which
+        scores the frontiers of MANY trees per device pass."""
+        gen = self.fit_stepwise(
+            rules, rule_classifications, example_idx,
+            rule_blacklist=rule_blacklist, tiebreaker=tiebreaker,
+            level_callback=level_callback, split_callback=split_callback,
+        )
+        try:
+            request = next(gen)
+            while True:
+                request = gen.send(service_frontier_request(request))
+        except StopIteration:
+            pass
+
+    def fit_stepwise(self, rules, rule_classifications, example_idx,
+                     rule_blacklist=None, tiebreaker=None, level_callback=None,
+                     split_callback=None):
+        """Generator form of :meth:`fit`: yields a :class:`FrontierRequest`
+        per BFS level when the device engine is active and expects the
+        per-node (kmer_idx or None, score) result list sent back. Host-engine
+        trees never yield."""
         if level_callback is None:
             level_callback = lambda x: None
         if split_callback is None:
@@ -264,28 +333,17 @@ class DecisionTreeClassifier:
             ]
             device_results = None
             if use_device and splittable:
-                if self.mesh is not None:
-                    from ..parallel.cart_device import (
-                        cart_frontier_splits_sharded,
-                    )
-
-                    device_results = cart_frontier_splits_sharded(
-                        rule_classifications.bit_matrix,
-                        [node.class_examples_idx for node in splittable],
-                        altered_priors, n_total_class_examples,
-                        self.criterion, self.mesh,
-                    )
-                else:
-                    from ..parallel.cart_device import (
-                        cart_frontier_splits_device,
-                    )
-
-                    device_results = cart_frontier_splits_device(
-                        rule_classifications.bit_matrix,
-                        [node.class_examples_idx for node in splittable],
-                        altered_priors, n_total_class_examples, self.criterion,
-                        excl=device_excl,
-                    )
+                device_results = yield FrontierRequest(
+                    node_sets=[
+                        node.class_examples_idx for node in splittable
+                    ],
+                    altered_priors=altered_priors,
+                    total_n_examples_by_class=n_total_class_examples,
+                    criterion=self.criterion,
+                    excl=device_excl,
+                    mesh=self.mesh,
+                    bit_matrix=rule_classifications.bit_matrix,
+                )
             nodes_to_split = deque()
             for node_i, node in enumerate(splittable):
                 (selected_rule_idx, equivalent_rule_idx, left_idx, right_idx) = (

@@ -128,9 +128,24 @@ def _class_example_idx(example_idx, labels, n_classes):
     return {c: example_idx[labels[example_idx] == c] for c in range(n_classes)}
 
 
-def _learn_pruned_tree_bound(hps, dataset, split_name, delta, max_genome_size,
-                             rule_blacklist, engine="host", mesh=None):
-    """Grow a master tree and prune by bound value (experiment_cart.py:208-294)."""
+def _lazy_tiebreaker(rule_classifications, example_idx):
+    """Occurrence tiebreaker whose ``sum_rows`` sweep runs only if a tie
+    actually needs breaking (the device engine resolves ties on device, so
+    eager per-tree sweeps would be pure waste)."""
+    cache = {}
+
+    def tiebreaker(best_score_idx):
+        if "occ" not in cache:
+            cache["occ"] = rule_classifications.sum_rows(example_idx)
+        return _tiebreaker(best_score_idx, cache["occ"])
+
+    return tiebreaker
+
+
+def _bound_grow(hps, dataset, split_name, rule_blacklist, engine="host",
+                mesh=None):
+    """Build the master tree + its growth job for one HP combo (bound
+    selection trains once on the full train set, experiment_cart.py:208-294)."""
     split = dataset.get_split(split_name)
     train_idx = split.train_genome_idx
     example_labels = dataset.phenotype.metadata
@@ -146,17 +161,24 @@ def _learn_pruned_tree_bound(hps, dataset, split_name, delta, max_genome_size,
         engine=engine,
         mesh=mesh,
     )
-    master.fit(
+    jobs = [(master, dict(
         rules=rules,
         rule_classifications=rule_classifications,
         example_idx=_class_example_idx(train_idx, example_labels, n_classes),
         rule_blacklist=rule_blacklist,
-        tiebreaker=partial(
-            _tiebreaker,
-            rule_kmer_occurrences=rule_classifications.sum_rows(train_idx),
-        ),
+        tiebreaker=_lazy_tiebreaker(rule_classifications, train_idx),
         split_callback=_split_callback,
-    )
+    ))]
+    return master, jobs
+
+
+def _bound_finish(hps, master, dataset, split_name, delta, max_genome_size):
+    """Prune the grown master by bound value (experiment_cart.py:208-294)."""
+    split = dataset.get_split(split_name)
+    train_idx = split.train_genome_idx
+    example_labels = dataset.phenotype.metadata
+    n_classes = len(dataset.phenotype.tags)
+    rule_classifications = KmerRuleClassifications(dataset)
 
     min_score = np.inf
     min_score_tree = None
@@ -181,9 +203,21 @@ def _learn_pruned_tree_bound(hps, dataset, split_name, delta, max_genome_size,
     return hps, min_score, min_score_tree
 
 
-def _learn_pruned_tree_cv(hps, dataset, split_name, rule_blacklist, engine="host",
-                          mesh=None):
-    """Breiman-style CV cost-complexity pruning (experiment_cart.py:297-434)."""
+def _learn_pruned_tree_bound(hps, dataset, split_name, delta, max_genome_size,
+                             rule_blacklist, engine="host", mesh=None):
+    """Grow a master tree and prune by bound value (experiment_cart.py:208-294)."""
+    master, jobs = _bound_grow(hps, dataset, split_name, rule_blacklist,
+                               engine, mesh)
+    for classifier, kwargs in jobs:
+        classifier.fit(**kwargs)
+    return _bound_finish(hps, master, dataset, split_name, delta,
+                         max_genome_size)
+
+
+def _cv_grow(hps, dataset, split_name, rule_blacklist, engine="host",
+             mesh=None):
+    """Build the per-fold + master trees and their growth jobs for one HP
+    combo of the CV search (experiment_cart.py:297-380)."""
     split = dataset.get_split(split_name)
     train_idx = split.train_genome_idx
     example_labels = dataset.phenotype.metadata
@@ -204,33 +238,34 @@ def _learn_pruned_tree_cv(hps, dataset, split_name, rule_blacklist, engine="host
     fold_predictors = [_make_predictor() for _ in split.folds]
     master_predictor = _make_predictor()
 
+    jobs = []
     for i, fold in enumerate(split.folds):
-        fold_predictors[i].fit(
+        jobs.append((fold_predictors[i], dict(
             rules=rules,
             rule_classifications=rule_classifications,
             example_idx=_class_example_idx(
                 fold.train_genome_idx, example_labels, n_classes
             ),
             rule_blacklist=rule_blacklist,
-            tiebreaker=partial(
-                _tiebreaker,
-                rule_kmer_occurrences=rule_classifications.sum_rows(
-                    fold.train_genome_idx
-                ),
+            tiebreaker=_lazy_tiebreaker(
+                rule_classifications, fold.train_genome_idx
             ),
-        )
-
-    master_predictor.fit(
+        )))
+    jobs.append((master_predictor, dict(
         rules=rules,
         rule_classifications=rule_classifications,
         example_idx=_class_example_idx(train_idx, example_labels, n_classes),
         rule_blacklist=rule_blacklist,
-        tiebreaker=partial(
-            _tiebreaker,
-            rule_kmer_occurrences=rule_classifications.sum_rows(train_idx),
-        ),
+        tiebreaker=_lazy_tiebreaker(rule_classifications, train_idx),
         split_callback=_split_callback,
-    )
+    )))
+    return fold_predictors, master_predictor, jobs
+
+
+def _cv_finish(hps, dataset, split_name, fold_predictors, master_predictor):
+    """CV cost-complexity pruning of grown trees (experiment_cart.py:382-434)."""
+    split = dataset.get_split(split_name)
+    example_labels = dataset.phenotype.metadata
 
     master_alphas, master_pruned_trees = prune_tree(master_predictor.decision_tree)
     fold_alphas, fold_pruned_trees = [], []
@@ -275,10 +310,65 @@ def _learn_pruned_tree_cv(hps, dataset, split_name, rule_blacklist, engine="host
     return hps, min_score, min_score_tree
 
 
+def _learn_pruned_tree_cv(hps, dataset, split_name, rule_blacklist, engine="host",
+                          mesh=None):
+    """Breiman-style CV cost-complexity pruning (experiment_cart.py:297-434)."""
+    fold_predictors, master_predictor, jobs = _cv_grow(
+        hps, dataset, split_name, rule_blacklist, engine, mesh
+    )
+    for classifier, kwargs in jobs:
+        classifier.fit(**kwargs)
+    return _cv_finish(hps, dataset, split_name, fold_predictors,
+                      master_predictor)
+
+
+def _search_batched(hps_list, dataset, split_name, rule_blacklist, grow, finish):
+    """Device-engine HP search: grow EVERY tree of EVERY HP combo as one
+    level-synchronous forest (one fused frontier pass per criterion per
+    round — the CART analogue of the SCM grid engine, replacing the
+    reference's fork-per-HP pool, experiment_cart.py:437-487), then prune
+    and score each combo. Yields (hps, score, tree) in grid order."""
+    from ...parallel.cart_forest import grow_trees_batched
+
+    states, all_jobs = [], []
+    for hps in hps_list:
+        *grown, jobs = grow(hps, dataset, split_name, rule_blacklist)
+        states.append((hps, grown))
+        all_jobs.extend(jobs)
+    grow_trees_batched(all_jobs)
+    for hps, grown in states:
+        yield finish(hps, grown)
+
+
+def _cv_search_batched(hps_list, dataset, split_name, rule_blacklist,
+                       engine="device", mesh=None):
+    return _search_batched(
+        hps_list, dataset, split_name, rule_blacklist,
+        grow=partial(_cv_grow, engine=engine, mesh=mesh),
+        finish=lambda hps, grown: _cv_finish(
+            hps, dataset, split_name, grown[0], grown[1]
+        ),
+    )
+
+
+def _bound_search_batched(hps_list, dataset, split_name, rule_blacklist,
+                          delta, max_genome_size, engine="device", mesh=None):
+    return _search_batched(
+        hps_list, dataset, split_name, rule_blacklist,
+        grow=partial(_bound_grow, engine=engine, mesh=mesh),
+        finish=lambda hps, grown: _bound_finish(
+            hps, grown[0], dataset, split_name, delta, max_genome_size
+        ),
+    )
+
+
 def train_tree(dataset, split_name, criterion, class_importance, max_depth,
                min_samples_split, rule_blacklist, progress_callback,
-               hp_search_func, hp_search_type):
-    """HP grid search (experiment_cart.py:437-487)."""
+               hp_search_func, hp_search_type, batched_search_func=None):
+    """HP grid search (experiment_cart.py:437-487).
+
+    With ``batched_search_func`` (device engine), all combos' trees grow as
+    one batched forest; selection and tie rules are unchanged."""
     n_hp = (
         len(criterion) * len(class_importance) * len(max_depth) * len(min_samples_split)
     )
@@ -287,16 +377,31 @@ def train_tree(dataset, split_name, criterion, class_importance, max_depth,
     best_master_tree = None
     n_completed = 0.0
     progress_callback(hp_search_type.title(), 0.0)
-    for hps_tuple in product(criterion, class_importance, max_depth, min_samples_split):
-        hps = {
+    combos = [
+        {
             "criterion": hps_tuple[0],
             "class_importance": hps_tuple[1],
             "max_depth": hps_tuple[2],
             "min_samples_split": hps_tuple[3],
         }
-        hps, score, master_tree = hp_search_func(
-            hps, dataset=dataset, split_name=split_name, rule_blacklist=rule_blacklist
+        for hps_tuple in product(
+            criterion, class_importance, max_depth, min_samples_split
         )
+    ]
+    if batched_search_func is not None:
+        results = batched_search_func(
+            combos, dataset=dataset, split_name=split_name,
+            rule_blacklist=rule_blacklist,
+        )
+    else:
+        results = (
+            hp_search_func(
+                hps, dataset=dataset, split_name=split_name,
+                rule_blacklist=rule_blacklist,
+            )
+            for hps in combos
+        )
+    for hps, score, master_tree in results:
         n_completed += 1
         progress_callback(hp_search_type.title(), n_completed / n_hp)
         if score < best_score:
@@ -396,10 +501,16 @@ def learn_CART(dataset_file, split_name, criterion, max_depth, min_samples_split
         func = partial(_learn_pruned_tree_bound, delta=bound_delta,
                        max_genome_size=bound_max_genome_size, engine=engine,
                        mesh=mesh)
+        batched = (
+            partial(_bound_search_batched, delta=bound_delta,
+                    max_genome_size=bound_max_genome_size, engine=engine,
+                    mesh=mesh)
+            if engine == "device" else None
+        )
         best_hp_score, best_hps, best_master_tree = train_tree(
             dataset, split_name, criterion, class_importance, max_depth,
             min_samples_split, rule_blacklist, progress_callback, func,
-            "bound selection",
+            "bound selection", batched_search_func=batched,
         )
     elif parameter_selection == "cv":
         n_folds = len(dataset.get_split(split_name).folds)
@@ -412,6 +523,10 @@ def learn_CART(dataset_file, split_name, criterion, max_depth, min_samples_split
             min_samples_split, rule_blacklist, progress_callback,
             partial(_learn_pruned_tree_cv, engine=engine, mesh=mesh),
             "cross-validation",
+            batched_search_func=(
+                partial(_cv_search_batched, engine=engine, mesh=mesh)
+                if engine == "device" else None
+            ),
         )
     else:
         error_callback(ValueError("Unknown hyperparameter selection strategy specified."))

@@ -148,7 +148,10 @@ def cart_frontier_scores_pallas(matrix, class_masks, n_node, priors, totals,
 
     matrix: (W, K) uint32 packed presence. class_masks: (N, C, W) uint32
     packed example masks per node per class. n_node: (N, C) example counts.
-    priors/totals: (C,) altered priors and total class sizes.
+    priors/totals: (C,) altered priors and total class sizes shared by all
+    nodes, or (N, C) per-node values — the forest-batched engine scores
+    frontiers of MANY trees (different folds / class importances, hence
+    different altered priors) in one pass.
     Returns (best_col (N,) int32, best_score (N,) f32); +inf score means no
     valid split for that node.
     """
@@ -178,9 +181,11 @@ def cart_frontier_scores_pallas(matrix, class_masks, n_node, priors, totals,
     nb = -(-k // bk)
 
     scale = (priors.astype(jnp.float32) / totals.astype(jnp.float32))
+    if scale.ndim == 1:  # (C,) shared -> (N, C) per node
+        scale = jnp.broadcast_to(scale[None, :], (n, c))
     params = jnp.concatenate([
         _pad_to(n_node.astype(jnp.float32).T, 1, npad),       # (C, Np)
-        _pad_to(jnp.broadcast_to(scale[:, None], (c, n)), 1, npad),
+        _pad_to(scale.T, 1, npad),
     ], axis=0)  # (2C, Np)
 
     def spec(shape, index_map):
@@ -215,7 +220,7 @@ def cart_frontier_scores_pallas(matrix, class_masks, n_node, priors, totals,
     right = n_node.astype(jnp.float32)[:, :, None] - left
 
     def child(nc):
-        p = scale[None, :, None] * nc
+        p = scale[:, :, None] * nc
         p_t = jnp.sum(p, axis=1)
         if criterion == "gini":
             num = p_t * p_t - jnp.sum(p * p, axis=1)

@@ -108,14 +108,16 @@ def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
     """Best presence-rule split for a whole BFS frontier in one matrix pass.
 
     ``node_example_sets`` is a list of per-node ``{class: example_idx}``
-    dicts (all nodes share the class key set). Returns a list of
-    (kmer_idx or None, score) pairs, one per node. On TPU the fused Pallas
-    frontier kernel (:mod:`grm_tpu.ops.pallas_cart_sweep`) scores every
-    node in one pass; elsewhere it falls back to the per-node XLA scorer.
-    ``sweep``: "pallas", "pallas_interpret", or "xla" (default: pallas on
-    TPU, xla otherwise). ``excl`` (optional (K,) bool): excluded k-mer
-    columns (blacklist); exclusion lives in the XLA scorer, so a non-None
-    excl selects sweep="xla".
+    dicts (all nodes share the class key set). ``altered_priors`` /
+    ``total_n_examples_by_class`` are one dict shared by every node or a
+    per-node list of dicts (forest batching across trees). Returns a list
+    of (kmer_idx or None, score) pairs, one per node. On TPU the fused
+    Pallas frontier kernel (:mod:`grm_tpu.ops.pallas_cart_sweep`) scores
+    every node in one pass; elsewhere it falls back to the per-node XLA
+    scorer. ``sweep``: "pallas", "pallas_interpret", or "xla" (default:
+    pallas on TPU, xla otherwise). ``excl`` (optional (K,) bool): excluded
+    k-mer columns (blacklist); exclusion lives in the XLA scorer, so a
+    non-None excl selects sweep="xla".
     """
     if excl is not None:
         sweep = "xla"
@@ -123,12 +125,15 @@ def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
         sweep = "pallas" if jax.default_backend() == "tpu" else "xla"
     if sweep == "xla":
         excl_d = None if excl is None else jnp.asarray(excl)
+        n = len(node_example_sets)
+        priors_l = _per_node_dicts(altered_priors, n)
+        totals_l = _per_node_dicts(total_n_examples_by_class, n)
         return [
             cart_best_split_device(
-                bit_matrix, idx, altered_priors,
-                total_n_examples_by_class, criterion, excl=excl_d,
+                bit_matrix, idx, priors_l[i], totals_l[i], criterion,
+                excl=excl_d,
             )
-            for idx in node_example_sets
+            for i, idx in enumerate(node_example_sets)
         ]
 
     from ..ops.pallas_cart_sweep import BLOCK_K, cart_frontier_scores_pallas
@@ -153,47 +158,66 @@ def cart_frontier_splits_device(bit_matrix, node_example_sets, altered_priors,
     chunk = max(32, min(256, (vmem_budget - fixed) // max(per_node, 1)))
     chunk = max(32, (chunk // 32) * 32)
 
-    def score_chunk(m, nn):
+    def score_chunk(m, nn, pr, tt):
         return cart_frontier_scores_pallas(
             bit_matrix.data, jnp.asarray(m), jnp.asarray(nn),
-            jnp.asarray(priors), jnp.asarray(totals), crit,
+            jnp.asarray(pr), jnp.asarray(tt), crit,
             bit_matrix.n_columns, interpret=(sweep == "pallas_interpret"),
             block=block,
         )
 
-    return _chunked_frontier_scores(masks, n_node, chunk, score_chunk)
+    return _chunked_frontier_scores(masks, n_node, priors, totals, chunk,
+                                    score_chunk)
+
+
+def _per_node_dicts(value, n):
+    """Normalize a shared dict or per-node list of dicts to a list of n."""
+    if isinstance(value, dict):
+        return [value] * n
+    if len(value) != n:
+        raise ValueError("per-node parameter list length mismatch")
+    return list(value)
 
 
 def _frontier_masks(bit_matrix, node_example_sets, altered_priors,
                     total_n_examples_by_class):
     """Shared mask/param assembly.
 
-    Returns (masks (N,C,W) uint32, n_node (N,C) int32, priors (C,) f32,
-    totals (C,) f32) over the sorted class key set.
+    ``altered_priors`` / ``total_n_examples_by_class`` are either one dict
+    shared by every node or a per-node list of dicts (forest batching:
+    nodes of different trees carry different priors).
+    Returns (masks (N,C,W) uint32, n_node (N,C) int32, priors (N,C) f32,
+    totals (N,C) f32) over the sorted class key set.
     """
     from .scm_device import build_packed_mask
 
-    classes = sorted(total_n_examples_by_class)
-    n, c, w = len(node_example_sets), len(classes), bit_matrix.n_words
+    n = len(node_example_sets)
+    priors_l = _per_node_dicts(altered_priors, n)
+    totals_l = _per_node_dicts(total_n_examples_by_class, n)
+    classes = sorted(totals_l[0]) if n else []
+    c, w = len(classes), bit_matrix.n_words
     masks = np.zeros((n, c, w), np.uint32)
     n_node = np.zeros((n, c), np.int32)
+    priors = np.zeros((n, c), np.float32)
+    totals = np.ones((n, c), np.float32)
     for i, example_idx in enumerate(node_example_sets):
         for ci, cl in enumerate(classes):
             idx = example_idx.get(cl, ())
             if len(idx):
                 masks[i, ci] = build_packed_mask(idx, bit_matrix.n_rows, w)
                 n_node[i, ci] = len(idx)
-    priors = np.array([altered_priors[cl] for cl in classes], np.float32)
-    totals = np.array(
-        [total_n_examples_by_class[cl] for cl in classes], np.float32
-    )
+            priors[i, ci] = priors_l[i][cl]
+            totals[i, ci] = totals_l[i][cl]
     return masks, n_node, priors, totals
 
 
-def _chunked_frontier_scores(masks, n_node, chunk, score_chunk):
-    """Run ``score_chunk(masks_chunk, n_node_chunk)`` over fixed-size
-    zero-padded frontier chunks (zero masks -> empty children -> +inf,
-    sliced off); returns the per-node (kmer_idx or None, score) list."""
+def _chunked_frontier_scores(masks, n_node, priors, totals, chunk,
+                             score_chunk):
+    """Run ``score_chunk(masks_chunk, n_node_chunk, priors_chunk,
+    totals_chunk)`` over fixed-size zero-padded frontier chunks (zero masks
+    -> empty children -> +inf, sliced off; totals pad with ones so the
+    padded scale stays finite); returns the per-node (kmer_idx or None,
+    score) list."""
     n = masks.shape[0]
     cols = np.empty(n, np.int64)
     scores = np.empty(n, np.float64)
@@ -201,9 +225,13 @@ def _chunked_frontier_scores(masks, n_node, chunk, score_chunk):
         hi = min(lo + chunk, n)
         m = np.zeros((chunk,) + masks.shape[1:], np.uint32)
         nn = np.zeros((chunk,) + n_node.shape[1:], np.int32)
+        pr = np.zeros((chunk,) + priors.shape[1:], np.float32)
+        tt = np.ones((chunk,) + totals.shape[1:], np.float32)
         m[: hi - lo] = masks[lo:hi]
         nn[: hi - lo] = n_node[lo:hi]
-        ch_cols, ch_scores = score_chunk(m, nn)
+        pr[: hi - lo] = priors[lo:hi]
+        tt[: hi - lo] = totals[lo:hi]
+        ch_cols, ch_scores = score_chunk(m, nn, pr, tt)
         cols[lo:hi] = np.asarray(jax.device_get(ch_cols))[: hi - lo]
         scores[lo:hi] = np.asarray(jax.device_get(ch_scores))[: hi - lo]
     return [
@@ -230,10 +258,11 @@ def _sharded_frontier_fn(mesh, sweep, crit, local_k, _cache={}):
     from jax.sharding import PartitionSpec as P
 
     def body(matrix_local, masks, priors, totals):
+        # priors/totals are per-node (N, C) rows (forest batching).
         if sweep == "xla":
             cols_l, scores_l = jax.vmap(
-                lambda cm: _best_split(matrix_local, cm, priors, totals, crit)
-            )(masks)
+                lambda cm, pr, tt: _best_split(matrix_local, cm, pr, tt, crit)
+            )(masks, priors, totals)
         else:
             from ..ops.pallas_cart_sweep import cart_frontier_scores_pallas
 
@@ -326,20 +355,20 @@ def cart_frontier_splits_sharded(bit_matrix, node_example_sets, altered_priors,
     # self-exclude; BitMatrix guarantees padding columns are zero.
 
     rep_sharding = NamedSharding(mesh, P())
-    priors_d = jax.device_put(priors, rep_sharding)
-    totals_d = jax.device_put(totals, rep_sharding)
     run = _sharded_frontier_fn(mesh, sweep, crit, local_k)
 
     # Fixed-size frontier chunks: bound the per-shard VMEM footprint and
     # bucket every call of a tree run into one compiled shape.
     chunk = min(128, max(32, -(-masks.shape[0] // 32) * 32))
 
-    def score_chunk(m, nn):
+    def score_chunk(m, nn, pr, tt):
         del nn  # per-node counts derive from mask popcounts in the body
-        return run(matrix, jax.device_put(m, rep_sharding), priors_d,
-                   totals_d)
+        return run(matrix, jax.device_put(m, rep_sharding),
+                   jax.device_put(pr, rep_sharding),
+                   jax.device_put(tt, rep_sharding))
 
-    return _chunked_frontier_scores(masks, n_node, chunk, score_chunk)
+    return _chunked_frontier_scores(masks, n_node, priors, totals, chunk,
+                                    score_chunk)
 
 
 def _pad_cols(m, col_pad):

@@ -266,3 +266,59 @@ def test_learn_cart_device_blacklist_matches_host(planted_dataset, tmp_path):
         assert banned not in rules, (engine, rules)
         out[engine] = (rules, r[3]["risk"][0])
     assert out["host"] == out["device"], out
+
+
+def test_frontier_per_node_priors(rng):
+    """Per-node priors/totals (forest batching): one batched call over nodes
+    carrying DIFFERENT priors == separate calls each with its own priors —
+    on both the per-node XLA path and the fused kernel (interpret mode)."""
+    from grm_tpu.parallel.cart_device import cart_frontier_splits_device
+
+    n, K = 80, 600
+    dense = (rng.rand(n, K) > 0.5).astype(np.uint8)
+    y = rng.randint(0, 2, size=n)
+    rc = KmerRuleClassifications(_DenseDataset(dense))
+    idx = np.arange(n)
+
+    nodes = [
+        {c: idx[(y == c) & (idx < 50)] for c in range(2)},
+        {c: idx[(y == c) & (idx >= 20)] for c in range(2)},
+        {c: idx[(y == c) & (idx % 3 == 0)] for c in range(2)},
+    ]
+    priors = [{0: 0.5, 1: 0.5}, {0: 0.8, 1: 0.2}, {0: 0.3, 1: 0.7}]
+    totals = [{0: 40.0, 1: 40.0}, {0: 30.0, 1: 50.0}, {0: 25.0, 1: 55.0}]
+
+    for sweep in ("xla", "pallas_interpret"):
+        want = [
+            cart_frontier_splits_device(
+                rc.bit_matrix, [nodes[i]], priors[i], totals[i], "gini",
+                sweep=sweep,
+            )[0]
+            for i in range(3)
+        ]
+        got = cart_frontier_splits_device(
+            rc.bit_matrix, nodes, priors, totals, "gini", sweep=sweep,
+        )
+        for (wi, ws), (gi, gs) in zip(want, got):
+            assert wi == gi, (sweep, wi, gi)
+            assert np.isclose(ws, gs, rtol=1e-5)
+
+
+def test_forest_batched_grid_matches_host(planted_dataset):
+    """The forest-batched device engine (ALL HP combos' fold+master trees
+    grown as one level-synchronous forest) must pick the same model and
+    metrics as the sequential host engine over a multi-HP grid."""
+    ds_path, marker, k = planted_dataset
+    kwargs = dict(
+        dataset_file=ds_path, split_name="sp",
+        criterion=["gini", "cross-entropy"],
+        max_depth=[2, 3], min_samples_split=2,
+        class_importance=[{0: 1.0, 1: 1.0}, {0: 0.5, 1: 1.0}],
+        parameter_selection="cv",
+    )
+    host = learn_CART(engine="host", **kwargs)
+    dev = learn_CART(engine="device", **kwargs)
+    assert str(host[4]) == str(dev[4])          # same tree
+    assert host[0] == dev[0]                    # same chosen hps
+    assert host[3]["risk"] == dev[3]["risk"]
+    assert host[3]["risk"][0] == 0.0

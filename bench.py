@@ -242,15 +242,17 @@ def main():
         % (max_rules * n_kmers / wall / 1e9,
            max_rules * n_kmers * n_genomes / wall / 1e9))
 
-    # CART frontier core on the same resident matrix: one fused pass
-    # scoring a 16-node BFS frontier (the learner's per-level unit).
+    # CART forest core on the same resident matrix: one fused pass scoring
+    # the concatenated BFS frontiers of a whole CV grid round (48 trees x
+    # 1 node with per-node altered priors — the forest-batched engine's
+    # per-level unit, parallel/cart_forest.py).
     if os.environ.get("BENCH_CART", "1") != "0":
         try:
             from grm_tpu.ops.pallas_cart_sweep import (
                 cart_frontier_scores_pallas,
             )
 
-            N, C = 16, 2
+            N, C = 48, 2
             cm = jnp.asarray(
                 np.random.RandomState(1).randint(
                     0, 2**32, (N, C, w), dtype=np.uint64
@@ -261,8 +263,13 @@ def main():
                     np.float32
                 )
             )
-            pri = jnp.asarray(np.full(C, 0.5, np.float32))
-            tot = jnp.asarray(np.full(C, n_genomes / 2.0, np.float32))
+            rs = np.random.RandomState(3)
+            pri = jnp.asarray(
+                (0.2 + 0.6 * rs.rand(N, C)).astype(np.float32)
+            )  # per-node priors: each tree's fold/importance differs
+            tot = jnp.asarray(
+                np.full((N, C), n_genomes / 2.0, np.float32)
+            )
             out = cart_frontier_scores_pallas(
                 matrix, cm, nn_node, pri, tot, "gini", n_kmers
             )
@@ -274,8 +281,9 @@ def main():
                     matrix, cm, nn_node, pri, tot, "gini", n_kmers
                 ))
             jax.device_get(outs)
-            log("CART frontier core: %.1f ms per fused pass scoring %d "
-                "tree nodes" % ((time.time() - t0) / 5 * 1e3, N))
+            log("CART forest core: %.1f ms per fused pass scoring one "
+                "frontier node of %d CV-grid trees (per-node priors)"
+                % ((time.time() - t0) / 5 * 1e3, N))
         except Exception as e:  # auxiliary; never fail the bench
             log("CART core bench skipped (%s)" % str(e)[:120])
 

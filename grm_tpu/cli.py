@@ -28,6 +28,18 @@ import numpy as np
 DEFAULT_P = [0.1, 0.316, 0.562, 1.0, 1.778, 3.162, 10.0, 999999.0]
 
 
+def _default_engine():
+    """"device" (the exact on-accelerator engine) when an accelerator is
+    present, "host" on CPU-only backends where the parity path is cheaper
+    than compiling the fused sweeps."""
+    try:
+        import jax
+
+        return "device" if jax.default_backend() != "cpu" else "host"
+    except Exception:  # pragma: no cover - jax always importable here
+        return "host"
+
+
 def _make_cli_mesh(n_devices, engine):
     """("rows","cols") mesh over N local devices for --n-devices, or None.
 
@@ -37,7 +49,7 @@ def _make_cli_mesh(n_devices, engine):
     """
     if not n_devices or n_devices <= 1:
         return None
-    if engine != "device":
+    if engine not in ("device", "device-argmax"):
         print("Error: --n-devices requires --engine device (the host engine "
               "is the single-process exact-parity path).")
         sys.exit(1)
@@ -281,9 +293,16 @@ def _cmd_learn_scm(argv):
     parser.add_argument("--bound-max-genome-size", type=int)
     parser.add_argument("--random-seed", type=int)
     parser.add_argument("--n-cpu", "--n-cores", type=int, default=1)
-    parser.add_argument("--engine", choices=["host", "device"], default="host",
-                        help="host = exact reference selection semantics; "
-                             "device = fused on-accelerator CV/fit (fast path).")
+    parser.add_argument("--engine",
+                        choices=["host", "device", "device-argmax"],
+                        default=None,
+                        help="host = reference selection on the host; "
+                             "device = exact on-accelerator engine "
+                             "(bit-identical to host; the default when an "
+                             "accelerator is present); device-argmax = "
+                             "fastest fused CV, lowest-index tie "
+                             "resolution. Default: device on accelerators, "
+                             "host on CPU.")
     parser.add_argument("--n-devices", type=int, default=0,
                         help="Shard k-mer columns over N local accelerator "
                              "devices (device engine; 0 = single device).")
@@ -293,6 +312,8 @@ def _cmd_learn_scm(argv):
     parser.add_argument("--authorized-rules", type=str, default="",
                         help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
+    if args.engine is None:
+        args.engine = _default_engine()
     if args.verbose:
         logging.basicConfig(level=logging.DEBUG)
     progress = _progress_printer(args.progress)

@@ -362,17 +362,194 @@ def _column_sharding(mesh):
     return NamedSharding(mesh, P(None, "cols"))
 
 
+def _hp_selection_loop(hp_list, scores_by_hp):
+    """Reference HP tie rules over precomputed (hp, best_len, score) rows
+    (experiment_scm.py:233-246): better score; equal (allclose) score ->
+    shorter model; equal length -> p closest to 1.0."""
+    best_hp_score = 1.0
+    best_hp = {"model_type": None, "p": None, "max_rules": None}
+    for (model_type, p), (best_len, score) in zip(hp_list, scores_by_hp):
+        hp = (model_type, p, best_len)
+        if (
+            (not np.allclose(score, best_hp_score) and score < best_hp_score)
+            or (
+                np.allclose(score, best_hp_score)
+                and best_hp["max_rules"] is not None
+                and hp[2] < best_hp["max_rules"]
+            )
+            or (
+                np.allclose(score, best_hp_score)
+                and best_hp["max_rules"] is not None
+                and hp[2] == best_hp["max_rules"]
+                and not np.allclose(hp[1], best_hp["p"])
+                and abs(1.0 - hp[1]) < abs(1.0 - best_hp["p"])
+            )
+        ):
+            best_hp = {"model_type": hp[0], "p": hp[1], "max_rules": hp[2]}
+            best_hp_score = score
+    return best_hp_score, best_hp
+
+
+def _cross_validation_device_exact(dataset, split_name, model_types, p_values,
+                                   max_rules, progress_callback,
+                                   rule_blacklist=()):
+    """Device-engine CV with EXACT reference selection semantics.
+
+    The :class:`~grm_tpu.parallel.scm_exact.ExactScmEngine` keeps every
+    count sweep on the MXU but replays the reference's float64 blockwise
+    isclose tie accumulation, zero-coverage filter, and fold-risk-table
+    tiebreaker on the host over a tiny candidate set — so the selected
+    rules, fold risks (exact integer error counts divided in float64), and
+    therefore the chosen hyperparameters are bit-identical to
+    :func:`_cross_validation` (reference experiment_scm.py:100-248).
+    """
+    from itertools import product as _product
+
+    from ...parallel.scm_device import build_packed_mask
+    from ...parallel.scm_exact import ExactScmEngine, _make_risk_lookup
+
+    split = dataset.get_split(split_name)
+    folds = split.folds
+    labels = dataset.phenotype.metadata
+    bm = dataset.bit_matrix()
+    n_words = bm.n_words if hasattr(bm, "n_words") else None
+    n_genomes = dataset.genome_count
+    n_kmers = bm.n_columns
+
+    fold_lookups = [
+        _make_risk_lookup(f.unique_risk_by_kmer, f.unique_risk_by_anti_kmer,
+                          n_kmers)
+        for f in folds
+    ]
+
+    hp_list = list(_product(model_types, p_values))
+    fits = []
+    for model_type, p in hp_list:
+        for fold, lookup in zip(folds, fold_lookups):
+            tr = fold.train_genome_idx
+            te = fold.test_genome_idx
+            pos = tr[labels[tr] == 1]
+            neg = tr[labels[tr] == 0]
+            if model_type == "disjunction":
+                pos, neg = neg, pos
+            fits.append({
+                "pos_mask": build_packed_mask(pos, n_genomes, n_words),
+                "neg_mask": build_packed_mask(neg, n_genomes, n_words),
+                "test_pos_mask": build_packed_mask(
+                    te[labels[te] == 1], n_genomes, n_words),
+                "test_neg_mask": build_packed_mask(
+                    te[labels[te] == 0], n_genomes, n_words),
+                "p": p,
+                "model_type": model_type,
+                "risk_lookup": lookup,
+            })
+
+    progress_callback("Cross-validation", 0.0)
+    engine = ExactScmEngine(bm.data, n_kmers, excl_rules=rule_blacklist)
+    _, _, errors, n_test = engine.run_fits(fits, max_rules)
+    progress_callback("Cross-validation", 1.0)
+
+    n_folds = len(folds)
+    scores_by_hp = []
+    for i in range(len(hp_list)):
+        sl = slice(i * n_folds, (i + 1) * n_folds)
+        fold_risks = errors[sl].astype(np.float64) / np.maximum(
+            n_test[sl, None], 1).astype(np.float64)
+        score_by_len = np.mean(fold_risks, axis=0)
+        best_len = int(np.argmin(score_by_len))
+        scores_by_hp.append((best_len, score_by_len[best_len]))
+    return _hp_selection_loop(hp_list, scores_by_hp)
+
+
+def _full_train_device_exact(dataset, split_name, model_type, p, max_rules,
+                             max_equiv_rules, rule_blacklist,
+                             random_generator, progress_callback):
+    """Final training on device with exact tie sets — bit-identical to
+    :func:`_full_train` (reference experiment_scm.py:251-346) including the
+    equivalent-rule subsampling RNG contract."""
+    from ...parallel.scm_device import build_packed_mask
+    from ...parallel.scm_exact import ExactScmEngine, _make_risk_lookup
+
+    split = dataset.get_split(split_name)
+    labels = dataset.phenotype.metadata
+    bm = dataset.bit_matrix()
+    n_genomes = dataset.genome_count
+    n_kmers = bm.n_columns
+
+    model = ConjunctionModel() if model_type == "conjunction" else DisjunctionModel()
+    if max_rules == 0:
+        return model, np.array([]), np.array([])
+
+    tr = split.train_genome_idx
+    pos = tr[labels[tr] == 1]
+    neg = tr[labels[tr] == 0]
+    if model_type == "disjunction":
+        pos, neg = neg, pos
+    training_example_idx = np.hstack((pos, neg))
+
+    n_words = bm.n_words
+    zero = np.zeros(n_words, np.uint32)
+    fit = {
+        "pos_mask": build_packed_mask(pos, n_genomes, n_words),
+        "neg_mask": build_packed_mask(neg, n_genomes, n_words),
+        "test_pos_mask": zero, "test_neg_mask": zero,
+        "p": p, "model_type": model_type,
+        "risk_lookup": _make_risk_lookup(
+            split.unique_risk_by_kmer, split.unique_risk_by_anti_kmer,
+            n_kmers),
+    }
+
+    progress_callback("Training", 0)
+    engine = ExactScmEngine(bm.data, n_kmers, excl_rules=rule_blacklist)
+    rules_arr, _, _, _, ties = engine.run_fits([fit], max_rules,
+                                               collect_ties=True)
+    rule_idx = [int(r) for r in rules_arr[0] if r >= 0]
+    progress_callback("Training", 1.0)
+
+    # Equivalent-rule capture with the reference RNG contract
+    # (experiment_scm.py:269-282 via the _full_train iteration callback).
+    model_equivalent_rules = []
+    for equiv in ties[0]:
+        equiv = np.asarray(equiv)
+        if len(equiv) > max_equiv_rules:
+            random_idx = random_generator.choice(len(equiv), max_equiv_rules,
+                                                 replace=False)
+            random_idx.sort()
+            equiv = equiv[random_idx]
+        if model_type == "disjunction":
+            equiv = (equiv + n_kmers) % (2 * n_kmers)
+        model_equivalent_rules.append(equiv)
+
+    rules = LazyKmerRuleList(dataset)
+    for idx in rule_idx:
+        rule = rules[idx]
+        if model_type == "disjunction":
+            rule = rule.inverse()
+        model.add(rule)
+
+    rc = KmerRuleClassifications(dataset)
+    if rule_idx:
+        from ..scm import _compute_rule_importances
+
+        importances = _compute_rule_importances(rc, rule_idx,
+                                                training_example_idx)
+    else:
+        importances = np.array([])
+    return model, importances, model_equivalent_rules
+
+
 def _cross_validation_device(dataset, split_name, model_types, p_values,
                              max_rules, progress_callback, mesh=None,
                              rule_blacklist=()):
-    """Device-engine CV: the entire HP grid in one XLA program.
+    """Device-engine CV with pure-argmax selection (the "device-argmax"
+    engine, and the sharded path of "device").
 
-    Same selection rules as :func:`_cross_validation`, but fold scores come
-    from the device CV engines (pure-argmax rule selection; no exact-tie
-    tiebreaker support; blacklists exclude rules via the XLA sweep's
-    column masks on the single-device grid engine) — all iteration-major
-    grid engines that
-    make one matrix pass per greedy iteration scoring every fit at once:
+    Same HP selection rules as :func:`_cross_validation`, but fold scores
+    come from the approximate device CV engines (pure-argmax rule
+    selection; no exact-tie tiebreaker support; blacklists exclude rules
+    via the XLA sweep's column masks on the single-device grid engine) —
+    all iteration-major grid engines that make one matrix pass per greedy
+    iteration scoring every fit at once:
     :func:`grm_tpu.parallel.scm_grid.scm_cv_grid_device` on a single device,
     :func:`grm_tpu.parallel.scm_grid.scm_cv_grid_sharded` when the k-mer
     columns are sharded over a mesh, and the scan-over-fits engine
@@ -580,13 +757,20 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
     ``n_cpu`` is accepted for API compatibility; the HP grid runs sequentially
     against the HBM-resident bit matrix.
 
-    ``engine``: "host" reproduces the reference's selection semantics exactly
-    (np.isclose ties + risk-table tiebreakers, count vectors scanned on the
-    host). "device" keeps the whole CV grid and final fit on device in fused
-    XLA programs (pure-argmax ties) — the fast path for accelerators where
-    device->host transfers are expensive; k-mer blacklists are supported
-    unsharded (rule-column exclusion masks in the sweep), while sharded runs
-    with a blacklist error explicitly.
+    ``engine``:
+
+    - "host" — the reference's selection semantics computed on the host
+      (np.isclose ties + risk-table tiebreakers over full count vectors).
+    - "device" — the exact device engine
+      (:class:`~grm_tpu.parallel.scm_exact.ExactScmEngine`): all count
+      sweeps stay on the accelerator, selection is bit-identical to
+      "host" (same rules, tie sets, fold risks, hyperparameters).
+      Blacklists supported. When a ``mesh`` is given, the sharded
+      pure-argmax engines run instead (documented divergence: exact-tied
+      rules resolve to the lowest index).
+    - "device-argmax" — the speed-of-light pure-argmax grid engine (one
+      fused XLA program for the whole CV); selected rules may differ from
+      the reference among exactly tied candidates.
     """
     if warning_callback is None:
         warning_callback = lambda w: logging.warning(w)
@@ -612,6 +796,18 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
     rule_blacklist = _find_rule_blacklist(dataset, kmer_blacklist_file,
                                           warning_callback)
 
+    if engine in ("device", "device-argmax") and mesh is None:
+        # Matrices beyond the HBM budget come back as StreamingBitMatrix
+        # (host-resident); the fused device engines need a resident matrix,
+        # so fall back to the host engine (which streams blocks per sweep).
+        if not hasattr(dataset.bit_matrix(), "data"):
+            warning_callback(
+                "The k-mer matrix exceeds the device memory budget; "
+                "falling back to --engine host (streaming sweeps). Shard "
+                "over a mesh to keep large matrices device-resident."
+            )
+            engine = "host"
+
     if parameter_selection == "bound":
         if bound_delta is None or bound_max_genome_size is None:
             error_callback(
@@ -632,7 +828,12 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
             error_callback(
                 Exception("Cross-validation cannot be performed on a split with no folds.")
             )
-        if engine == "device":
+        if engine == "device" and mesh is None:
+            best_hp_score, best_hp = _cross_validation_device_exact(
+                dataset, split_name, model_type, p, max_rules,
+                progress_callback, rule_blacklist=rule_blacklist,
+            )
+        elif engine in ("device", "device-argmax"):
             best_hp_score, best_hp = _cross_validation_device(
                 dataset, split_name, model_type, p, max_rules, progress_callback,
                 mesh=mesh, rule_blacklist=rule_blacklist,
@@ -657,7 +858,13 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
         model = best_model
         equivalent_rules = best_predictor_equiv_rules
         rule_importances = best_rule_importances
-    elif engine == "device":
+    elif engine == "device" and mesh is None:
+        model, rule_importances, equivalent_rules = _full_train_device_exact(
+            dataset, split_name, best_hp["model_type"], best_hp["p"],
+            best_hp["max_rules"], max_equiv_rules, rule_blacklist,
+            random_generator, progress_callback,
+        )
+    elif engine in ("device", "device-argmax"):
         model, rule_importances, equivalent_rules = _full_train_device(
             dataset, split_name, best_hp["model_type"], best_hp["p"],
             best_hp["max_rules"], progress_callback, mesh=mesh,

@@ -1,0 +1,502 @@
+"""Exact-parity device SCM engine: bit-identical selection, MXU sweeps.
+
+The pure-argmax grid engine (:mod:`grm_tpu.parallel.scm_grid`) is the
+speed-of-light path, but it resolves utility ties to the lowest rule index
+instead of the reference's semantics. This engine closes that gap without
+giving up the device: selection is *bit-identical* to the reference host
+path (``learning/learners/scm.py:238-288`` + the risk-table tiebreaker of
+``experiment_scm.py:120-130``), yet the count vectors never leave HBM.
+
+Per greedy iteration, for all F fits of a CV grid at once:
+
+1. **Pass 1 (device, MXU)** — one blocked pass over the packed matrix
+   computes every rule's presence counts as an int8 x int8 -> int32
+   contraction and reduces them to per-*superblock* float32 utility maxima
+   ``(F, NSB)`` plus the per-fit global max. Nothing big is fetched.
+2. **Threshold (host)** — exact-tie candidates can only live above
+   ``gmax - margin``, where the margin provably over-covers both the
+   reference's ``np.isclose``/``np.allclose`` radii (rtol 1e-5, atol 1e-8)
+   and the float32 evaluation error of pass 1 (counts are exact int32;
+   only the ``p *`` product and subtractions round). Over-inclusion is
+   harmless: membership is re-decided exactly on the host in step 4.
+3. **Pass 2 (device)** — gather ``(rule, neg_count, pos_count)`` triples
+   from the hit superblocks only, compacted on device (sort-based) to a
+   small fixed budget with raw-superblock escalation on overflow. The
+   fetch is a few hundred KB instead of the 2K-length count vector.
+4. **Replay (host, float64)** — over the candidate pool, re-run the
+   reference's exact blockwise utility scan (``UTIL_BLOCK_SIZE`` = 1e6
+   blocks, the ``np.allclose`` accumulate-without-raising-best quirk, the
+   ``np.isclose`` tie sets), the zero-coverage filter
+   (scm.py:108-114), and the fold-risk-table tiebreaker
+   (experiment_scm.py:120-130). Candidate counts are exact integers, so
+   the float64 utilities — and therefore every tie decision — are
+   bit-identical to the host engine. The safety argument: the final
+   "best" utility is within one isclose radius of the global max, tie
+   members within three radii, and everything below the threshold is
+   more than that away, so no member can be missed.
+5. **Apply (device)** — the chosen rules' packed columns update the fit
+   state (pos/neg/conjunction masks) and the fold-test error *counts*
+   (exact ints) come back, so CV risks are computed on the host in
+   float64 exactly like the reference.
+
+The engine therefore returns the same rules, the same equivalence (tie)
+sets, and the same fold risks as the host parity engine, while reading the
+matrix twice per greedy iteration on the MXU (pass 1 + the tiny pass 2)
+instead of streaming 2K-length count vectors to the host.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .scm_grid import _fetch_columns, _popcount_rows, _unpack_words
+
+__all__ = ["ExactScmEngine", "UTIL_BLOCK_SIZE"]
+
+UTIL_BLOCK_SIZE = 1000000  # reference scm.py:29
+_RTOL, _ATOL = 1.0e-5, 1.0e-8  # np.isclose / np.allclose defaults
+_F32_EPS = 1.2e-7
+
+
+@partial(jax.jit, static_argnames=("n_kmers", "sb"))
+def _pass1(matrix, neg, pos, ps, n_kmers, sb, excl=None):
+    """Per-superblock max utility (F, NSB) float32 + per-fit global max.
+
+    Utilities follow the reference's definition per rule half:
+    presence u = (n_neg - cn) - p * (n_pos - cp); absence u = cn - p * cp,
+    with cn/cp the k-mer presence counts among negative/positive examples.
+    Padding columns (>= n_kmers) and blacklisted rules are -inf. The
+    zero-coverage rule filter is NOT applied here — the reference applies
+    it after tie accumulation (scm.py:108-114), which the host replay does.
+    """
+    f = neg.shape[0]
+    w, kp = matrix.shape
+    nsb = kp // sb
+    neg_inf = jnp.float32(-jnp.inf)
+
+    masks_dense = _unpack_words(
+        jnp.concatenate([neg, pos], axis=0).T
+    ).T  # (2F, 32W) int8
+    nn = _popcount_rows(neg)[:, None].astype(jnp.float32)
+    np_ = _popcount_rows(pos)[:, None].astype(jnp.float32)
+
+    def scan_block(sbmax, b):
+        mb = jax.lax.dynamic_slice(matrix, (0, b * sb), (w, sb))
+        xb = _unpack_words(mb)  # (32W, sb) int8
+        counts = jax.lax.dot_general(
+            masks_dense, xb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (2F, sb)
+        cnf = counts[:f].astype(jnp.float32)
+        cpf = counts[f:].astype(jnp.float32)
+        col = b * sb + jnp.arange(sb)
+        pad = (col >= n_kmers)[None, :]
+        u_pres = (nn - cnf) - ps[:, None] * (np_ - cpf)
+        u_abs = cnf - ps[:, None] * cpf
+        if excl is not None:
+            eb = jax.lax.dynamic_slice(excl, (0, b * sb), (2, sb))
+            u_pres = jnp.where(pad | eb[0][None, :], neg_inf, u_pres)
+            u_abs = jnp.where(pad | eb[1][None, :], neg_inf, u_abs)
+        else:
+            u_pres = jnp.where(pad, neg_inf, u_pres)
+            u_abs = jnp.where(pad, neg_inf, u_abs)
+        m = jnp.maximum(u_pres, u_abs).max(axis=1)  # (F,)
+        return jax.lax.dynamic_update_slice(sbmax, m[:, None], (0, b)), None
+
+    sbmax, _ = jax.lax.scan(
+        scan_block, jnp.full((f, nsb), neg_inf), jnp.arange(nsb)
+    )
+    return sbmax, sbmax.max(axis=1)
+
+
+@partial(jax.jit, static_argnames=("m",))
+def _hit_sbs(sbmax, thresh, m):
+    """Superblocks whose max reaches the per-fit threshold.
+
+    Returns (F, m) int32 superblock indices (ascending, -1 padded) and the
+    true per-fit hit counts (for overflow escalation).
+    """
+    f, nsb = sbmax.shape
+    hit = sbmax >= thresh[:, None]
+    key = jnp.where(hit, jnp.arange(nsb, dtype=jnp.int32)[None, :],
+                    jnp.int32(nsb))
+    key = jax.lax.sort(key, dimension=1)[:, :m]
+    return (jnp.where(key < nsb, key, -1),
+            hit.sum(axis=1).astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("n_kmers", "sb", "cmax"))
+def _pass2(matrix, neg, pos, ps, pair_f, pair_sb, thresh, n_kmers, sb, cmax,
+           excl=None):
+    """Candidate (rule, cn, cp) triples per hit (fit, superblock) pair.
+
+    Counts are exact int32; candidacy is ``u_f32 >= thresh[fit]`` — an
+    over-inclusive superset, with the exact decision replayed on the host.
+    Compacted per pair to ``cmax`` entries; the true per-pair candidate
+    count is returned for overflow escalation.
+    """
+    w = matrix.shape[0]
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def one(fi, sbi):
+        mslice = jax.lax.dynamic_slice(matrix, (0, sbi * sb), (w, sb))
+        xb = _unpack_words(mslice)  # (32W, sb)
+        mdense = _unpack_words(
+            jnp.stack([neg[fi], pos[fi]], axis=1)
+        ).T  # (2, 32W)
+        counts = jax.lax.dot_general(
+            mdense, xb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (2, sb)
+        cn, cp = counts[0], counts[1]
+        nn = jnp.sum(jax.lax.population_count(neg[fi])).astype(jnp.float32)
+        np_ = jnp.sum(jax.lax.population_count(pos[fi])).astype(jnp.float32)
+        col = sbi * sb + jnp.arange(sb)
+        pad = col >= n_kmers
+        cnf, cpf = cn.astype(jnp.float32), cp.astype(jnp.float32)
+        u_pres = (nn - cnf) - ps[fi] * (np_ - cpf)
+        u_abs = cnf - ps[fi] * cpf
+        if excl is not None:
+            eb = jax.lax.dynamic_slice(excl, (0, sbi * sb), (2, sb))
+            u_pres = jnp.where(pad | eb[0], neg_inf, u_pres)
+            u_abs = jnp.where(pad | eb[1], neg_inf, u_abs)
+        else:
+            u_pres = jnp.where(pad, neg_inf, u_pres)
+            u_abs = jnp.where(pad, neg_inf, u_abs)
+        uflat = jnp.concatenate([u_pres, u_abs])  # (2sb,) presence|absence
+        mask = uflat >= thresh[fi]
+        key = jnp.where(mask, jnp.arange(2 * sb, dtype=jnp.int32),
+                        jnp.int32(2 * sb))
+        order = jax.lax.sort(key)[:cmax]
+        valid = order < 2 * sb
+        j = jnp.where(valid, order, 0)
+        jcol = j % sb
+        ridx = sbi * sb + jcol + jnp.where(j >= sb, n_kmers, 0)
+        cn2 = jnp.concatenate([cn, cn])[j]
+        cp2 = jnp.concatenate([cp, cp])[j]
+        return (jnp.where(valid, ridx, -1).astype(jnp.int32),
+                jnp.where(valid, cn2, -1),
+                jnp.where(valid, cp2, -1),
+                mask.sum().astype(jnp.int32))
+
+    return jax.vmap(one)(pair_f, pair_sb)
+
+
+@partial(jax.jit, donate_argnums=(1, 2, 3))
+def _apply(matrix, pos, neg, conj, tpos, tneg, col, use_abs, valid, is_disj):
+    """Apply the chosen rules; return new state + exact fold-test errors."""
+    w32 = pos.shape[1]
+    packed = _fetch_columns(matrix, col)[:, :w32]
+    bits = jnp.where(use_abs[:, None], ~packed, packed)
+    act = valid[:, None]
+    pos = jnp.where(act, pos & bits, pos)
+    neg = jnp.where(act, neg & bits, neg)
+    conj = jnp.where(act, conj & bits, conj)
+    n_tpos = _popcount_rows(tpos)
+    n_tneg = _popcount_rows(tneg)
+    pos_pred1 = _popcount_rows(tpos & conj)
+    neg_pred1 = _popcount_rows(tneg & conj)
+    conj_err = (n_tpos - pos_pred1) + neg_pred1
+    disj_err = pos_pred1 + (n_tneg - neg_pred1)
+    err = jnp.where(is_disj, disj_err, conj_err)
+    return pos, neg, conj, err, _popcount_rows(neg), _popcount_rows(pos)
+
+
+def _replay_block_scan(idx, cn, cp, n_neg, n_pos, p, n_kmers):
+    """The reference's blockwise utility max + tie accumulation, exactly.
+
+    ``idx`` (ascending rule indices in [0, 2K)), ``cn``/``cp`` the exact
+    presence counts among negatives/positives. Reproduces
+    scm.py:255-288 over the candidate pool: float64 utilities, 1e6-rule
+    blocks, the allclose-accumulate-without-raising-best quirk, isclose
+    tie sets. Returns (tie_idx, tie_pos_err, tie_neg_cover) in the order
+    the reference would produce.
+    """
+    presence = idx < n_kmers
+    neg_cover = np.where(presence, n_neg - cn, cn).astype(np.int64)
+    pos_err = np.where(presence, n_pos - cp, cp).astype(np.int64)
+    u = neg_cover - float(p) * pos_err.astype(np.float64)
+
+    best = -np.inf
+    best_idx = np.array([], dtype=np.int64)
+    best_pos_err = np.array([], dtype=np.int64)
+    best_neg_cover = np.array([], dtype=np.int64)
+    blocks = idx // UTIL_BLOCK_SIZE
+    for b in np.unique(blocks):  # ascending, like the reference's loop
+        sel = blocks == b
+        bu = u[sel]
+        bmax = bu.max()
+        if bmax > best or np.allclose(best, bmax):
+            argm = np.isclose(bu, bmax)
+            if np.allclose(bmax, best):
+                best_idx = np.hstack((best_idx, idx[sel][argm]))
+                best_pos_err = np.hstack((best_pos_err, pos_err[sel][argm]))
+                best_neg_cover = np.hstack(
+                    (best_neg_cover, neg_cover[sel][argm]))
+            else:
+                best = bmax
+                best_idx = idx[sel][argm]
+                best_pos_err = pos_err[sel][argm]
+                best_neg_cover = neg_cover[sel][argm]
+    return best_idx, best_pos_err, best_neg_cover
+
+
+def _select_rule(tie_idx, tie_pos_err, tie_neg_cover, risk_lookup,
+                 model_type):
+    """Zero-coverage filter + risk tiebreaker, exactly as the host fit.
+
+    Returns (chosen_rule or None, equivalent_rules ndarray or None) — the
+    reference's scm.py:108-130 + experiment_scm.py:120-130 contract.
+    """
+    keep = (tie_neg_cover != 0) | (tie_pos_err != 0)
+    kept = tie_idx[keep]
+    if len(kept) == 0:
+        return None, None
+    if len(kept) == 1:
+        return int(kept[0]), np.array([int(kept[0])])
+    tie_rule_risks = risk_lookup(kept)
+    if model_type == "conjunction":
+        equiv = kept[np.isclose(tie_rule_risks, tie_rule_risks.min())]
+    else:
+        # Disjunction trains on inverted labels: risks = 1 - conj risks.
+        equiv = kept[np.isclose(tie_rule_risks, tie_rule_risks.max())]
+    return int(equiv[0]), equiv
+
+
+def _make_risk_lookup(by_kmer, by_anti, n_kmers):
+    """rule_risks[idx] over the virtual hstack(by_kmer, by_anti) table."""
+
+    def lookup(idx):
+        out = np.empty(len(idx), dtype=np.float64)
+        pres = idx < n_kmers
+        out[pres] = by_kmer[idx[pres]]
+        out[~pres] = by_anti[idx[~pres] - n_kmers]
+        return out
+
+    return lookup
+
+
+class ExactScmEngine:
+    """Iteration-major exact SCM over a device-resident packed matrix.
+
+    Parameters
+    ----------
+    matrix : (W, K) uint32 packed presence matrix (device or host value)
+    n_kmers : number of real k-mer columns (trailing columns are padding)
+    excl_rules : optional int array of blacklisted rule indices in [0, 2K)
+    sb : superblock width (columns) for the hit-detection granularity
+    hit_budget / cand_budget : initial device compaction budgets (escalate
+        x16 on overflow; small values exercise the escalation paths in
+        tests)
+    """
+
+    def __init__(self, matrix, n_kmers, excl_rules=None, sb=8192,
+                 hit_budget=64, cand_budget=64):
+        matrix = matrix if isinstance(matrix, jax.Array) else jnp.asarray(
+            np.ascontiguousarray(matrix))
+        if matrix.dtype != jnp.uint32:
+            raise ValueError("exact engine expects a uint32-packed matrix")
+        kp = matrix.shape[1]
+        sb = min(sb, max(256, kp))
+        pad = (-kp) % sb
+        if pad:
+            matrix = jax.jit(
+                lambda m: jnp.pad(m, ((0, 0), (0, pad)))
+            )(matrix)
+        self.matrix = matrix
+        self.n_kmers = int(n_kmers)
+        self.sb = sb
+        self.hit_budget = int(hit_budget)
+        self.cand_budget = int(cand_budget)
+        self.excl = None
+        if excl_rules is not None and len(excl_rules):
+            excl_np = np.zeros((2, matrix.shape[1]), bool)
+            er = np.asarray(excl_rules, np.int64)
+            excl_np[0, er[er < n_kmers]] = True
+            excl_np[1, er[er >= n_kmers] - n_kmers] = True
+            self.excl = jnp.asarray(excl_np)
+
+    # -- candidate machinery -------------------------------------------------
+
+    def _thresholds(self, gmax, n_neg, n_pos, ps, active):
+        """Safe over-inclusive candidate thresholds (see module docstring).
+
+        margin = 8 isclose radii + 4x the float32 evaluation error bound;
+        anything below cannot join a tie set, anything above is gathered.
+        """
+        radius = _ATOL + _RTOL * np.abs(gmax)
+        scale = n_neg + 2.0 * np.abs(ps) * n_pos + np.abs(gmax)
+        fslack = 4.0 * _F32_EPS * scale
+        thresh = gmax - 8.0 * radius - 4.0 * fslack - _ATOL
+        return np.where(active, thresh, np.inf).astype(np.float32)
+
+    def _gather_candidates(self, sbmax, neg_dev, pos_dev, ps_dev, thresh_np,
+                           active):
+        """Hit superblocks -> candidate pools per fit (host numpy)."""
+        sb, matrix = self.sb, self.matrix
+        thresh_dev = jnp.asarray(thresh_np)
+        hits_m = self.hit_budget
+        while True:
+            hits, hcount = _hit_sbs(sbmax, thresh_dev, hits_m)
+            hits, hcount = np.asarray(hits), np.asarray(hcount)
+            if (hcount[active] <= hits_m).all():
+                break
+            hits_m = min(int(sbmax.shape[1]), hits_m * 16)
+
+        pair_f, pair_sb = [], []
+        for f in np.where(active)[0]:
+            for s in hits[f]:
+                if s >= 0:
+                    pair_f.append(f)
+                    pair_sb.append(int(s))
+        pools = {int(f): [] for f in np.where(active)[0]}
+        if not pair_f:
+            return pools
+        pair_f = np.asarray(pair_f, np.int32)
+        pair_sb = np.asarray(pair_sb, np.int32)
+
+        def run_pairs(pf, psb, cmax):
+            # Bucket-pad the pair count to limit recompiles.
+            n = len(pf)
+            bucket = 16
+            while bucket < n:
+                bucket *= 4
+            pf_p = np.zeros(bucket, np.int32)
+            psb_p = np.zeros(bucket, np.int32)
+            pf_p[:n], psb_p[:n] = pf, psb
+            ridx, cn, cp, count = _pass2(
+                matrix, neg_dev, pos_dev, ps_dev,
+                jnp.asarray(pf_p), jnp.asarray(psb_p), thresh_dev,
+                self.n_kmers, sb, cmax, excl=self.excl,
+            )
+            return (np.asarray(ridx)[:n], np.asarray(cn)[:n],
+                    np.asarray(cp)[:n], np.asarray(count)[:n])
+
+        def collect(pf, ridx, cn, cp):
+            for i in range(len(pf)):
+                valid = ridx[i] >= 0
+                if valid.any():
+                    pools[int(pf[i])].append(
+                        (ridx[i][valid], cn[i][valid], cp[i][valid]))
+
+        ridx, cn, cp, count = run_pairs(pair_f, pair_sb, self.cand_budget)
+        overflow = count > self.cand_budget
+        collect(pair_f[~overflow], ridx[~overflow], cn[~overflow],
+                cp[~overflow])
+        if overflow.any():
+            # Escalate overflowing pairs to a full-superblock gather.
+            r2, c2, p2, _ = run_pairs(
+                pair_f[overflow], pair_sb[overflow], 2 * sb)
+            collect(pair_f[overflow], r2, c2, p2)
+        return pools
+
+    # -- the greedy loop -----------------------------------------------------
+
+    def run_fits(self, fits, max_rules, collect_ties=False):
+        """Greedy SCM for every fit, exact reference selection semantics.
+
+        ``fits``: list of dicts with keys pos_mask, neg_mask (uint32 (W,),
+        fit space — disjunction pre-swapped), test_pos_mask, test_neg_mask
+        (label space), p (float), model_type (str), and risk_lookup (a
+        callable idx -> float risks, from :func:`_make_risk_lookup`).
+
+        Returns (rules (F, max_rules) int64 [-1 pad], n_rules (F,) int64,
+        errors (F, max_rules+1) int64 exact fold-test error counts, and —
+        when ``collect_ties`` — a list per fit of per-iteration equivalent
+        rule index arrays).
+        """
+        f = len(fits)
+        pos_np = np.stack([x["pos_mask"] for x in fits])
+        neg_np = np.stack([x["neg_mask"] for x in fits])
+        tpos = np.stack([x["test_pos_mask"] for x in fits])
+        tneg = np.stack([x["test_neg_mask"] for x in fits])
+        ps_np = np.array([x["p"] for x in fits], np.float64)
+        is_disj_np = np.array(
+            [x["model_type"] == "disjunction" for x in fits], bool)
+        w32 = pos_np.shape[1]
+
+        pos = jnp.asarray(pos_np)
+        neg = jnp.asarray(neg_np)
+        conj = jnp.asarray(np.full_like(pos_np, np.uint32(0xFFFFFFFF)))
+        tpos_d = jnp.asarray(tpos)
+        tneg_d = jnp.asarray(tneg)
+        ps_dev = jnp.asarray(ps_np.astype(np.float32))
+        is_disj_d = jnp.asarray(is_disj_np)
+
+        n_pos = np.bitwise_count(pos_np).sum(-1).astype(np.int64)
+        n_neg = np.bitwise_count(neg_np).sum(-1).astype(np.int64)
+        n_tpos = np.bitwise_count(tpos).sum(-1).astype(np.int64)
+        n_tneg = np.bitwise_count(tneg).sum(-1).astype(np.int64)
+
+        rules = np.full((f, max_rules), -1, np.int64)
+        errors = np.zeros((f, max_rules + 1), np.int64)
+        # Length-0 model predicts all 1 (conjunction) / all 0 (disjunction).
+        errors[:, 0] = np.where(is_disj_np, n_tpos, n_tneg)
+        ties = [[] for _ in range(f)] if collect_ties else None
+        active = n_neg > 0
+
+        for it in range(max_rules):
+            if not active.any():
+                errors[:, it + 1] = errors[:, it]
+                continue
+            sbmax, gmax = _pass1(
+                self.matrix, neg, pos, ps_dev, self.n_kmers, self.sb,
+                excl=self.excl,
+            )
+            gmax_np = np.asarray(gmax, np.float64)
+            thresh = self._thresholds(gmax_np, n_neg, n_pos, ps_np, active)
+            pools = self._gather_candidates(sbmax, neg, pos, ps_dev, thresh,
+                                            active)
+
+            chosen = np.zeros(f, np.int32)
+            use_abs = np.zeros(f, bool)
+            valid = np.zeros(f, bool)
+            for fi in np.where(active)[0]:
+                parts = pools.get(int(fi), [])
+                if not parts:
+                    active[fi] = False
+                    continue
+                idx = np.concatenate([p[0] for p in parts]).astype(np.int64)
+                cn = np.concatenate([p[1] for p in parts]).astype(np.int64)
+                cp = np.concatenate([p[2] for p in parts]).astype(np.int64)
+                order = np.argsort(idx, kind="stable")
+                idx, cn, cp = idx[order], cn[order], cp[order]
+                tie_idx, tie_pe, tie_nc = _replay_block_scan(
+                    idx, cn, cp, n_neg[fi], n_pos[fi], ps_np[fi],
+                    self.n_kmers)
+                rule, equiv = _select_rule(
+                    tie_idx, tie_pe, tie_nc, fits[fi]["risk_lookup"],
+                    fits[fi]["model_type"])
+                if rule is None:
+                    active[fi] = False
+                    continue
+                rules[fi, it] = rule
+                chosen[fi] = rule % self.n_kmers
+                use_abs[fi] = rule >= self.n_kmers
+                valid[fi] = True
+                if collect_ties:
+                    ties[fi].append(equiv)
+
+            pos, neg, conj, err, n_neg_d, n_pos_d = _apply(
+                self.matrix, pos, neg, conj, tpos_d, tneg_d,
+                jnp.asarray(chosen), jnp.asarray(use_abs),
+                jnp.asarray(valid), is_disj_d,
+            )
+            err = np.asarray(err, np.int64)
+            errors[:, it + 1] = np.where(valid, err, errors[:, it])
+            n_neg_new = np.asarray(n_neg_d, np.int64)
+            n_pos_new = np.asarray(n_pos_d, np.int64)
+            n_neg = np.where(valid, n_neg_new, n_neg)
+            n_pos = np.where(valid, n_pos_new, n_pos)
+            active = active & (n_neg > 0)
+
+        n_rules = (rules >= 0).sum(axis=1).astype(np.int64)
+        n_test = n_tpos + n_tneg
+        if collect_ties:
+            return rules, n_rules, errors, n_test, ties
+        return rules, n_rules, errors, n_test

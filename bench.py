@@ -1,20 +1,29 @@
-"""Benchmark: SCM cross-validation compute core at published-median scale.
+"""Benchmark: end-to-end `grm learn scm` over a real HDF5 artifact.
 
-Reproduces the compute workload of the reference's median `kover learn scm`
-run (BASELINE.md: median dataset 342 genomes x 9.6M k-mers, 5-fold CV over
-the default hyperparameter grid of 2 model types x 8 p values, max 10 rules;
-median wall-clock 355 s on CPU) using the fused on-device SCM iteration:
-masked-popcount utility sweep over the HBM-resident packed bit matrix +
-global rule argmax + packed-mask example-set updates, all in one XLA program
-per rule.
+The headline metric is the full learn wall-clock at the published-median
+dataset scale (BASELINE.md: 342 genomes x 9.6M k-mers, 5-fold CV over the
+default 2 model-type x 8 p grid, max 10 rules; reference median 355 s of
+`kover learn` wall-clock, bin/kover/kover:554-575) — dataset open, HDF5
+matrix read, device upload, exact-engine CV, full train, predictions,
+bound, and report writes, gate to gate. The exact device engine selects
+rules bit-identically to the reference semantics
+(grm_tpu/parallel/scm_exact.py).
 
 Emits ONE JSON line:
-  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": 355/seconds}
+  {"metric": "scm_learn_e2e_wall_clock_median_dataset", "value": seconds,
+   "unit": "s", "vs_baseline": 355/seconds}
 
-vs_baseline > 1 means faster than the reference's median published learn
-wall-clock. Supporting numbers go to stderr.
+Supporting numbers on stderr: ingest (contigs + reads) throughput, the
+device CV compute core, the honest host-engine per-iteration cost, and the
+CART forest core.
 
-Environment knobs: BENCH_GENOMES, BENCH_KMERS, BENCH_FOLDS, BENCH_MAX_RULES.
+The synthetic artifact (planted markers + uniform noise, gzip-4 chunks,
+byte-compatible layout) is built once into .bench_cache/ and reused across
+rounds; setup is no longer part of the driver's window.
+
+Environment knobs: BENCH_GENOMES, BENCH_KMERS, BENCH_FOLDS,
+BENCH_MAX_RULES, BENCH_RUNS, BENCH_INGEST, BENCH_READS, BENCH_CORE,
+BENCH_CART, BENCH_HOST_ITER.
 """
 
 import json
@@ -25,6 +34,8 @@ import time
 import numpy as np
 
 REFERENCE_MEDIAN_LEARN_SECONDS = 355.0  # BASELINE.md, page/results/summary.json
+P_GRID = [0.1, 0.316, 0.562, 1.0, 1.778, 3.162, 10.0, 999999.0]
+REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def log(msg):
@@ -96,14 +107,327 @@ def bench_ingest():
         km = build_presence_matrix(gks, filter_singleton=True)
         t_merge = time.time() - t0
         total_mbp = n_genomes * mbp
-        log("ingest: %d genomes x %.1f Mbp, k=31 -> %.1fM union kmers; "
-            "count %.1fs + merge/pack %.1fs = %.1f Mbp/s, %.2f genomes/s "
-            "(host-native, %d cores)"
+        log("ingest(contigs): %d genomes x %.1f Mbp, k=31 -> %.1fM union "
+            "kmers; count %.1fs + merge/pack %.1fs = %.1f Mbp/s, "
+            "%.2f genomes/s (host-native, %d cores)"
             % (n_genomes, mbp, km.n_kmers / 1e6, t_count, t_merge,
                total_mbp / (t_count + t_merge),
                n_genomes / (t_count + t_merge), os.cpu_count() or 1))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_reads():
+    """Reads-mode (FASTQ + abundance-min) ingest benchmark — the counts-
+    carrying multidsk contract (reference tools/kmer_count.py:44-53).
+    Skipped with BENCH_READS=0."""
+    import shutil
+    import tempfile
+
+    n_genomes = int(os.environ.get("BENCH_READS_GENOMES", 8))
+    mbp = float(os.environ.get("BENCH_READS_MBP", 8.0))  # reads per genome
+    read_len = 150
+    n_reads = int(mbp * 1e6 / read_len)
+    tmp = tempfile.mkdtemp(prefix="grm_bench_reads_")
+    try:
+        rng = np.random.RandomState(1)
+        bases = np.frombuffer(b"ACGT", dtype="S1")
+        genome = rng.randint(0, 4, int(2e6))
+        entries = []
+        qual = b"I" * read_len
+        for g in range(n_genomes):
+            d = os.path.join(tmp, "g%d" % g)
+            os.makedirs(d)
+            starts = rng.randint(0, len(genome) - read_len, n_reads)
+            with open(os.path.join(d, "r.fastq"), "wb") as f:
+                for i, s in enumerate(starts):
+                    f.write(b"@r%d\n" % i)
+                    f.write(bases[genome[s:s + read_len]].tobytes())
+                    f.write(b"\n+\n")
+                    f.write(qual)
+                    f.write(b"\n")
+            entries.append(("g%d" % g, d))
+
+        from grm_tpu.kmer.counter import count_reads_many
+
+        t0 = time.time()
+        gks = count_reads_many(entries, 31, abundance_min=2)
+        t_count = time.time() - t0
+        total_mbp = n_genomes * mbp
+        n_k = sum(g.n_kmers for g in gks)
+        log("ingest(reads): %d genomes x %.1f Mbp FASTQ, k=31, "
+            "abundance-min=2 -> %.1fM kmers kept; %.1fs = %.1f Mbp/s "
+            "(host-native, %d cores)"
+            % (n_genomes, mbp, n_k / 1e6, t_count, total_mbp / t_count,
+               os.cpu_count() or 1))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _kmer_sequence_block(start, count, k):
+    """(count, k) bytes of deterministic distinct k-mers (base-4 counter)."""
+    i = np.arange(start, start + count, dtype=np.uint64)
+    out = np.empty((count, k), dtype=np.uint8)
+    lut = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for j in range(k):
+        out[:, k - 1 - j] = lut[((i >> np.uint64(2 * j)) & np.uint64(3)).astype(np.int64)]
+    return out.view("S%d" % k)[:, 0]
+
+
+def build_cache_artifact(n_genomes, n_kmers, n_folds):
+    """Build (once) the median-scale synthetic HDF5 artifact + split.
+
+    Reference-compatible layout (create.py:196-238): uint64 MSB-first
+    packed kmer_matrix in gzip-4 (1, 100000) chunks, fixed-width
+    kmer_sequences, labels sorted ascending (the reference sorts genomes by
+    label, create.py:190-194). ~20 planted marker columns (5 clean + 15
+    noisy) make the learning non-degenerate.
+    """
+    import h5py
+
+    from grm_tpu.dataset.create import (_write_1d_chunks,
+                                        _write_matrix_chunks)
+    from grm_tpu.dataset.split import split_with_proportion
+    from grm_tpu.utils import pack_binary_bytes_to_ints
+
+    cache_dir = os.path.join(REPO, ".bench_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(
+        cache_dir, "median_%dx%d_f%d.h5" % (n_genomes, n_kmers, n_folds))
+    if os.path.exists(path):
+        log("artifact cache hit: %s (%.0f MB)"
+            % (path, os.path.getsize(path) / 1e6))
+        return path
+
+    tmp_path = path + ".building"
+    if os.path.exists(tmp_path):
+        os.unlink(tmp_path)
+    t0 = time.time()
+    rng = np.random.RandomState(0)
+    k = 31
+    labels = np.zeros(n_genomes, np.uint8)
+    labels[n_genomes // 2:] = 1  # sorted by label, like the reference
+
+    w64 = -(-n_genomes // 64)
+    matrix = np.frombuffer(
+        rng.bytes(w64 * n_kmers * 8), dtype=np.uint64
+    ).reshape(w64, n_kmers).copy()
+    matrix |= matrix << np.uint64(1)  # ~75% density: closer to real data
+    # Mask the padding bits beyond n_genomes (MSB-first packing).
+    valid = pack_binary_bytes_to_ints(
+        np.ones((n_genomes, 1), np.uint8), 64)[:, 0]
+    matrix &= valid[:, None]
+    # Planted markers: 5 clean label columns + 15 noisy variants.
+    marker_cols = rng.choice(n_kmers, 20, replace=False)
+    label_words = pack_binary_bytes_to_ints(labels[:, None], 64)[:, 0]
+    for i, c in enumerate(marker_cols):
+        if i < 5:
+            matrix[:, c] = label_words
+        else:
+            col = labels.copy()
+            flips = rng.choice(n_genomes, max(1, n_genomes // 20),
+                               replace=False)
+            col[flips] = 1 - col[flips]
+            matrix[:, c] = pack_binary_bytes_to_ints(col[:, None], 64)[:, 0]
+
+    with h5py.File(tmp_path, "w") as f:
+        f.attrs["uuid"] = "bench-median-%dx%d" % (n_genomes, n_kmers)
+        f.attrs["genome_source_type"] = "tsv"
+        f.attrs["genomic_data"] = "synthetic://median"
+        f.attrs["phenotype_description"] = "synthetic resistance"
+        f.attrs["phenotype_metadata_source"] = "synthetic://labels"
+        f.attrs["filter"] = "nothing"
+        f.attrs["compression"] = "gzip (level 4)"
+        f.attrs["classification_type"] = "binary"
+        ids = np.array([("g%05d" % i).encode() for i in range(n_genomes)])
+        f.create_dataset("genome_identifiers", data=ids)
+        ph = f.create_dataset("phenotype", data=labels)
+        ph.attrs["description"] = "synthetic resistance"
+        f.create_dataset("phenotype_tags", data=np.array([b"0", b"1"]))
+        seq_block = min(1 << 20, n_kmers)
+        seqs = f.create_dataset("kmer_sequences", shape=(n_kmers,),
+                                dtype="S%d" % k, compression="gzip",
+                                compression_opts=4, chunks=(seq_block,))
+        for lo in range(0, n_kmers, seq_block):
+            hi = min(n_kmers, lo + seq_block)
+            seqs[lo:hi] = _kmer_sequence_block(lo, hi - lo, k)
+        _write_1d_chunks(f, "kmer_by_matrix_column",
+                         np.arange(n_kmers, dtype=np.uint32), 4)
+        _write_matrix_chunks(f, matrix, 4, min(100000, n_kmers),
+                             lambda t, p: None)
+    t_build = time.time() - t0
+
+    t0 = time.time()
+    split_with_proportion(tmp_path, "sp", train_prop=0.67, random_seed=42,
+                          n_folds=n_folds)
+    os.rename(tmp_path, path)  # atomic: cache hits only see complete builds
+    log("artifact built: %s (%.0f MB) in %.1fs + split/risk-tables %.1fs"
+        % (path, os.path.getsize(path) / 1e6, t_build, time.time() - t0))
+    return path
+
+
+def bench_learn_e2e(ds_path, n_kmers, max_rules, runs):
+    """The headline: full learn_SCM gate-to-gate, reference-comparable."""
+    import shutil
+    import tempfile
+
+    from grm_tpu.dataset import GrmDataset
+    from grm_tpu.learning.experiments import learn_SCM
+    from grm_tpu.reports import write_scm_outputs
+
+    walls = []
+    result_summary = None
+    for r in range(runs):
+        out_dir = tempfile.mkdtemp(prefix="grm_bench_learn_")
+        try:
+            t0 = time.time()
+            (best_hp, best_hp_score, train_metrics, test_metrics, model,
+             rule_importances, equivalent_rules, classifications) = learn_SCM(
+                dataset_file=ds_path, split_name="sp",
+                model_type=["conjunction", "disjunction"], p=P_GRID,
+                max_rules=max_rules, max_equiv_rules=10000,
+                parameter_selection="cv", random_seed=42,
+                bound_delta=0.05, bound_max_genome_size=n_kmers,
+                engine="device",
+            )
+            wall = time.time() - t0
+            write_scm_outputs(
+                output_dir=out_dir, dataset=GrmDataset(ds_path),
+                split_name="sp",
+                config={"engine": "device", "hp_choice": "cv"},
+                best_hp=best_hp, best_hp_score=best_hp_score,
+                train_metrics=train_metrics, test_metrics=test_metrics,
+                model=model, rule_importances=rule_importances,
+                equivalent_rules=equivalent_rules,
+                classifications=classifications,
+                running_time_seconds=wall,
+            )
+            wall = time.time() - t0
+            walls.append(wall)
+            result_summary = (
+                "hp=(%s, p=%s, len=%s) train_risk=%.4f test_risk=%.4f "
+                "rules=%d" % (
+                    best_hp["model_type"], best_hp["p"],
+                    best_hp["max_rules"], train_metrics["risk"][0],
+                    test_metrics["risk"][0], len(model)))
+            log("learn e2e run %d: %.1fs (%s)" % (r + 1, wall,
+                                                  result_summary))
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    return min(walls), result_summary
+
+
+def bench_host_iteration(dataset):
+    """Honest host-engine cost: one greedy utility iteration at full scale
+    (device count sweep + full count-vector fetch + host blockwise scan),
+    extrapolated to the CV grid (VERDICT r2: time the parity path)."""
+    from grm_tpu.learning.rules import KmerRuleClassifications
+    from grm_tpu.learning.scm import SetCoveringMachine
+
+    labels = dataset.phenotype.metadata
+    split = dataset.get_split("sp")
+    tr = split.train_genome_idx
+    pos = tr[labels[tr] == 1]
+    neg = tr[labels[tr] == 0]
+    rc = KmerRuleClassifications(dataset)
+    scm = SetCoveringMachine(model_type="conjunction", p=1.0, max_rules=10)
+    scm._get_best_utility_rules(rc, pos, neg)  # warm (compile + first fetch)
+    t0 = time.time()
+    scm._get_best_utility_rules(rc, pos, neg)
+    per_iter = time.time() - t0
+    n_fits = 2 * len(P_GRID) * len(split.folds)
+    log("host-engine iteration: %.2fs (sweep + 2x%dM count fetch + host "
+        "scan); full CV grid of %d fits x 10 rules extrapolates to ~%.0fs"
+        % (per_iter, rc.shape[1] // 2 // 1_000_000, n_fits,
+           per_iter * n_fits * 10))
+    return per_iter
+
+
+def bench_core(dataset, n_kmers, max_rules):
+    """The device CV compute core (pure-argmax grid engine) on the SAME
+    artifact matrix — no synthetic device-side generation (VERDICT r2:
+    bench setup diet)."""
+    import jax
+    import jax.numpy as jnp
+
+    from grm_tpu.parallel.scm_device import build_packed_mask
+    from grm_tpu.parallel.scm_grid import scm_cv_grid_device
+
+    bm = dataset.bit_matrix()
+    labels = dataset.phenotype.metadata
+    split = dataset.get_split("sp")
+    n_genomes = dataset.genome_count
+    fit_list = []
+    for model_type in ["conjunction", "disjunction"]:
+        for p in P_GRID:
+            for fold in split.folds:
+                ftr = fold.train_genome_idx
+                fte = fold.test_genome_idx
+                pos = ftr[labels[ftr] == 1]
+                neg = ftr[labels[ftr] == 0]
+                if model_type == "disjunction":
+                    pos, neg = neg, pos
+                fit_list.append(dict(
+                    pos_mask=build_packed_mask(pos, n_genomes, bm.n_words),
+                    neg_mask=build_packed_mask(neg, n_genomes, bm.n_words),
+                    test_pos_mask=build_packed_mask(
+                        fte[labels[fte] == 1], n_genomes, bm.n_words),
+                    test_neg_mask=build_packed_mask(
+                        fte[labels[fte] == 0], n_genomes, bm.n_words),
+                    p=p, model_type=model_type,
+                ))
+    n_fits = len(fit_list)
+
+    t0 = time.time()
+    scm_cv_grid_device(bm.data, fit_list, n_kmers, max_rules)
+    log("core compile + first grid run: %.2fs" % (time.time() - t0))
+
+    wall = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        scm_cv_grid_device(bm.data, fit_list, n_kmers, max_rules)
+        wall = min(wall, time.time() - t0)
+    rule_evals = n_fits * max_rules * 2 * n_kmers
+    log("CV core (argmax engine): %d fits x %d rules in %.3fs "
+        "(%d matrix passes, %.1f G rule-evals/s)"
+        % (n_fits, max_rules, wall, max_rules, rule_evals / wall / 1e9))
+    log("throughput: %.2f G kmer-cols/s/chip, %.0f G matrix-cells/s/chip "
+        "(1 chip, 1 host)"
+        % (max_rules * n_kmers / wall / 1e9,
+           max_rules * n_kmers * n_genomes / wall / 1e9))
+
+    if os.environ.get("BENCH_CART", "1") != "0":
+        try:
+            from grm_tpu.ops.pallas_cart_sweep import (
+                cart_frontier_scores_pallas,
+            )
+
+            w = bm.n_words
+            N, C = 48, 2
+            cm = jnp.asarray(
+                np.random.RandomState(1).randint(
+                    0, 2**32, (N, C, w), dtype=np.uint64
+                ).astype(np.uint32))
+            nn_node = jnp.asarray(
+                np.random.RandomState(2).randint(20, 170, (N, C)).astype(
+                    np.float32))
+            rs = np.random.RandomState(3)
+            pri = jnp.asarray((0.2 + 0.6 * rs.rand(N, C)).astype(np.float32))
+            tot = jnp.asarray(np.full((N, C), n_genomes / 2.0, np.float32))
+            out = cart_frontier_scores_pallas(
+                bm.data, cm, nn_node, pri, tot, "gini", n_kmers)
+            jax.device_get(out)
+            outs = []
+            t0 = time.time()
+            for _ in range(5):
+                outs.append(cart_frontier_scores_pallas(
+                    bm.data, cm, nn_node, pri, tot, "gini", n_kmers))
+            jax.device_get(outs)
+            log("CART forest core: %.1f ms per fused pass scoring one "
+                "frontier node of %d CV-grid trees (per-node priors)"
+                % ((time.time() - t0) / 5 * 1e3, N))
+        except Exception as e:  # auxiliary; never fail the bench
+            log("CART core bench skipped (%s)" % str(e)[:120])
 
 
 def main():
@@ -118,178 +442,56 @@ def main():
 
     _ensure_accelerator()
 
-    if os.environ.get("BENCH_INGEST", "1") != "0":
-        try:
-            bench_ingest()
-        except Exception as e:  # ingest bench is auxiliary; never fail the run
-            log("ingest bench skipped (%s)" % e)
-
     # Persistent compile cache: repeat bench runs (and driver rounds) skip
     # the remote compile, whose latency is highly variable on this rig.
     cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
-    import jax.numpy as jnp
-
-    from grm_tpu.parallel.scm_grid import scm_cv_grid_device
-    from grm_tpu.utils import build_row_mask
+    if os.environ.get("BENCH_INGEST", "1") != "0":
+        try:
+            bench_ingest()
+        except Exception as e:  # auxiliary; never fail the run
+            log("ingest bench skipped (%s)" % e)
+    if os.environ.get("BENCH_READS", "1") != "0":
+        try:
+            bench_reads()
+        except Exception as e:
+            log("reads bench skipped (%s)" % e)
 
     n_genomes = int(os.environ.get("BENCH_GENOMES", 342))
     n_kmers = int(os.environ.get("BENCH_KMERS", 9_600_000))
     n_folds = int(os.environ.get("BENCH_FOLDS", 5))
     max_rules = int(os.environ.get("BENCH_MAX_RULES", 10))
-    p_grid = [0.1, 0.316, 0.562, 1.0, 1.778, 3.162, 10.0, 999999.0]
-    model_types = ["conjunction", "disjunction"]
+    runs = int(os.environ.get("BENCH_RUNS", 2))
+    log("workload: %d genomes x %d kmers, %d folds, grid 2x%d, max %d rules"
+        % (n_genomes, n_kmers, n_folds, len(P_GRID), max_rules))
 
-    log("workload: %d genomes x %d kmers, %d folds, grid %dx%d, max %d rules"
-        % (n_genomes, n_kmers, n_folds, len(model_types), len(p_grid), max_rules))
+    ds_path = build_cache_artifact(n_genomes, n_kmers, n_folds)
 
-    rng = np.random.RandomState(0)
-    w = -(-n_genomes // 32)
-    y = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
+    value, summary = bench_learn_e2e(ds_path, n_kmers, max_rules, runs)
 
-    # Generate the packed matrix directly in HBM: this host's CPU takes
-    # minutes to fill 422 MB of randomness and the tunneled H2D link is
-    # slow/variable, neither of which is the workload under test.  Use the
-    # rbg PRNG: threefry takes 30-300s to compile at this size on a cold
-    # cache, rbg compiles in under a second.
-    t0 = time.time()
-    matrix = jax.jit(
-        lambda k: jax.random.bits(k, (w, n_kmers), dtype=jnp.uint32)
-    )(jax.random.key(0, impl="rbg"))
-    _ = jax.device_get(matrix[0, :8])
-    log("device matrix gen: %.1fs (%.0f MB in HBM)"
-        % (time.time() - t0, matrix.nbytes / 1e6))
+    if (os.environ.get("BENCH_HOST_ITER", "1") != "0"
+            or os.environ.get("BENCH_CORE", "1") != "0"):
+        from grm_tpu.dataset import GrmDataset
 
-    # Small H2D probe so the transfer path is still characterized.
-    probe = np.frombuffer(rng.bytes(32 << 20), dtype=np.uint32)
-    t0 = time.time()
-    jax.device_get(jax.device_put(probe))
-    h2d = time.time() - t0
-    log("H2D+D2H probe: %.2fs for 32 MB each way (%.2f GB/s round trip)"
-        % (h2d, 2 * probe.nbytes / h2d / 1e9))
+        dataset = GrmDataset(ds_path)  # one shared matrix load
+        if os.environ.get("BENCH_HOST_ITER", "1") != "0":
+            try:
+                bench_host_iteration(dataset)
+            except Exception as e:
+                log("host iteration bench skipped (%s)" % str(e)[:120])
+        if os.environ.get("BENCH_CORE", "1") != "0":
+            try:
+                bench_core(dataset, n_kmers, max_rules)
+            except Exception as e:
+                log("core bench skipped (%s)" % str(e)[:120])
 
-    # Fold train/test masks (packed); CV folds partition the training set.
-    all_idx = np.arange(n_genomes)
-    rng.shuffle(all_idx)
-    n_train = int(np.ceil(0.67 * n_genomes))
-    train_idx = all_idx[:n_train]
-    fold_assign = np.arange(n_train) % n_folds
-    rng.shuffle(fold_assign)
-
-    def mask_of(idx):
-        m = np.zeros(w, np.uint32)
-        v = build_row_mask(idx, n_genomes, 32)
-        m[: len(v)] = v
-        return m
-
-    # Build the full CV fit batch: every (model_type, p, fold) combination,
-    # disjunction = swapped train masks (scm.py:69-73 semantics); test masks
-    # keep true labels.
-    fit_list = []
-    for model_type in model_types:
-        for p in p_grid:
-            for fold in range(n_folds):
-                ftr = train_idx[fold_assign != fold]
-                fte = train_idx[fold_assign == fold]
-                pos = ftr[y[ftr] == 1]
-                neg = ftr[y[ftr] == 0]
-                if model_type == "disjunction":
-                    pos, neg = neg, pos
-                fit_list.append(dict(
-                    pos_mask=mask_of(pos), neg_mask=mask_of(neg),
-                    test_pos_mask=mask_of(fte[y[fte] == 1]),
-                    test_neg_mask=mask_of(fte[y[fte] == 0]),
-                    p=p, model_type=model_type,
-                ))
-    n_fits = len(fit_list)
-
-    # The CV grid runs on the iteration-major MXU engine: each greedy
-    # iteration makes ONE pass over the packed matrix and scores ALL fits as
-    # an int8 MXU contraction (grm_tpu/parallel/scm_grid.py) — the TPU-native
-    # replacement for the reference's fork-per-HP multiprocessing.Pool
-    # search. First call compiles; timings go through the engine's own
-    # device_get (block_until_ready alone is unreliable on the tunneled
-    # platform).
-    t0 = time.time()
-    scm_cv_grid_device(matrix, fit_list, n_kmers, max_rules)
-    log("compile + first grid run: %.2fs" % (time.time() - t0))
-
-    # Best of 3: the tunneled platform's dispatch latency varies run to
-    # run; the minimum reflects the device's actual compute time.
-    wall = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        rules, n_rules, risks = scm_cv_grid_device(
-            matrix, fit_list, n_kmers, max_rules
-        )
-        wall = min(wall, time.time() - t0)
-    total_steps = n_fits * max_rules
-
-    rule_evals = total_steps * 2 * n_kmers
-    log("CV core: %d fits x %d rules in %.2fs "
-        "(%d matrix passes, %.1f G rule-evals/s)"
-        % (n_fits, max_rules, wall, max_rules, rule_evals / wall / 1e9))
-    # BASELINE.md throughput vocabulary, per chip across the CV training.
-    log("throughput: %.2f G kmer-cols/s/chip, %.0f G matrix-cells/s/chip "
-        "(1 chip, 1 host)"
-        % (max_rules * n_kmers / wall / 1e9,
-           max_rules * n_kmers * n_genomes / wall / 1e9))
-
-    # CART forest core on the same resident matrix: one fused pass scoring
-    # the concatenated BFS frontiers of a whole CV grid round (48 trees x
-    # 1 node with per-node altered priors — the forest-batched engine's
-    # per-level unit, parallel/cart_forest.py).
-    if os.environ.get("BENCH_CART", "1") != "0":
-        try:
-            from grm_tpu.ops.pallas_cart_sweep import (
-                cart_frontier_scores_pallas,
-            )
-
-            N, C = 48, 2
-            cm = jnp.asarray(
-                np.random.RandomState(1).randint(
-                    0, 2**32, (N, C, w), dtype=np.uint64
-                ).astype(np.uint32)
-            )
-            nn_node = jnp.asarray(
-                np.random.RandomState(2).randint(20, 170, (N, C)).astype(
-                    np.float32
-                )
-            )
-            rs = np.random.RandomState(3)
-            pri = jnp.asarray(
-                (0.2 + 0.6 * rs.rand(N, C)).astype(np.float32)
-            )  # per-node priors: each tree's fold/importance differs
-            tot = jnp.asarray(
-                np.full((N, C), n_genomes / 2.0, np.float32)
-            )
-            out = cart_frontier_scores_pallas(
-                matrix, cm, nn_node, pri, tot, "gini", n_kmers
-            )
-            jax.device_get(out)
-            outs = []
-            t0 = time.time()
-            for _ in range(5):
-                outs.append(cart_frontier_scores_pallas(
-                    matrix, cm, nn_node, pri, tot, "gini", n_kmers
-                ))
-            jax.device_get(outs)
-            log("CART forest core: %.1f ms per fused pass scoring one "
-                "frontier node of %d CV-grid trees (per-node priors)"
-                % ((time.time() - t0) / 5 * 1e3, N))
-        except Exception as e:  # auxiliary; never fail the bench
-            log("CART core bench skipped (%s)" % str(e)[:120])
-
-    value = wall
     print(json.dumps({
-        "metric": "scm_cv_core_wall_clock_median_dataset",
+        "metric": "scm_learn_e2e_wall_clock_median_dataset",
         "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(REFERENCE_MEDIAN_LEARN_SECONDS / value, 1),

@@ -63,7 +63,7 @@ def service_frontier_request(request):
         return cart_frontier_splits_sharded(
             request.bit_matrix, request.node_sets, request.altered_priors,
             request.total_n_examples_by_class, request.criterion,
-            request.mesh,
+            request.mesh, excl=request.excl,
         )
     from ..parallel.cart_device import cart_frontier_splits_device
 
@@ -299,18 +299,18 @@ class DecisionTreeClassifier:
         # The device scorer evaluates presence-rule splits; a blacklist maps
         # to exact column exclusion ONLY when it bans whole k-mers (every
         # presence index paired with its absence index — the kover blacklist
-        # contract, experiment_scm.py:632-671). Unpaired blacklists and
-        # sharded runs take the exact host scorer.
+        # contract, experiment_scm.py:632-671). Unpaired blacklists (the
+        # CART CLI blacklist bans presence rules only, so the reference can
+        # still select the mirrored absence split) take the exact host
+        # scorer. Column exclusion works sharded too: the mask shards with
+        # the k-mer columns (cart_frontier_splits_sharded).
         device_excl = None
         blacklist_ok = True
         if len(rule_blacklist):
             n_kmers = rule_classifications.shape[1] // 2
             bl = set(int(r) for r in rule_blacklist)
             pres = {r for r in bl if r < n_kmers}
-            blacklist_ok = (
-                bl == pres | {r + n_kmers for r in pres}
-                and self.mesh is None
-            )
+            blacklist_ok = bl == pres | {r + n_kmers for r in pres}
             if blacklist_ok:
                 device_excl = np.zeros(n_kmers, bool)
                 device_excl[sorted(pres)] = True

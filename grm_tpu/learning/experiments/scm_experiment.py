@@ -589,10 +589,12 @@ def _cross_validation_device(dataset, split_name, model_types, p_values,
                 "model_type": model_type,
             })
 
-    if len(rule_blacklist) and mesh is not None:
+    if len(rule_blacklist) and mesh is not None and mesh.shape.get(
+            "rows", 1) != 1:
         raise ValueError(
-            "k-mer blacklists are only supported by the unsharded device "
-            "engine (or the host engine)"
+            "k-mer blacklists are not supported by the row-sharded scan "
+            "engine; use a columns-only mesh, the unsharded device engine, "
+            "or the host engine"
         )
     progress_callback("Cross-validation", 0.0)
     if mesh is None:
@@ -601,7 +603,8 @@ def _cross_validation_device(dataset, split_name, model_types, p_values,
                                          excl_rules=rule_blacklist)
     elif mesh.shape.get("rows", 1) == 1:
         _, _, risks = scm_cv_grid_sharded(bm.data, fits, bm.n_columns,
-                                          max_rules, mesh)
+                                          max_rules, mesh,
+                                          excl_rules=rule_blacklist)
     else:
         _, _, risks = scm_cv_batch_device(bm.data, fits, bm.n_columns,
                                           max_rules)
@@ -660,14 +663,16 @@ def _full_train_device(dataset, split_name, model_type, p, max_rules,
 
     progress_callback("Training", 0)
     if len(rule_blacklist):
-        if mesh is not None:
+        if mesh is not None and mesh.shape.get("rows", 1) != 1:
             raise ValueError(
-                "k-mer blacklists are only supported by the unsharded "
-                "device engine (or the host engine)"
+                "k-mer blacklists are not supported by the row-sharded "
+                "scan engine; use a columns-only mesh, the unsharded "
+                "device engine, or the host engine"
             )
-        # Blacklist exclusion lives in the grid engine's XLA sweep: run the
+        # Blacklist exclusion lives in the grid engines' XLA sweep: run the
         # final fit as a one-fit grid (test masks unused -> zeros).
-        from ...parallel.scm_grid import scm_cv_grid_device
+        from ...parallel.scm_grid import (scm_cv_grid_device,
+                                          scm_cv_grid_sharded)
 
         zero = np.zeros(bm.n_words, np.uint32)
         fit = {"pos_mask": build_packed_mask(pos, dataset.genome_count,
@@ -676,10 +681,16 @@ def _full_train_device(dataset, split_name, model_type, p, max_rules,
                                              bm.n_words),
                "test_pos_mask": zero, "test_neg_mask": zero,
                "p": p, "model_type": model_type}
-        rules_arr, n_rules, _ = scm_cv_grid_device(
-            bm.data, [fit], bm.n_columns, max_rules,
-            excl_rules=rule_blacklist,
-        )
+        if mesh is not None:
+            rules_arr, n_rules, _ = scm_cv_grid_sharded(
+                bm.data, [fit], bm.n_columns, max_rules, mesh,
+                excl_rules=rule_blacklist,
+            )
+        else:
+            rules_arr, n_rules, _ = scm_cv_grid_device(
+                bm.data, [fit], bm.n_columns, max_rules,
+                excl_rules=rule_blacklist,
+            )
     else:
         rules_arr, n_rules, _ = scm_fit_batch_device(
             bm.data,
@@ -787,11 +798,13 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
     p = np.unique(np.atleast_1d(p))
 
     dataset = GrmDataset(dataset_file)
-    if (engine == "device" and mesh is not None
+    if (engine in ("device", "device-argmax") and mesh is not None
+            and mesh.shape.get("rows", 1) != 1
             and kmer_blacklist_file is not None):
         error_callback(
-            Exception("The sharded device engine does not support k-mer "
-                      "blacklists; use --engine host or run unsharded.")
+            Exception("The row-sharded scan engine does not support k-mer "
+                      "blacklists; use a columns-only mesh, --engine host, "
+                      "or run unsharded.")
         )
     rule_blacklist = _find_rule_blacklist(dataset, kmer_blacklist_file,
                                           warning_callback)

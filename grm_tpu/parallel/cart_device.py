@@ -241,15 +241,18 @@ def _chunked_frontier_scores(masks, n_node, priors, totals, chunk,
     ]
 
 
-def _sharded_frontier_fn(mesh, sweep, crit, local_k, _cache={}):
+def _sharded_frontier_fn(mesh, sweep, crit, local_k, has_excl=False,
+                         _cache={}):
     """Build (and cache) the jitted shard_map frontier scorer.
 
     Keyed so repeated BFS levels of a tree run reuse one compiled program
     per chunk shape instead of re-tracing a fresh closure every level.
     FIFO-bounded so long-lived processes over many datasets/meshes don't
-    pin compiled programs (and their meshes) forever.
+    pin compiled programs (and their meshes) forever. ``has_excl``: the
+    scorer takes a column-sharded (local_k,) exclusion mask (k-mer
+    blacklist) — each shard masks only its own columns, no collective.
     """
-    key = (mesh, sweep, crit, local_k)
+    key = (mesh, sweep, crit, local_k, has_excl)
     if key in _cache:
         return _cache[key]
     while len(_cache) >= 16:
@@ -257,11 +260,12 @@ def _sharded_frontier_fn(mesh, sweep, crit, local_k, _cache={}):
 
     from jax.sharding import PartitionSpec as P
 
-    def body(matrix_local, masks, priors, totals):
+    def body(matrix_local, excl_local, masks, priors, totals):
         # priors/totals are per-node (N, C) rows (forest batching).
         if sweep == "xla":
             cols_l, scores_l = jax.vmap(
-                lambda cm, pr, tt: _best_split(matrix_local, cm, pr, tt, crit)
+                lambda cm, pr, tt: _best_split(matrix_local, cm, pr, tt,
+                                               crit, excl=excl_local)
             )(masks, priors, totals)
         else:
             from ..ops.pallas_cart_sweep import cart_frontier_scores_pallas
@@ -284,10 +288,11 @@ def _sharded_frontier_fn(mesh, sweep, crit, local_k, _cache={}):
         return best_col, best_score
 
     rep = P()
+    excl_spec = P("cols") if has_excl else rep
     run = jax.jit(
         jax.shard_map(
             body, mesh=mesh,
-            in_specs=(P(None, "cols"), rep, rep, rep),
+            in_specs=(P(None, "cols"), excl_spec, rep, rep, rep),
             out_specs=(rep, rep),
             check_vma=False,
         )
@@ -298,7 +303,7 @@ def _sharded_frontier_fn(mesh, sweep, crit, local_k, _cache={}):
 
 def cart_frontier_splits_sharded(bit_matrix, node_example_sets, altered_priors,
                                  total_n_examples_by_class, criterion, mesh,
-                                 sweep=None):
+                                 sweep=None, excl=None):
     """Column-sharded frontier split scoring over a ("rows", "cols") mesh.
 
     The matrix's k-mer columns spread over the mesh "cols" axis (the
@@ -311,12 +316,17 @@ def cart_frontier_splits_sharded(bit_matrix, node_example_sets, altered_priors,
     self-exclude: an all-zero column makes the left child empty, which the
     scorer already sends to +inf.
 
-    Same return contract as :func:`cart_frontier_splits_device`.
+    Same return contract as :func:`cart_frontier_splits_device`. ``excl``
+    (optional (K,) bool): excluded k-mer columns (paired blacklist) — the
+    mask shards with the columns; a non-None excl selects sweep="xla" like
+    the unsharded engine.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     if mesh.shape.get("rows", 1) != 1:
         raise ValueError("cart_frontier_splits_sharded shards columns only")
+    if excl is not None:
+        sweep = "xla"
     if sweep is None:
         sweep = "pallas" if jax.default_backend() == "tpu" else "xla"
     n_shards = mesh.shape["cols"]
@@ -354,8 +364,15 @@ def cart_frontier_splits_sharded(bit_matrix, node_example_sets, altered_priors,
     # Real columns beyond bit_matrix.n_columns (artifact padding) must also
     # self-exclude; BitMatrix guarantees padding columns are zero.
 
+    excl_dev = None
+    if excl is not None:
+        excl_np = np.zeros(matrix.shape[1], bool)
+        excl_np[: len(excl)] = np.asarray(excl, bool)
+        excl_dev = jax.device_put(excl_np, NamedSharding(mesh, P("cols")))
+
     rep_sharding = NamedSharding(mesh, P())
-    run = _sharded_frontier_fn(mesh, sweep, crit, local_k)
+    run = _sharded_frontier_fn(mesh, sweep, crit, local_k,
+                               has_excl=excl is not None)
 
     # Fixed-size frontier chunks: bound the per-shard VMEM footprint and
     # bucket every call of a tree run into one compiled shape.
@@ -363,7 +380,7 @@ def cart_frontier_splits_sharded(bit_matrix, node_example_sets, altered_priors,
 
     def score_chunk(m, nn, pr, tt):
         del nn  # per-node counts derive from mask popcounts in the body
-        return run(matrix, jax.device_put(m, rep_sharding),
+        return run(matrix, excl_dev, jax.device_put(m, rep_sharding),
                    jax.device_put(pr, rep_sharding),
                    jax.device_put(tt, rep_sharding))
 

@@ -108,7 +108,7 @@ def _service_batched(head, node_sets, priors, totals):
 
         return cart_frontier_splits_sharded(
             head.bit_matrix, node_sets, priors, totals, head.criterion,
-            head.mesh,
+            head.mesh, excl=head.excl,
         )
     from .cart_device import cart_frontier_splits_device
 

@@ -47,6 +47,7 @@ instead of streaming 2K-length count vectors to the host.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import numpy as np
@@ -328,9 +329,17 @@ class ExactScmEngine:
 
         margin = 8 isclose radii + 4x the float32 evaluation error bound;
         anything below cannot join a tie set, anything above is gathered.
+
+        The f32 error bound must NOT scale with p: for any rule whose
+        utility u is in the candidate range, u = (n_neg - cn) - p*(n_pos -
+        cp) implies |p*(n_pos - cp)| <= n_neg + |u|, so the product's
+        rounding error is bounded by eps*(n_neg + |gmax| + margin) even for
+        p = 999999 (the reference's largest default). Scaling with p here
+        would widen the threshold by p*eps and gather millions of
+        non-candidates.
         """
         radius = _ATOL + _RTOL * np.abs(gmax)
-        scale = n_neg + 2.0 * np.abs(ps) * n_pos + np.abs(gmax)
+        scale = n_neg + 4.0 * np.abs(gmax) + 1.0
         fslack = 4.0 * _F32_EPS * scale
         thresh = gmax - 8.0 * radius - 4.0 * fslack - _ATOL
         return np.where(active, thresh, np.inf).astype(np.float32)
@@ -359,8 +368,12 @@ class ExactScmEngine:
             return pools
         pair_f = np.asarray(pair_f, np.int32)
         pair_sb = np.asarray(pair_sb, np.int32)
+        if os.environ.get("GRM_EXACT_DEBUG"):
+            print("[scm_exact] gather: %d pairs over %d active fits "
+                  "(hit budget %d)" % (len(pair_f), int(active.sum()),
+                                       hits_m), flush=True)
 
-        def run_pairs(pf, psb, cmax):
+        def run_pairs_chunk(pf, psb, cmax):
             # Bucket-pad the pair count to limit recompiles.
             n = len(pf)
             bucket = 16
@@ -376,6 +389,19 @@ class ExactScmEngine:
             )
             return (np.asarray(ridx)[:n], np.asarray(cn)[:n],
                     np.asarray(cp)[:n], np.asarray(count)[:n])
+
+        def run_pairs(pf, psb, cmax):
+            # Chunked: the vmapped per-pair matrix slices materialize
+            # (P, 32W, sb) int8 unpacks — a giant pathological tie set
+            # must not turn into one giant dispatch.
+            chunk = 64
+            if len(pf) <= chunk:
+                return run_pairs_chunk(pf, psb, cmax)
+            parts = [run_pairs_chunk(pf[lo:lo + chunk], psb[lo:lo + chunk],
+                                     cmax)
+                     for lo in range(0, len(pf), chunk)]
+            return tuple(np.concatenate([p[i] for p in parts])
+                         for i in range(4))
 
         def collect(pf, ridx, cn, cp):
             for i in range(len(pf)):

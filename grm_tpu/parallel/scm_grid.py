@@ -289,7 +289,7 @@ def _grid_run(matrix, pos, neg, conj, rules, risks, n_rules, active,
 def _grid_step_sharded_body(matrix_local, pos, neg, conj, rules, risks,
                             n_rules, active, tpos, tneg, n_tpos, n_tneg,
                             ps, is_disj, step_i, n_kmers, block, local_k,
-                            sweep="xla"):
+                            sweep="xla", excl_local=None):
     """Per-shard body of one greedy iteration (runs under shard_map).
 
     matrix_local: this device's (W, local_k) column shard; every other
@@ -297,6 +297,9 @@ def _grid_step_sharded_body(matrix_local, pos, neg, conj, rules, risks,
     4 (F,) arrays + one (F, W) psum — O(F x W), independent of K.
     ``sweep`` picks the local matrix-pass backend (same choices as
     :func:`_grid_step_impl`); the fused Pallas kernel runs per shard.
+    ``excl_local``: this shard's (2, local_k) slice of the rule-exclusion
+    mask (k-mer blacklist) — sharded with the columns, no collective
+    needed (each shard only ever scores its own columns).
     """
     f = pos.shape[0]
     shard = jax.lax.axis_index("cols")
@@ -323,7 +326,7 @@ def _grid_step_sharded_body(matrix_local, pos, neg, conj, rules, risks,
     else:
         bpu, bpi, bau, bai = _sweep_xla(
             matrix_local, pos, neg, ps, n_neg, n_pos, n_kmers, block,
-            col_offset, axis_name="cols",
+            col_offset, axis_name="cols", excl=excl_local,
         )
 
     # Global winner per fit and half: shards are ordered by column range,
@@ -463,7 +466,7 @@ def scm_cv_grid_device(matrix, fits, n_kmers, max_rules, block=None,
 
 
 def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None,
-                        sweep=None):
+                        sweep=None, excl_rules=None):
     """Column-sharded CV grid engine over a ("rows", "cols") mesh.
 
     Same contract as :func:`scm_cv_grid_device`. The matrix's k-mer columns
@@ -472,13 +475,18 @@ def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None,
     (``rows`` size 1) — row-sharded matrices take the scan engine instead.
     ``sweep`` picks each shard's local matrix-pass backend ("xla",
     "pallas", "pallas_interpret"); default is the fused Pallas kernel on
-    TPU and the XLA block scan elsewhere.
+    TPU and the XLA block scan elsewhere. ``excl_rules``: blacklisted rule
+    indices in [0, 2K) — the exclusion mask shards with the columns (each
+    shard masks only its own columns; no collective), and a non-empty
+    blacklist selects the XLA sweep like the unsharded engine.
     """
     if mesh.shape.get("rows", 1) != 1:
         raise ValueError(
             "scm_cv_grid_sharded shards columns only; use the scan engine "
             "for row-sharded matrices"
         )
+    if excl_rules is not None and len(excl_rules):
+        sweep = "xla"
     if sweep is None:
         sweep = "pallas" if jax.default_backend() == "tpu" else "xla"
     n_shards = mesh.shape["cols"]
@@ -511,6 +519,14 @@ def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None,
         matrix = pad_fn(matrix)
     local_k = matrix.shape[1] // n_shards
 
+    excl = None
+    if excl_rules is not None and len(excl_rules):
+        excl_np = np.zeros((2, matrix.shape[1]), bool)
+        er = np.asarray(excl_rules, np.int64)
+        excl_np[0, er[er < n_kmers]] = True
+        excl_np[1, er[er >= n_kmers] - n_kmers] = True
+        excl = jax.device_put(excl_np, sharding)
+
     conj, rules, risks, n_rules, active, n_tpos, n_tneg = _init_state(
         pos, neg, tpos, tneg, is_disj, n_fits, max_rules
     )
@@ -524,8 +540,8 @@ def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None,
                   tpos, tneg, n_tpos, n_tneg, ps, is_disj)
     )
 
-    def run_body(matrix_local, pos, neg, conj, rules, risks, n_rules,
-                 active, tpos, tneg, n_tpos, n_tneg, ps, is_disj):
+    def run_body(matrix_local, excl_local, pos, neg, conj, rules, risks,
+                 n_rules, active, tpos, tneg, n_tpos, n_tneg, ps, is_disj):
         # All greedy iterations per shard in one program (collectives
         # inside the scan body ride the mesh every iteration).
         def body(state, i):
@@ -534,6 +550,7 @@ def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None,
                 matrix_local, pos, neg, conj, rules, risks, n_rules,
                 active, tpos, tneg, n_tpos, n_tneg, ps, is_disj, i,
                 n_kmers=n_kmers, block=block, local_k=local_k, sweep=sweep,
+                excl_local=excl_local,
             ), None
 
         state, _ = jax.lax.scan(
@@ -543,21 +560,22 @@ def scm_cv_grid_sharded(matrix, fits, n_kmers, max_rules, mesh, block=None,
         return state
 
     rep = P()
+    excl_spec = P(None, "cols") if excl is not None else rep
     run = jax.jit(
         jax.shard_map(
             run_body,
             mesh=mesh,
-            in_specs=(P(None, "cols"),) + (rep,) * 13,
+            in_specs=(P(None, "cols"), excl_spec) + (rep,) * 13,
             out_specs=(rep,) * 7,
             # Outputs are identical on every shard after the all_gather +
             # psum combines, which the varying-axis inference can't prove.
             check_vma=False,
         ),
-        donate_argnums=(1, 2, 3, 4, 5, 6, 7),
+        donate_argnums=(2, 3, 4, 5, 6, 7, 8),
     )
 
     pos, neg, conj, rules, risks, n_rules, active = run(
-        matrix, pos, neg, conj, rules, risks, n_rules, active,
+        matrix, excl, pos, neg, conj, rules, risks, n_rules, active,
         tpos, tneg, n_tpos, n_tneg, ps, is_disj,
     )
     rules, n_rules, risks = jax.device_get((rules, n_rules, risks))

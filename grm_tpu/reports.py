@@ -166,6 +166,7 @@ def write_scm_outputs(output_dir, dataset, split_name, config, best_hp,
             "n_rules": len(model),
             "rules": [str(r) for r in model],
             "rule_importances": np.asarray(rule_importances).tolist(),
+            "equivalent_rule_counts": [len(e) for e in equivalent_rules],
             "type": best_hp["model_type"],
         },
         "classifications": dict(classifications),
@@ -317,6 +318,9 @@ def write_cart_outputs(output_dir, dataset, split_name, config, best_hp,
             "depth": model.depth,
             "rules": [str(r) for r in model_rules],
             "rule_importances": [rule_importances[r] for r in model_rules],
+            "equivalent_rule_counts": [
+                len(equivalent_rules.get(r, [r])) for r in model_rules
+            ],
             "rule_identifiers": [rule_ids[r]["simple"] for r in model_rules],
         },
         "classifications": dict(classifications),

@@ -9,7 +9,8 @@ from grm_tpu.profiling import StageTimer, throughput
 from grm_tpu.results_site import aggregate_runs, write_site
 
 
-def _fake_results_dir(tmp_path, name, risk, n_rules, running_time):
+def _fake_results_dir(tmp_path, name, risk, n_rules, running_time,
+                      sensitivity=0.9):
     d = tmp_path / name
     os.makedirs(d)
     results = {
@@ -17,13 +18,15 @@ def _fake_results_dir(tmp_path, name, risk, n_rules, running_time):
         "metrics": {
             "train": {"risk": [0.0]},
             "test": {
-                "risk": [risk], "sensitivity": [0.9], "specificity": [0.8],
+                "risk": [risk], "sensitivity": [sensitivity],
+                "specificity": [0.8],
                 "precision": [0.9], "recall": [0.9], "f1_score": [0.9],
                 "tp": [9], "tn": [8], "fp": [2], "fn": [1],
             },
         },
         "model": {"n_rules": n_rules, "rules": ["Presence(AAA)"],
-                  "rule_importances": [1.0], "type": "conjunction"},
+                  "rule_importances": [1.0], "equivalent_rule_counts": [7],
+                  "type": "conjunction"},
         "classifications": {
             "train_correct": ["g%d" % i for i in range(10)],
             "train_errors": [],
@@ -34,6 +37,8 @@ def _fake_results_dir(tmp_path, name, risk, n_rules, running_time):
     }
     with open(d / "results.json", "w") as f:
         json.dump(results, f)
+    with open(d / "model.fasta", "w") as f:
+        f.write(">rule-1 presence, importance: 1.00\nAAA\n")
     return str(d)
 
 
@@ -73,6 +78,40 @@ def test_write_site_html(tmp_path):
     page = open(out / "index.html").read()
     assert "Klebsiella Pneumoniae" in page
     assert "0.22" in page
+
+
+def test_write_site_details_and_scatter(tmp_path):
+    """VERDICT r2 item 5: per-dataset details pages + the SVG scatter
+    explorer, browsable for a 3-dataset run."""
+    runs = [
+        {"species": "escherichia coli", "antibiotic": "ampicillin",
+         "results_dir": _fake_results_dir(tmp_path, "a", 0.10, 2, 100,
+                                          sensitivity=0.95)},
+        {"species": "klebsiella pneumoniae", "antibiotic": "gentamicin",
+         "results_dir": _fake_results_dir(tmp_path, "b", 0.22, 3, 312,
+                                          sensitivity=0.70)},
+        {"species": "enterococcus faecium", "antibiotic": "vancomycin",
+         "results_dir": _fake_results_dir(tmp_path, "c", 0.01, 1, 250,
+                                          sensitivity=1.0)},
+    ]
+    out = tmp_path / "site"
+    write_site(runs, out)
+
+    index = open(out / "index.html").read()
+    assert "<svg" in index  # the explorer panels
+    assert index.count('class="pt"') >= 3  # one dot per dataset per panel
+    assert "details.html" in index
+
+    for name in ["ampicillin___escherichia_coli",
+                 "gentamicin___klebsiella_pneumoniae",
+                 "vancomycin___enterococcus_faecium"]:
+        ds_dir = out / "datasets" / name
+        details = open(ds_dir / "details.html").read()
+        assert "Presence(AAA)" in details
+        assert "7" in details  # equivalent-rule count
+        assert (name + ".fasta") in details
+        assert (ds_dir / (name + ".fasta")).exists()
+        assert "repeats.json" in details
 
 
 def test_stage_timer():

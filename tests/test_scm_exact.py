@@ -89,6 +89,23 @@ def test_exact_engine_matches_host_cv_with_ties(tmp_path, seed):
     assert host == dev
 
 
+def test_exact_engine_matches_host_extreme_p_grid(tmp_path):
+    """The reference's full default p grid, including p=999999 — the
+    regime where a p-scaled float32 slack would blow the candidate
+    threshold open (r3 OOM regression)."""
+    ds = _tied_dataset(tmp_path, seed=6, name="xp")
+    split_with_proportion(ds, "sp", train_prop=0.7, random_seed=6, n_folds=2)
+    kwargs = dict(
+        dataset_file=ds, split_name="sp",
+        model_type=["conjunction", "disjunction"],
+        p=[0.1, 0.316, 0.562, 1.0, 1.778, 3.162, 10.0, 999999.0],
+        max_rules=3, parameter_selection="cv", random_seed=2,
+    )
+    host = _model_fingerprint(learn_SCM(engine="host", **kwargs))
+    dev = _model_fingerprint(learn_SCM(engine="device", **kwargs))
+    assert host == dev
+
+
 @pytest.mark.parametrize("model_type", ["conjunction", "disjunction"])
 def test_exact_engine_matches_host_full_train_ties(tmp_path, model_type):
     ds = _tied_dataset(tmp_path, seed=9, name="t9")

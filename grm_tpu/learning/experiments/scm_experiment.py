@@ -392,7 +392,7 @@ def _hp_selection_loop(hp_list, scores_by_hp):
 
 def _cross_validation_device_exact(dataset, split_name, model_types, p_values,
                                    max_rules, progress_callback,
-                                   rule_blacklist=()):
+                                   rule_blacklist=(), mesh=None):
     """Device-engine CV with EXACT reference selection semantics.
 
     The :class:`~grm_tpu.parallel.scm_exact.ExactScmEngine` keeps every
@@ -402,6 +402,11 @@ def _cross_validation_device_exact(dataset, split_name, model_types, p_values,
     rules, fold risks (exact integer error counts divided in float64), and
     therefore the chosen hyperparameters are bit-identical to
     :func:`_cross_validation` (reference experiment_scm.py:100-248).
+
+    With a columns-only ``mesh`` the matrix is placed column-sharded and
+    the same programs run SPMD via XLA's auto-partitioning — selection
+    stays exact because every decision is made on the host from exact
+    integer candidate counts, independent of the device layout.
     """
     from itertools import product as _product
 
@@ -411,7 +416,7 @@ def _cross_validation_device_exact(dataset, split_name, model_types, p_values,
     split = dataset.get_split(split_name)
     folds = split.folds
     labels = dataset.phenotype.metadata
-    bm = dataset.bit_matrix()
+    bm = dataset.bit_matrix(sharding=_column_sharding(mesh))
     n_words = bm.n_words if hasattr(bm, "n_words") else None
     n_genomes = dataset.genome_count
     n_kmers = bm.n_columns
@@ -463,7 +468,7 @@ def _cross_validation_device_exact(dataset, split_name, model_types, p_values,
 
 def _full_train_device_exact(dataset, split_name, model_type, p, max_rules,
                              max_equiv_rules, rule_blacklist,
-                             random_generator, progress_callback):
+                             random_generator, progress_callback, mesh=None):
     """Final training on device with exact tie sets — bit-identical to
     :func:`_full_train` (reference experiment_scm.py:251-346) including the
     equivalent-rule subsampling RNG contract."""
@@ -472,7 +477,7 @@ def _full_train_device_exact(dataset, split_name, model_type, p, max_rules,
 
     split = dataset.get_split(split_name)
     labels = dataset.phenotype.metadata
-    bm = dataset.bit_matrix()
+    bm = dataset.bit_matrix(sharding=_column_sharding(mesh))
     n_genomes = dataset.genome_count
     n_kmers = bm.n_columns
 
@@ -776,9 +781,11 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
       (:class:`~grm_tpu.parallel.scm_exact.ExactScmEngine`): all count
       sweeps stay on the accelerator, selection is bit-identical to
       "host" (same rules, tie sets, fold risks, hyperparameters).
-      Blacklists supported. When a ``mesh`` is given, the sharded
-      pure-argmax engines run instead (documented divergence: exact-tied
-      rules resolve to the lowest index).
+      Blacklists supported. Columns-only meshes run the same exact
+      programs SPMD (matrix column-sharded, XLA auto-partitioning);
+      row-sharded meshes fall back to the pure-argmax scan engine
+      (documented divergence: exact-tied rules resolve to the lowest
+      index).
     - "device-argmax" — the speed-of-light pure-argmax grid engine (one
       fused XLA program for the whole CV); selected rules may differ from
       the reference among exactly tied candidates.
@@ -841,10 +848,11 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
             error_callback(
                 Exception("Cross-validation cannot be performed on a split with no folds.")
             )
-        if engine == "device" and mesh is None:
+        if engine == "device" and (mesh is None
+                                   or mesh.shape.get("rows", 1) == 1):
             best_hp_score, best_hp = _cross_validation_device_exact(
                 dataset, split_name, model_type, p, max_rules,
-                progress_callback, rule_blacklist=rule_blacklist,
+                progress_callback, rule_blacklist=rule_blacklist, mesh=mesh,
             )
         elif engine in ("device", "device-argmax"):
             best_hp_score, best_hp = _cross_validation_device(
@@ -871,11 +879,12 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
         model = best_model
         equivalent_rules = best_predictor_equiv_rules
         rule_importances = best_rule_importances
-    elif engine == "device" and mesh is None:
+    elif engine == "device" and (mesh is None
+                                 or mesh.shape.get("rows", 1) == 1):
         model, rule_importances, equivalent_rules = _full_train_device_exact(
             dataset, split_name, best_hp["model_type"], best_hp["p"],
             best_hp["max_rules"], max_equiv_rules, rule_blacklist,
-            random_generator, progress_callback,
+            random_generator, progress_callback, mesh=mesh,
         )
     elif engine in ("device", "device-argmax"):
         model, rule_importances, equivalent_rules = _full_train_device(

@@ -41,6 +41,48 @@ def _merge_sorted_unions(union_arrays, nw):
     return np.ascontiguousarray(allk[first_idx])
 
 
+def _spec_digest(genome_specs, k, filter_singleton):
+    """Digest of the build contract that must agree across processes.
+
+    Covers the genome-id order, count, k, and the filter flag — NOT the
+    paths (per-host mounts may legitimately differ; each process only reads
+    its own round-robin share)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for gid, _ in genome_specs:
+        h.update(str(gid).encode())
+        h.update(b"\0")
+    h.update(("%d|%d|%d" % (len(genome_specs), k,
+                            int(bool(filter_singleton)))).encode())
+    return np.frombuffer(h.digest(), dtype=np.uint32).copy()
+
+
+def _check_spec_agreement(genome_specs, k, filter_singleton):
+    """Fail fast, on every process, when the build inputs disagree.
+
+    Without this, a mismatched genome list either hangs the union exchange
+    (shape mismatch) or silently produces a diverged matrix. The reference
+    surfaced such faults only as subprocess return codes
+    (src/app.py:1326-1337); here every rank raises a diagnosable error
+    naming the disagreeing processes before any heavy work runs.
+    """
+    if process_count() <= 1:
+        return
+    digest = _spec_digest(genome_specs, k, filter_singleton)
+    digests = all_gather_arrays(digest)
+    me = process_index()
+    bad = [i for i, d in enumerate(digests)
+           if not np.array_equal(d, digests[0])]
+    if bad:
+        raise ValueError(
+            "Distributed build input mismatch: process(es) %s disagree with "
+            "process 0 on the (genome ids, k, filter) contract "
+            "(this is process %d). Every process must pass the identical "
+            "ordered genome list and parameters." % (bad, me)
+        )
+
+
 def build_presence_matrix_distributed(genome_specs, k, filter_singleton=False,
                                       engine="auto", progress_callback=None):
     """Build the packed presence matrix with genome-data-parallel processes.
@@ -51,6 +93,7 @@ def build_presence_matrix_distributed(genome_specs, k, filter_singleton=False,
     """
     if progress_callback is None:
         progress_callback = lambda t, p: None
+    _check_spec_agreement(genome_specs, k, filter_singleton)
     nw = n_words_for_k(k)
     n_genomes = len(genome_specs)
 

@@ -28,7 +28,7 @@ def test_bench_emits_json_line():
     assert r.returncode == 0, r.stderr[-2000:]
     line = r.stdout.strip().splitlines()[-1]
     payload = json.loads(line)
-    assert payload["metric"] == "scm_cv_core_wall_clock_median_dataset"
+    assert payload["metric"] == "scm_learn_e2e_wall_clock_median_dataset"
     assert payload["unit"] == "s"
     assert payload["value"] > 0
     assert payload["vs_baseline"] > 0

@@ -193,3 +193,40 @@ def test_cli_learn_n_devices(cli_workspace):
              cwd=tmp, n_devices=4)
     assert r.returncode != 0
     assert "requires --engine device" in r.stdout
+
+
+def test_info_splits_golden_reference_grammar(tmp_path, capsys):
+    """Pin `dataset info --splits` to the reference's exact split grammar
+    (KoverDatasetSplit.__str__, ds.py:171-180) — the GUI parses this format
+    to discover splits and fold counts (src/app.py:2775-2866)."""
+    import numpy as np
+
+    from grm_tpu import cli
+    from grm_tpu.dataset import from_tsv
+    from grm_tpu.dataset.split import split_with_proportion
+
+    n_genomes, n_kmers = 10, 12
+    rng = np.random.RandomState(0)
+    dense = (rng.rand(n_genomes, n_kmers) > 0.5).astype(np.uint8)
+    ids = ["g%02d" % i for i in range(n_genomes)]
+    kmers = ["".join("ACGT"[(i >> (2 * j)) & 3] for j in range(6))
+             for i in range(n_kmers)]
+    lines = ["kmers\t" + "\t".join(ids)]
+    for r in range(n_kmers):
+        lines.append(kmers[r] + "\t"
+                     + "\t".join(str(int(v)) for v in dense[:, r]))
+    (tmp_path / "m.tsv").write_text("\n".join(lines) + "\n")
+    (tmp_path / "meta.tsv").write_text("\n".join(
+        "%s\t%d" % (g, i % 2) for i, g in enumerate(ids)) + "\n")
+    ds = tmp_path / "d.h5"
+    from_tsv(tmp_path / "m.tsv", ds, phenotype_description="x",
+             phenotype_metadata_path=tmp_path / "meta.tsv", gzip=0)
+    split_with_proportion(ds, "split_a", train_prop=0.7, random_seed=13,
+                          n_folds=3)
+
+    cli.main(["dataset", "info", "--dataset", str(ds), "--splits"])
+    out = capsys.readouterr().out
+    # 10 genomes * 0.7 -> ceil = 7 train / 3 test.
+    assert ("split_a   Train genomes: 7 (0.700)   Test genomes: 3 (0.300)"
+            "   Folds: 3   Random Seed: 13") in out
+    assert "The following splits are available for learning:" in out

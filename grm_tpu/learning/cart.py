@@ -53,10 +53,24 @@ class FrontierRequest:
     excl: object = None          # optional (K,) bool column blacklist
     mesh: object = None          # optional ("rows", "cols") device mesh
     bit_matrix: object = None    # the packed presence matrix to score over
+    exact: bool = False          # exact engine: candidate gathers, host ties
+    train_idx: object = None     # the tree's training examples (tiebreaker)
 
 
 def service_frontier_request(request):
     """Score one tree's frontier request (the non-batched drive path)."""
+    if request.exact:
+        from ..parallel.cart_exact import cart_frontier_candidates
+
+        return [
+            ("exact", d) for d in cart_frontier_candidates(
+                request.bit_matrix, request.node_sets,
+                request.altered_priors, request.total_n_examples_by_class,
+                request.criterion,
+                [request.train_idx] * len(request.node_sets),
+                excl=request.excl, mesh=request.mesh,
+            )
+        ]
     if request.mesh is not None:
         from ..parallel.cart_device import cart_frontier_splits_sharded
 
@@ -93,8 +107,12 @@ class DecisionTreeClassifier:
         self.min_samples_split = int(min_samples_split)
         self.class_importance = class_importance
         # "host": float64 exact-parity impurity scan over fetched counts;
-        # "device": impurity + argmin on device (f32), only the winning rule
-        # index fetched — for accelerators with expensive D2H transfers.
+        # "device": the EXACT device engine — per-superblock f32 score
+        #   minima on device, candidate integer counts gathered, float64
+        #   equality ties + tiebreaker replayed on host: bit-identical to
+        #   "host" (parallel/cart_exact.py);
+        # "device-argmax": impurity + argmin fully on device (f32, lowest
+        #   column ties), only the winner fetched — the speed path.
         self.engine = engine
         # Optional ("rows", "cols") device mesh: with engine="device",
         # frontier scoring shards the k-mer columns over the mesh
@@ -252,11 +270,52 @@ class DecisionTreeClassifier:
             score_rules = _cross_entropy_rule_score
         node_type = ProbabilisticTreeNode
 
+        def _score_candidates(node_example_idx, left_int):
+            """float64 scores of candidate columns — the SAME math (and
+            class handling) as score_rules, applied to candidate count
+            vectors instead of all K columns (elementwise, so values are
+            bit-identical to the full scan's)."""
+            if self.criterion == "gini":
+                left = {c: left_int[c].astype(np.float64)
+                        for c in node_example_idx}
+                right = {c: float(len(node_example_idx[c])) - left[c]
+                         for c in left}
+                vals = _gini_impurity(left, True)
+                vals = vals + _gini_impurity(right, True)
+            else:
+                nonempty = {c for c in node_example_idx
+                            if len(node_example_idx[c])}
+                left = {c: left_int[c].astype(np.float64)
+                        for c in nonempty}
+                right = {c: float(len(node_example_idx[c])) - left[c]
+                         for c in left}
+                vals = _cross_entropy(left, True)
+                vals = vals + _cross_entropy(right, True)
+            vals[sum(left.values()) == 0] = np.inf
+            vals[sum(right.values()) == 0] = np.inf
+            return vals
+
         def _find_best_split(node, device_result=None):
             """(cart.py:219-250)"""
             node_example_idx = node.class_examples_idx
 
-            if device_result is not None:
+            if (isinstance(device_result, tuple)
+                    and device_result[0] == "exact"):
+                # Exact device engine: the candidate set provably contains
+                # every column whose float64 score can reach the minimum;
+                # selection (exact-equality min set + the supplied
+                # tiebreaker) replays the host path bit-for-bit.
+                payload = device_result[1]
+                if payload is None:
+                    return None, None, None, None
+                vals = _score_candidates(node_example_idx, payload["left"])
+                vmin = np.min(vals)
+                if vmin == np.inf:
+                    return None, None, None, None
+                candidate_rules_idx = payload["cols"][vals == vmin]
+                best_rules_idx = tiebreaker(candidate_rules_idx)
+                selected_rule_idx = int(best_rules_idx[0])
+            elif device_result is not None:
                 best, score = device_result
                 if best is None:
                     return None, None, None, None
@@ -296,25 +355,31 @@ class DecisionTreeClassifier:
         current_level = [root]
         runtime_infos = {}
         min_samples_split = max(self.min_samples_split, 2)
-        # The device scorer evaluates presence-rule splits; a blacklist maps
-        # to exact column exclusion ONLY when it bans whole k-mers (every
-        # presence index paired with its absence index — the kover blacklist
-        # contract, experiment_scm.py:632-671). Unpaired blacklists (the
-        # CART CLI blacklist bans presence rules only, so the reference can
-        # still select the mirrored absence split) take the exact host
-        # scorer. Column exclusion works sharded too: the mask shards with
-        # the k-mer columns (cart_frontier_splits_sharded).
+        # CART scores the K presence rules only (reference cart.py:124-129),
+        # so a blacklist maps to exact column exclusion whenever its indices
+        # are presence rules (< K) — the CART CLI blacklist contract
+        # (experiment_cart.py:490-518 appends presence indices only) — or a
+        # paired presence/absence set (the SCM contract; the absence half is
+        # redundant for a presence-only scorer). The mask shards with the
+        # k-mer columns on meshes. Anything else takes the host scorer.
         device_excl = None
         blacklist_ok = True
         if len(rule_blacklist):
             n_kmers = rule_classifications.shape[1] // 2
             bl = set(int(r) for r in rule_blacklist)
             pres = {r for r in bl if r < n_kmers}
-            blacklist_ok = bl == pres | {r + n_kmers for r in pres}
+            extra = bl - pres
+            blacklist_ok = extra <= {r + n_kmers for r in pres}
             if blacklist_ok:
                 device_excl = np.zeros(n_kmers, bool)
                 device_excl[sorted(pres)] = True
-        use_device = self.engine == "device" and blacklist_ok
+        use_device = (
+            self.engine in ("device", "device-argmax") and blacklist_ok
+        )
+        exact_engine = self.engine == "device"
+        tree_train_idx = np.hstack(
+            [example_idx[c] for c in classes]
+        ) if classes else np.array([], np.int64)
 
         # Level-synchronous BFS (node order identical to the reference's
         # FIFO deque): nodes of one depth are independent, so the device
@@ -343,6 +408,8 @@ class DecisionTreeClassifier:
                     excl=device_excl,
                     mesh=self.mesh,
                     bit_matrix=rule_classifications.bit_matrix,
+                    exact=exact_engine,
+                    train_idx=tree_train_idx,
                 )
             nodes_to_split = deque()
             for node_i, node in enumerate(splittable):

@@ -129,15 +129,26 @@ def _class_example_idx(example_idx, labels, n_classes):
 
 
 def _lazy_tiebreaker(rule_classifications, example_idx):
-    """Occurrence tiebreaker whose ``sum_rows`` sweep runs only if a tie
-    actually needs breaking (the device engine resolves ties on device, so
-    eager per-tree sweeps would be pure waste)."""
+    """Occurrence tiebreaker whose counts are fetched only when a tie
+    actually needs breaking — and only for the tied columns when the tie
+    set is small (the exact device engine hands over small candidate sets;
+    a full 2K ``sum_rows`` fetch per tree would dominate)."""
     cache = {}
 
     def tiebreaker(best_score_idx):
-        if "occ" not in cache:
+        best_score_idx = np.asarray(best_score_idx)
+        if "occ" in cache:
+            occ = cache["occ"][best_score_idx]
+        elif len(best_score_idx) <= 1024:
+            # Candidate-only occurrences: identical integers to
+            # sum_rows(example_idx)[idx] (presence counts among the train
+            # set), read via the few-column path.
+            cols = rule_classifications.get_columns(best_score_idx)
+            occ = cols[np.asarray(example_idx)].sum(axis=0)
+        else:
             cache["occ"] = rule_classifications.sum_rows(example_idx)
-        return _tiebreaker(best_score_idx, cache["occ"])
+            occ = cache["occ"][best_score_idx]
+        return best_score_idx[np.isclose(occ, occ.max())]
 
     return tiebreaker
 
@@ -505,7 +516,7 @@ def learn_CART(dataset_file, split_name, criterion, max_depth, min_samples_split
             partial(_bound_search_batched, delta=bound_delta,
                     max_genome_size=bound_max_genome_size, engine=engine,
                     mesh=mesh)
-            if engine == "device" else None
+            if engine in ("device", "device-argmax") else None
         )
         best_hp_score, best_hps, best_master_tree = train_tree(
             dataset, split_name, criterion, class_importance, max_depth,
@@ -525,7 +536,7 @@ def learn_CART(dataset_file, split_name, criterion, max_depth, min_samples_split
             "cross-validation",
             batched_search_func=(
                 partial(_cv_search_batched, engine=engine, mesh=mesh)
-                if engine == "device" else None
+                if engine in ("device", "device-argmax") else None
             ),
         )
     else:

@@ -90,9 +90,11 @@ class KmerRuleClassifications:
         Accepts an int or a list/array of rule indices in [0, 2K).
         Mirrors rules.py:135-171.
         """
-        columns_is_int = hasattr(columns, "__index__")
+        columns_is_int = isinstance(columns, (int, np.integer)) or (
+            isinstance(columns, np.ndarray) and columns.ndim == 0
+        )
         if columns_is_int:
-            columns = [columns.__index__()]
+            columns = [int(columns)]
         result = self.dataset.get_matrix_columns(np.asarray(columns, dtype=np.int64))
         if columns_is_int:
             return result.reshape(-1)

@@ -40,6 +40,7 @@ def _group_key(request):
         id(request.bit_matrix),
         request.mesh,
         excl_key,
+        request.exact,
     )
 
 
@@ -83,7 +84,7 @@ def grow_trees_batched(jobs):
 
         for key, members in groups.items():
             head = requests[members[0]]
-            node_sets, priors, totals, spans = [], [], [], []
+            node_sets, priors, totals, trains, spans = [], [], [], [], []
             for t in members:
                 req = requests[t]
                 lo = len(node_sets)
@@ -92,17 +93,28 @@ def grow_trees_batched(jobs):
                 totals.extend(
                     [req.total_n_examples_by_class] * len(req.node_sets)
                 )
+                trains.extend([req.train_idx] * len(req.node_sets))
                 spans.append((t, lo, len(node_sets)))
             if len(members) == 1:
                 scored = service_frontier_request(head)
             else:
-                scored = _service_batched(head, node_sets, priors, totals)
+                scored = _service_batched(head, node_sets, priors, totals,
+                                          trains)
             for t, lo, hi in spans:
                 results[t] = scored[lo:hi]
 
 
-def _service_batched(head, node_sets, priors, totals):
+def _service_batched(head, node_sets, priors, totals, trains):
     """One device call over the concatenated frontier with per-node priors."""
+    if head.exact:
+        from .cart_exact import cart_frontier_candidates
+
+        return [
+            ("exact", d) for d in cart_frontier_candidates(
+                head.bit_matrix, node_sets, priors, totals, head.criterion,
+                trains, excl=head.excl, mesh=head.mesh,
+            )
+        ]
     if head.mesh is not None:
         from .cart_device import cart_frontier_splits_sharded
 

@@ -164,6 +164,46 @@ def bench_reads():
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_device_ingest():
+    """Fully on-device matrix construction (parallel/device_build.py): the
+    in-memory TPU ingest path, measured beyond toy scale (VERDICT r2).
+    Skipped with BENCH_DEVICE_INGEST=0."""
+    import jax
+
+    from grm_tpu.parallel.device_build import build_matrix_device
+
+    n_genomes = int(os.environ.get("BENCH_DINGEST_GENOMES", 24))
+    mbp = float(os.environ.get("BENCH_DINGEST_MBP", 1.0))
+    glen = int(mbp * 1e6)
+    rng = np.random.RandomState(0)
+    backbone = rng.randint(0, 4, glen).astype(np.int8)
+    codes_list = []
+    for g in range(n_genomes):
+        c = backbone.copy()
+        muts = rng.randint(0, glen, glen // 100)
+        c[muts] = rng.randint(0, 4, len(muts)).astype(np.int8)
+        codes_list.append(c)
+    # Union budget: each 1%-rate mutation spawns up to k novel k-mers per
+    # genome, so the union grows ~0.3x glen per genome on this data.
+    budget = int(min(n_genomes * glen,
+                     glen * (1 + 0.45 * n_genomes)))
+
+    t0 = time.time()
+    dm = build_matrix_device(codes_list, 31, k_budget=budget)
+    jax.block_until_ready(dm.matrix)
+    t_first = time.time() - t0
+    t0 = time.time()
+    dm = build_matrix_device(codes_list, 31, k_budget=budget)
+    jax.block_until_ready(dm.matrix)
+    wall = time.time() - t0
+    total_mbp = n_genomes * mbp
+    log("ingest(device): %d genomes x %.1f Mbp codes -> %.2fM union kmers "
+        "ON DEVICE in %.2fs (compile+first %.1fs) = %.1f Mbp/s, "
+        "%.1f genomes/s (1 chip, incl. H2D)"
+        % (n_genomes, mbp, dm.n_kmers / 1e6, wall, t_first,
+           total_mbp / wall, n_genomes / wall))
+
+
 def _kmer_sequence_block(start, count, k):
     """(count, k) bytes of deterministic distinct k-mers (base-4 counter)."""
     i = np.arange(start, start + count, dtype=np.uint64)
@@ -461,6 +501,11 @@ def main():
             bench_reads()
         except Exception as e:
             log("reads bench skipped (%s)" % e)
+    if os.environ.get("BENCH_DEVICE_INGEST", "1") != "0":
+        try:
+            bench_device_ingest()
+        except Exception as e:
+            log("device ingest bench skipped (%s)" % str(e)[:160])
 
     n_genomes = int(os.environ.get("BENCH_GENOMES", 342))
     n_kmers = int(os.environ.get("BENCH_KMERS", 9_600_000))

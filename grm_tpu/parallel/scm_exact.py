@@ -188,11 +188,25 @@ def _pass2(matrix, neg, pos, ps, pair_f, pair_sb, thresh, n_kmers, sb, cmax,
     return jax.vmap(one)(pair_f, pair_sb)
 
 
-@partial(jax.jit, donate_argnums=(1, 2, 3))
-def _apply(matrix, pos, neg, conj, tpos, tneg, col, use_abs, valid, is_disj):
-    """Apply the chosen rules; return new state + exact fold-test errors."""
+@partial(jax.jit,
+         static_argnames=("n_kmers", "sb", "hit_m", "cmax"),
+         donate_argnums=(1, 2, 3))
+def _fused_step(matrix, pos, neg, conj, tpos, tneg, ps, is_disj,
+                chosen, use_abs, valid, active, n_kmers, sb, hit_m, cmax,
+                excl=None):
+    """Apply the previous selection AND gather the next iteration's
+    candidates in ONE program — a single host round trip per greedy
+    iteration (the tunnel's dispatch latency, not compute, dominates the
+    e2e learn wall-clock otherwise).
+
+    Returns (pos, neg, conj) [device state], plus (err, n_neg, n_pos,
+    gmax, hit_count, cand_cols, cand_cn, cand_cp, cand_count, sbmax) —
+    the small arrays are fetched together; ``sbmax`` is only pulled on
+    budget overflow (the slow-path fallback needs it).
+    """
     w32 = pos.shape[1]
-    packed = _fetch_columns(matrix, col)[:, :w32]
+    # -- apply the chosen rules (no-op rows where valid is False) --------
+    packed = _fetch_columns(matrix, chosen)[:, :w32]
     bits = jnp.where(use_abs[:, None], ~packed, packed)
     act = valid[:, None]
     pos = jnp.where(act, pos & bits, pos)
@@ -205,7 +219,96 @@ def _apply(matrix, pos, neg, conj, tpos, tneg, col, use_abs, valid, is_disj):
     conj_err = (n_tpos - pos_pred1) + neg_pred1
     disj_err = pos_pred1 + (n_tneg - neg_pred1)
     err = jnp.where(is_disj, disj_err, conj_err)
-    return pos, neg, conj, err, _popcount_rows(neg), _popcount_rows(pos)
+    n_neg_now = _popcount_rows(neg)
+    n_pos_now = _popcount_rows(pos)
+
+    # -- pass 1 on the updated state -------------------------------------
+    sbmax, gmax = _pass1(matrix, neg, pos, ps, n_kmers, sb, excl=excl)
+
+    # -- thresholds on device (same margins as ExactScmEngine._thresholds;
+    #    float32 evaluation of the margin only wiggles it by ulps, and the
+    #    margin carries 2x headroom) ------------------------------------
+    radius = _ATOL + _RTOL * jnp.abs(gmax)
+    scale = n_neg_now.astype(jnp.float32) + 4.0 * jnp.abs(gmax) + 1.0
+    fslack = 4.0 * _F32_EPS * scale
+    thresh = gmax - 8.0 * radius - 4.0 * fslack - _ATOL
+    thresh = jnp.where(active & (n_neg_now > 0), thresh, jnp.inf)
+
+    # -- top hit superblocks per fit -------------------------------------
+    f, nsb = sbmax.shape
+    hit = sbmax >= thresh[:, None]
+    key = jnp.where(hit, jnp.arange(nsb, dtype=jnp.int32)[None, :],
+                    jnp.int32(nsb))
+    hits = jax.lax.sort(key, dimension=1)  # ascending sb idx, nsb = dead
+    if hits.shape[1] < hit_m:
+        # Fewer superblocks than slots: pad with the dead sentinel —
+        # slicing with a traced j would otherwise CLAMP out-of-range
+        # indices to column 0 and gather duplicates.
+        hits = jnp.pad(hits, ((0, 0), (0, hit_m - hits.shape[1])),
+                       constant_values=nsb)
+    else:
+        hits = hits[:, :hit_m]
+    hit_count = hit.sum(axis=1).astype(jnp.int32)
+
+    # -- candidate gather over the (F, hit_m) speculative pairs ----------
+    w = matrix.shape[0]
+    masks_dense = _unpack_words(
+        jnp.concatenate([neg, pos], axis=0).T
+    ).T  # (2F, 32W)
+    nn = _popcount_rows(neg).astype(jnp.float32)
+    np_ = _popcount_rows(pos).astype(jnp.float32)
+    rowsF = jnp.arange(f)
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def gather_j(_, j):
+        sbi = jnp.where(hits[:, j] < nsb, hits[:, j], 0)
+        live = hits[:, j] < nsb
+
+        def one(fi, s):
+            mslice = jax.lax.dynamic_slice(matrix, (0, s * sb), (w, sb))
+            xb = _unpack_words(mslice)
+            md = jnp.stack([masks_dense[fi], masks_dense[f + fi]])  # (2,32W)
+            counts = jax.lax.dot_general(
+                md, xb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            cn, cp = counts[0], counts[1]
+            col = s * sb + jnp.arange(sb)
+            pad = col >= n_kmers
+            cnf, cpf = cn.astype(jnp.float32), cp.astype(jnp.float32)
+            u_pres = (nn[fi] - cnf) - ps[fi] * (np_[fi] - cpf)
+            u_abs = cnf - ps[fi] * cpf
+            if excl is not None:
+                eb = jax.lax.dynamic_slice(excl, (0, s * sb), (2, sb))
+                u_pres = jnp.where(pad | eb[0], neg_inf, u_pres)
+                u_abs = jnp.where(pad | eb[1], neg_inf, u_abs)
+            else:
+                u_pres = jnp.where(pad, neg_inf, u_pres)
+                u_abs = jnp.where(pad, neg_inf, u_abs)
+            uflat = jnp.concatenate([u_pres, u_abs])
+            m = uflat >= thresh[fi]
+            kk = jnp.where(m, jnp.arange(2 * sb, dtype=jnp.int32),
+                           jnp.int32(2 * sb))
+            order = jax.lax.sort(kk)[:cmax]
+            v = order < 2 * sb
+            jj = jnp.where(v, order, 0)
+            ridx = s * sb + jj % sb + jnp.where(jj >= sb, n_kmers, 0)
+            return (jnp.where(v, ridx, -1).astype(jnp.int32),
+                    jnp.where(v, jnp.concatenate([cn, cn])[jj], -1),
+                    jnp.where(v, jnp.concatenate([cp, cp])[jj], -1),
+                    m.sum().astype(jnp.int32))
+
+        cols_j, cn_j, cp_j, cc_j = jax.vmap(one)(rowsF, sbi)
+        cols_j = jnp.where(live[:, None], cols_j, -1)
+        cc_j = jnp.where(live, cc_j, 0)
+        return None, (cols_j, cn_j, cp_j, cc_j)
+
+    _, (cols, cn, cp, ccount) = jax.lax.scan(
+        gather_j, None, jnp.arange(hit_m)
+    )  # leading axis hit_m -> (hit_m, F, cmax) etc.
+
+    return (pos, neg, conj, err, n_neg_now, n_pos_now, gmax, hit_count,
+            cols, cn, cp, ccount, sbmax)
 
 
 def _replay_block_scan(idx, cn, cp, n_neg, n_pos, p, n_kmers):
@@ -320,6 +423,10 @@ class ExactScmEngine:
             er = np.asarray(excl_rules, np.int64)
             excl_np[0, er[er < n_kmers]] = True
             excl_np[1, er[er >= n_kmers] - n_kmers] = True
+            if excl_np[:, :n_kmers].all():
+                # Mirrors the host fit's guard (scm.py): every utility
+                # would be -inf and the candidate machinery degenerates.
+                raise ValueError("The blacklist cannot include all the rules.")
             self.excl = jnp.asarray(excl_np)
 
     # -- candidate machinery -------------------------------------------------
@@ -466,18 +573,61 @@ class ExactScmEngine:
         ties = [[] for _ in range(f)] if collect_ties else None
         active = n_neg > 0
 
-        for it in range(max_rules):
-            if not active.any():
-                errors[:, it + 1] = errors[:, it]
-                continue
-            sbmax, gmax = _pass1(
-                self.matrix, neg, pos, ps_dev, self.n_kmers, self.sb,
+        hit_m = max(4, min(16, self.hit_budget))
+        chosen = np.zeros(f, np.int32)
+        use_abs = np.zeros(f, bool)
+        valid = np.zeros(f, bool)
+
+        # One fused device program per greedy iteration: apply the previous
+        # host selection, sweep, threshold, and gather the next iteration's
+        # candidates — a single dispatch + fetch round trip (the tunnel's
+        # latency dominates the e2e learn otherwise). Budget overflows fall
+        # back to the multi-pass gather for that iteration.
+        for it in range(max_rules + 1):
+            (pos, neg, conj, err_d, n_neg_d, n_pos_d, gmax_d, hcount_d,
+             cols_d, cn_d, cp_d, ccount_d, sbmax) = _fused_step(
+                self.matrix, pos, neg, conj, tpos_d, tneg_d, ps_dev,
+                is_disj_d, jnp.asarray(chosen), jnp.asarray(use_abs),
+                jnp.asarray(valid), jnp.asarray(active),
+                self.n_kmers, self.sb, hit_m, self.cand_budget,
                 excl=self.excl,
             )
-            gmax_np = np.asarray(gmax, np.float64)
-            thresh = self._thresholds(gmax_np, n_neg, n_pos, ps_np, active)
-            pools = self._gather_candidates(sbmax, neg, pos, ps_dev, thresh,
-                                            active)
+            err, n_neg_new, n_pos_new, gmax_np, hcount, cols, cn, cp, \
+                ccount = jax.device_get(
+                    (err_d, n_neg_d, n_pos_d, gmax_d, hcount_d, cols_d,
+                     cn_d, cp_d, ccount_d))
+            if it > 0:
+                errors[:, it] = np.where(valid, err, errors[:, it - 1])
+                n_neg = np.where(valid, n_neg_new.astype(np.int64), n_neg)
+                n_pos = np.where(valid, n_pos_new.astype(np.int64), n_pos)
+                active = active & (n_neg > 0)
+            if it == max_rules or not active.any():
+                for jt in range(it + 1, max_rules + 1):
+                    errors[:, jt] = errors[:, jt - 1]
+                break
+
+            # Assemble per-fit candidate pools from the speculative gather;
+            # overflowing fits re-gather via the multi-pass path.
+            gmax64 = np.asarray(gmax_np, np.float64)
+            overflow_f = (hcount > hit_m) | (
+                (ccount > self.cand_budget).any(axis=0))
+            pools = {}
+            for fi in np.where(active)[0]:
+                if overflow_f[fi]:
+                    continue
+                parts = []
+                for j in range(hit_m):
+                    sel = cols[j, fi] >= 0
+                    if sel.any():
+                        parts.append((cols[j, fi][sel], cn[j, fi][sel],
+                                      cp[j, fi][sel]))
+                pools[int(fi)] = parts
+            if overflow_f[active].any():
+                thresh = self._thresholds(gmax64, n_neg, n_pos, ps_np,
+                                          active & overflow_f)
+                slow = self._gather_candidates(
+                    sbmax, neg, pos, ps_dev, thresh, active & overflow_f)
+                pools.update(slow)
 
             chosen = np.zeros(f, np.int32)
             use_abs = np.zeros(f, bool)
@@ -488,12 +638,12 @@ class ExactScmEngine:
                     active[fi] = False
                     continue
                 idx = np.concatenate([p[0] for p in parts]).astype(np.int64)
-                cn = np.concatenate([p[1] for p in parts]).astype(np.int64)
-                cp = np.concatenate([p[2] for p in parts]).astype(np.int64)
+                cnv = np.concatenate([p[1] for p in parts]).astype(np.int64)
+                cpv = np.concatenate([p[2] for p in parts]).astype(np.int64)
                 order = np.argsort(idx, kind="stable")
-                idx, cn, cp = idx[order], cn[order], cp[order]
+                idx, cnv, cpv = idx[order], cnv[order], cpv[order]
                 tie_idx, tie_pe, tie_nc = _replay_block_scan(
-                    idx, cn, cp, n_neg[fi], n_pos[fi], ps_np[fi],
+                    idx, cnv, cpv, n_neg[fi], n_pos[fi], ps_np[fi],
                     self.n_kmers)
                 rule, equiv = _select_rule(
                     tie_idx, tie_pe, tie_nc, fits[fi]["risk_lookup"],
@@ -507,19 +657,6 @@ class ExactScmEngine:
                 valid[fi] = True
                 if collect_ties:
                     ties[fi].append(equiv)
-
-            pos, neg, conj, err, n_neg_d, n_pos_d = _apply(
-                self.matrix, pos, neg, conj, tpos_d, tneg_d,
-                jnp.asarray(chosen), jnp.asarray(use_abs),
-                jnp.asarray(valid), is_disj_d,
-            )
-            err = np.asarray(err, np.int64)
-            errors[:, it + 1] = np.where(valid, err, errors[:, it])
-            n_neg_new = np.asarray(n_neg_d, np.int64)
-            n_pos_new = np.asarray(n_pos_d, np.int64)
-            n_neg = np.where(valid, n_neg_new, n_neg)
-            n_pos = np.where(valid, n_pos_new, n_pos)
-            active = active & (n_neg > 0)
 
         n_rules = (rules >= 0).sum(axis=1).astype(np.int64)
         n_test = n_tpos + n_tneg

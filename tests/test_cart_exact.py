@@ -189,3 +189,42 @@ def test_cart_device_argmax_engine_still_available(tmp_path):
                      class_importance=[{0: 1.0, 1: 1.0}],
                      parameter_selection="cv", engine="device-argmax")
     assert out[2]["risk"][0] == 0.0
+
+
+def test_cart_exact_device_multiclass_matches_host(tmp_path):
+    """Exact engine with >2 classes (per-class count gathers, multiclass
+    impurity) == host."""
+    rng = np.random.RandomState(6)
+    n_genomes, n_kmers = 36, 50
+    dense = (rng.rand(n_genomes, n_kmers) > 0.5).astype(np.uint8)
+    labels = (np.arange(n_genomes) % 3).astype(np.uint8)
+    for c, cls in [(4, 0), (11, 1), (19, 2)]:
+        col = (labels == cls).astype(np.uint8)
+        flips = rng.choice(n_genomes, 4, replace=False)
+        col[flips] = 1 - col[flips]
+        dense[:, c] = col
+    ids = ["g%03d" % i for i in range(n_genomes)]
+    k = 10
+    kmers = ["".join("ACGT"[(i >> (2 * j)) & 3] for j in range(k))
+             for i in range(n_kmers)]
+    lines = ["kmers\t" + "\t".join(ids)]
+    for r in range(n_kmers):
+        lines.append(kmers[r] + "\t"
+                     + "\t".join(str(int(v)) for v in dense[:, r]))
+    (tmp_path / "mc.tsv").write_text("\n".join(lines) + "\n")
+    (tmp_path / "mc_m.tsv").write_text("\n".join(
+        "%s\tclass%d" % (g, l) for g, l in zip(ids, labels)) + "\n")
+    ds = tmp_path / "mc.h5"
+    from_tsv(tmp_path / "mc.tsv", ds, phenotype_description="x",
+             phenotype_metadata_path=tmp_path / "mc_m.tsv", gzip=0)
+    split_with_proportion(ds, "sp", train_prop=0.75, random_seed=6,
+                          n_folds=2)
+    kwargs = dict(
+        dataset_file=ds, split_name="sp", criterion=["gini"],
+        max_depth=[3], min_samples_split=[2],
+        class_importance=[{0: 1.0, 1: 1.0, 2: 1.0}],
+        parameter_selection="cv",
+    )
+    host = _fingerprint(learn_CART(engine="host", **kwargs))
+    dev = _fingerprint(learn_CART(engine="device", **kwargs))
+    assert host == dev

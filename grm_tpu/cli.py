@@ -778,6 +778,35 @@ def _cmd_results_site(argv):
     print("Wrote results site for %d datasets to %s" % (len(summary), args.output_dir))
 
 
+def _cmd_results_serve(argv):
+    parser = argparse.ArgumentParser(
+        prog="grm results serve",
+        description="Serve an emitted results site over HTTP — the "
+                    "reference's embedded analysis-page server "
+                    "(ThreadingHTTPServer on port 5503, src/app.py:114-122) "
+                    "without the WebView2 browser.",
+    )
+    parser.add_argument("--site-dir", required=True,
+                        help="Directory written by `grm results site`.")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=5503,
+                        help="TCP port (default 5503, the reference's; "
+                             "0 picks an ephemeral port).")
+    args = parser.parse_args(argv)
+
+    from .results_site import serve_site
+
+    server = serve_site(args.site_dir, host=args.host, port=args.port)
+    url = "http://%s:%d/" % server.server_address[:2]
+    print("Serving results site at %s (ctrl-c to stop)" % url, flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.server_close()
+
+
 # ---------------------------------------------------------------------------
 # dispatcher
 # ---------------------------------------------------------------------------
@@ -792,6 +821,7 @@ _COMMANDS = {
     ("collect", "amr"): _cmd_collect_amr,
     ("collect", "genomes"): _cmd_collect_genomes,
     ("results", "site"): _cmd_results_site,
+    ("results", "serve"): _cmd_results_serve,
 }
 
 

@@ -28,7 +28,7 @@ import os
 
 import numpy as np
 
-__all__ = ["aggregate_runs", "write_site"]
+__all__ = ["aggregate_runs", "write_site", "serve_site"]
 
 _METRIC_KEYS = [
     "risk", "sensitivity", "specificity", "precision", "recall", "f1_score",
@@ -406,3 +406,31 @@ def write_site(runs, out_dir):
                                        panels=panels, rows="\n".join(rows),
                                        tipjs=_TIP_JS))
     return summary
+
+
+def serve_site(site_dir, host="127.0.0.1", port=5503):
+    """Serve an emitted site directory over HTTP.
+
+    The reference embeds a daemonized ``ThreadingHTTPServer`` on port 5503
+    whose document root is the app directory, and points the WebView2
+    browser at it (``src/app.py:114-122``, ``src/app.py:2978-2987``). This
+    is the same server without the embedded browser: any local browser (or
+    curl) renders the explorer. Port 0 picks an ephemeral port (tests).
+
+    Returns the started server; the caller drives ``serve_forever`` (the
+    CLI does) or ``shutdown()`` + ``server_close()`` (tests do).
+    """
+    from functools import partial
+    from http.server import SimpleHTTPRequestHandler, ThreadingHTTPServer
+
+    if not os.path.isdir(site_dir):
+        raise ValueError("results site directory does not exist: %s" % site_dir)
+
+    class _QuietHandler(SimpleHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # no per-request stderr spam
+            pass
+
+    handler = partial(_QuietHandler, directory=os.path.abspath(site_dir))
+    server = ThreadingHTTPServer((host, port), handler)
+    server.daemon_threads = True
+    return server

@@ -114,6 +114,48 @@ def test_write_site_details_and_scatter(tmp_path):
         assert "repeats.json" in details
 
 
+def test_serve_site_http(tmp_path):
+    """The embedded-server role (reference src/app.py:114-122): the emitted
+    site is served over HTTP; index and per-dataset JSON both resolve."""
+    import urllib.request
+
+    from grm_tpu.results_site import serve_site
+
+    runs = [
+        {"species": "escherichia coli", "antibiotic": "ampicillin",
+         "results_dir": _fake_results_dir(tmp_path, "r", 0.10, 2, 100)},
+    ]
+    out = tmp_path / "site"
+    write_site(runs, out)
+
+    server = serve_site(str(out), port=0)  # ephemeral port
+    import threading
+
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = "http://127.0.0.1:%d" % server.server_address[1]
+        index = urllib.request.urlopen(base + "/index.html", timeout=10).read()
+        assert b"<svg" in index
+        rep = urllib.request.urlopen(
+            base + "/datasets/ampicillin___escherichia_coli/repeats.json",
+            timeout=10).read()
+        assert len(json.loads(rep)) == 1
+    finally:
+        server.shutdown()
+        server.server_close()
+        t.join(timeout=10)
+
+
+def test_serve_site_missing_dir(tmp_path):
+    import pytest
+
+    from grm_tpu.results_site import serve_site
+
+    with pytest.raises(ValueError):
+        serve_site(str(tmp_path / "nope"))
+
+
 def test_stage_timer():
     t = StageTimer()
     with t.stage("a"):

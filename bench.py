@@ -37,6 +37,14 @@ REFERENCE_MEDIAN_LEARN_SECONDS = 355.0  # BASELINE.md, page/results/summary.json
 P_GRID = [0.1, 0.316, 0.562, 1.0, 1.778, 3.162, 10.0, 999999.0]
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+# Persistent XLA compile cache: the committed .bench_cache/xla entries warm
+# a fresh checkout so the driver's first run does not pay tunneled compile
+# queue variance (measured 10-500 s for the same programs).
+sys.path.insert(0, REPO)
+from grm_tpu.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.path.join(REPO, ".bench_cache", "xla"))
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)

@@ -830,6 +830,10 @@ def main(argv=None):
     # force-register a TPU platform at interpreter start, which ignores the
     # JAX_PLATFORMS environment variable; jax.config.update still wins as
     # long as no backend has been initialized yet.
+    from .compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     platform = os.environ.get("GRM_PLATFORM")
     if platform:
         import jax

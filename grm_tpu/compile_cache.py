@@ -1,0 +1,48 @@
+"""Persistent XLA compilation cache.
+
+The fused device programs (SCM/CART sweeps, the exact-engine fused step)
+compile in seconds on a direct-attached chip but minutes through a
+tunneled/queued compile service — and the reference never pays an analogous
+cost (its C kernels are pre-built). Enabling JAX's persistent compilation
+cache makes every process after the first start at full speed: compiled
+executables are keyed by (program, compile options, device kind) and
+reloaded from disk in milliseconds.
+
+Called from the CLI entry point and ``bench.py``; safe to call multiple
+times and before/after backend initialization (JAX picks the config up on
+first compile).
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["enable_compilation_cache"]
+
+_DEFAULT_DIR = os.path.join(
+    os.path.expanduser("~"), ".cache", "grm_tpu", "xla"
+)
+
+
+def enable_compilation_cache(cache_dir=None):
+    """Point JAX's persistent compilation cache at ``cache_dir``.
+
+    Resolution order: explicit argument, ``GRM_COMPILE_CACHE`` env var,
+    ``~/.cache/grm_tpu/xla``. Set ``GRM_COMPILE_CACHE=0`` to disable.
+    Returns the directory in use, or None when disabled/unavailable.
+    """
+    if cache_dir is None:
+        cache_dir = os.environ.get("GRM_COMPILE_CACHE") or _DEFAULT_DIR
+    if str(cache_dir) in ("0", "off", "none"):
+        return None
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        # Cache everything that took noticeable compile time; the sweeps
+        # are few and large, so the cache stays small (tens of MB).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        return str(cache_dir)
+    except Exception:  # pragma: no cover - old jax without the knobs
+        return None

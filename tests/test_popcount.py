@@ -42,6 +42,22 @@ def test_from_u64_roundtrip(rng):
     )
 
 
+def test_from_u64_device_path_matches_host(rng):
+    """The device de-interleave (raw uint32 view upload) must produce the
+    exact uint32 layout of the host converter for any word count."""
+    import jax
+
+    from grm_tpu.ops.popcount import u64_matrix_to_u32
+
+    for n_rows, n_cols in [(1, 7), (64, 33), (130, 100), (200, 1)]:
+        dense = (rng.rand(n_rows, n_cols) > 0.5).astype(np.uint8)
+        m64 = pack_binary_bytes_to_ints(dense, 64)
+        bm = BitMatrix.from_u64(m64, n_rows)
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(bm.data)), u64_matrix_to_u32(m64)
+        )
+
+
 def test_empty_row_selection(rng):
     dense = (rng.rand(10, 5) > 0.5).astype(np.uint8)
     bm = BitMatrix.from_dense(dense)

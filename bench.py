@@ -37,13 +37,7 @@ REFERENCE_MEDIAN_LEARN_SECONDS = 355.0  # BASELINE.md, page/results/summary.json
 P_GRID = [0.1, 0.316, 0.562, 1.0, 1.778, 3.162, 10.0, 999999.0]
 REPO = os.path.dirname(os.path.abspath(__file__))
 
-# Persistent XLA compile cache: the committed .bench_cache/xla entries warm
-# a fresh checkout so the driver's first run does not pay tunneled compile
-# queue variance (measured 10-500 s for the same programs).
 sys.path.insert(0, REPO)
-from grm_tpu.compile_cache import enable_compilation_cache  # noqa: E402
-
-enable_compilation_cache(os.path.join(REPO, ".bench_cache", "xla"))
 
 
 def log(msg):
@@ -492,11 +486,10 @@ def main():
 
     # Persistent compile cache: repeat bench runs (and driver rounds) skip
     # the remote compile, whose latency is highly variable on this rig.
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
-    os.makedirs(cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    from grm_tpu.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
     if os.environ.get("BENCH_INGEST", "1") != "0":
@@ -519,7 +512,10 @@ def main():
     n_kmers = int(os.environ.get("BENCH_KMERS", 9_600_000))
     n_folds = int(os.environ.get("BENCH_FOLDS", 5))
     max_rules = int(os.environ.get("BENCH_MAX_RULES", 10))
-    runs = int(os.environ.get("BENCH_RUNS", 2))
+    # min-of-3: the tunneled device's dispatch/transfer latency varies 2-6x
+    # run to run (measured 15-98 s for identical cached programs), so more
+    # samples make the headline reflect the engine, not the tunnel's mood.
+    runs = int(os.environ.get("BENCH_RUNS", 3))
     log("workload: %d genomes x %d kmers, %d folds, grid 2x%d, max %d rules"
         % (n_genomes, n_kmers, n_folds, len(P_GRID), max_rules))
 

@@ -205,6 +205,39 @@ def bench_device_ingest():
         % (n_genomes, mbp, dm.n_kmers / 1e6, wall, t_first,
            total_mbp / wall, n_genomes / wall))
 
+    # Batched builds + one fused union merge: the scale regime a single
+    # global sort cannot reach (BENCH_DINGEST_BATCHED=0 to skip).
+    if os.environ.get("BENCH_DINGEST_BATCHED", "1") == "0":
+        return
+    from grm_tpu.parallel.device_build import build_matrix_device_batched
+
+    nb = int(os.environ.get("BENCH_DINGEST_BATCHED_GENOMES", 96))
+    codes_b = list(codes_list)
+    while len(codes_b) < nb:
+        g = len(codes_b)
+        c = backbone.copy()
+        muts = rng.randint(0, glen, glen // 100)
+        c[muts] = rng.randint(0, 4, len(muts)).astype(np.int8)
+        codes_b.append(c)
+    budget_b = int(glen * (1 + 0.30 * nb))
+    t0 = time.time()
+    dm = build_matrix_device_batched(
+        codes_b, 31, genome_batch=32, k_budget=budget_b,
+        batch_budget=12_000_000)
+    jax.block_until_ready(dm.matrix)
+    t_first = time.time() - t0
+    t0 = time.time()
+    dm = build_matrix_device_batched(
+        codes_b, 31, genome_batch=32, k_budget=budget_b,
+        batch_budget=12_000_000)
+    jax.block_until_ready(dm.matrix)
+    wall = time.time() - t0
+    log("ingest(device, batched): %d genomes x %.1f Mbp in 32-genome "
+        "batches + one fused union merge -> %.2fM union kmers in %.2fs "
+        "(compile+first %.1fs) = %.1f Mbp/s, %.1f genomes/s (1 chip)"
+        % (nb, mbp, dm.n_kmers / 1e6, wall, t_first,
+           nb * mbp / wall, nb / wall))
+
 
 def _kmer_sequence_block(start, count, k):
     """(count, k) bytes of deterministic distinct k-mers (base-4 counter)."""

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from ..ops.kmer import _extract_canon, _lex_sort, n_words_for_k
 from ..ops.popcount import BitMatrix
 
-__all__ = ["build_matrix_device", "DeviceMatrix"]
+__all__ = ["build_matrix_device", "build_matrix_device_batched",
+           "DeviceMatrix"]
 
 
 class DeviceMatrix:
@@ -151,6 +152,179 @@ def _build(codes, k, n_genomes, k_budget, filter_singleton):
         n_kmers = jnp.sum(keep_col.astype(jnp.int32))
 
     return matrix, union_words.T, n_kmers
+
+
+@partial(jax.jit, static_argnames=("nw", "k_budget"))
+def _merge_ranks(words, valids, nw, k_budget):
+    """One fused multi-way union merge over concatenated batch unions.
+
+    ``words``: (R, nw) uint32 — every batch's union rows back to back, each
+    batch's valid prefix lexicographically sorted (as :func:`_build` emits
+    them). ``valids``: (R,) bool. Returns ``dest`` (R,) int32 — each row's
+    column in the merged, sorted, deduplicated union (invalid rows get a
+    trash sentinel past any real column) — the merged union words
+    (k_budget, nw), and the merged k-mer count.
+
+    One lex sort of R rows total, regardless of the number of batches: the
+    sort keys are the k-mer words with the concat position folded in as
+    the last key (invalid rows get all-ones words AND the sentinel
+    position, so a genuine all-ones k-mer still sorts ahead of them).
+    """
+    r = words.shape[0]
+    trash = jnp.int32(2**31 - 1)
+    pos = jnp.where(
+        valids, jnp.arange(r, dtype=jnp.uint32), jnp.uint32(0xFFFFFFFF)
+    )
+    keys = [
+        jnp.where(valids, words[:, j], jnp.uint32(0xFFFFFFFF))
+        for j in range(nw)
+    ]
+    s = _lex_sort(keys + [pos])
+    words_s, pos_s = s[:nw], s[-1]
+    valid_s = pos_s != jnp.uint32(0xFFFFFFFF)
+
+    new_kmer = jnp.zeros((r,), bool).at[0].set(True)
+    for w in words_s:
+        new_kmer = new_kmer | jnp.concatenate(
+            [jnp.ones((1,), bool), w[1:] != w[:-1]]
+        )
+    first = new_kmer & valid_s
+    col = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_merged = jnp.sum(first.astype(jnp.int32))
+
+    dest = jnp.full((r + 1,), trash, jnp.int32).at[
+        jnp.where(valid_s, pos_s, r).astype(jnp.int32)
+    ].set(jnp.where(valid_s, col, trash))[:r]
+
+    union = jnp.zeros((k_budget + 1, nw), jnp.uint32).at[
+        jnp.minimum(dest, k_budget)
+    ].set(jnp.where(valids[:, None], words, 0))
+    union = union.at[k_budget].set(0)
+    return dest, union[:k_budget], n_merged
+
+
+@partial(jax.jit, static_argnames=("k_budget",), donate_argnums=(0,))
+def _scatter_batch_columns(final, b_matrix, dest_b, w_off, k_budget):
+    """Place one batch's packed columns at their merged destinations.
+
+    ``final``: (W, k_budget+1) uint32 (last column is scatter trash).
+    The batch's word-rows [w_off, w_off+wb) are untouched by every other
+    batch, so a row-slice column scatter needs no bitwise combine.
+    """
+    wb = b_matrix.shape[0]
+    dest_b = jnp.minimum(dest_b, k_budget)
+    sl = jax.lax.dynamic_slice(final, (w_off, 0), (wb, k_budget + 1))
+    sl = sl.at[:, dest_b].set(b_matrix)
+    return jax.lax.dynamic_update_slice(final, sl, (w_off, 0))
+
+
+@partial(jax.jit, static_argnames=("k_budget",), donate_argnums=(0, 1))
+def _compact_singletons(matrix, union, n_kmers, k_budget):
+    """Drop columns present in exactly one genome; compact survivors left.
+
+    Same contract as the tail of :func:`_build` (the reference's
+    ``filter_singleton`` of ``bin/kover/kover:144-147``), applied to the
+    fully merged matrix so cross-batch occurrences count.
+    """
+    counts = jnp.sum(
+        jax.lax.population_count(matrix[:, :k_budget]).astype(jnp.int32),
+        axis=0,
+    )
+    col_live = jnp.arange(k_budget) < n_kmers
+    keep_col = col_live & (counts != 1)
+    order = jnp.argsort(~keep_col, stable=True)
+    out = jnp.take(matrix[:, :k_budget], order, axis=1)
+    union_o = jnp.take(union, order, axis=0)
+    zero_mask = jnp.take(keep_col, order)
+    out = jnp.where(zero_mask[None, :], out, 0)
+    union_o = jnp.where(zero_mask[:, None], union_o, 0)
+    out = jnp.concatenate(
+        [out, jnp.zeros((out.shape[0], 1), jnp.uint32)], axis=1
+    )
+    return out, union_o, jnp.sum(keep_col.astype(jnp.int32))
+
+
+def build_matrix_device_batched(codes_list, k, genome_ids=None, k_budget=None,
+                                genome_batch=32, batch_budget=None,
+                                filter_singleton=False):
+    """Artifact-scale device ingest: batched builds + ONE fused union merge.
+
+    :func:`build_matrix_device` holds every genome's windows in one global
+    sort — fine in-memory, impossible at artifact scale (342 genomes x
+    5 Mbp is ~1.7G sort rows). This builder sorts one ``genome_batch``'s
+    windows at a time (per-batch cost bounded by the batch's window count),
+    keeps each batch's deduplicated union + packed columns resident, then
+    merges ALL batch unions in one sort whose cost is bounded by the sum of
+    union sizes — the device analogue of the native streaming merge
+    (``native/grmio.cpp``) and of the role dsk2kover's per-genome merge
+    plays in the reference (``tools/kmer_pack.py:23-36``). Batch word-rows
+    are disjoint in the packed layout, so each batch's columns scatter into
+    the final matrix without bitwise combines.
+
+    ``genome_batch`` must be a multiple of 32 so each batch's packed rows
+    drop into the global word-row grid untouched. ``k_budget`` bounds the
+    UNION size (raises when exceeded); ``batch_budget`` bounds one batch's
+    distinct k-mers (defaults to the batch's window count, always safe —
+    tighter values cut both the merge sort and peak memory).
+    """
+    G = len(codes_list)
+    if G == 0:
+        raise ValueError("At least one genome is required.")
+    if genome_batch % 32 != 0:
+        raise ValueError("genome_batch must be a multiple of 32.")
+    if genome_ids is None:
+        genome_ids = ["g%d" % i for i in range(G)]
+    nw = n_words_for_k(k)
+    w_total = -(-G // 32)
+    if k_budget is None:
+        k_budget = sum(max(len(c) - k + 1, 0) for c in codes_list)
+    k_budget = int(k_budget)
+
+    # Phase 1: per-batch builds (device-resident results).
+    batches = []  # (matrix, union_words, n_kmers, w_off, bucket)
+    for lo in range(0, G, genome_batch):
+        sub = codes_list[lo : lo + genome_batch]
+        bb = batch_budget
+        if bb is None:
+            bb = sum(max(len(c) - k + 1, 0) for c in sub)
+        # Bucket the batch budget (next power of two) to bound recompiles
+        # across ragged batches.
+        bucket = 1 << 10
+        while bucket < bb:
+            bucket *= 2
+        dm = build_matrix_device(sub, k, k_budget=bucket)
+        batches.append((dm.matrix, dm.union_words, dm.n_kmers, lo // 32,
+                        bucket))
+
+    # Phase 2: one multi-way union merge over the concatenated batch unions.
+    words = jnp.concatenate([b[1] for b in batches], axis=0)
+    valids = jnp.concatenate([
+        jnp.arange(b[4]) < b[2] for b in batches
+    ])
+    dest, union, n_dev = _merge_ranks(words, valids, nw=nw,
+                                      k_budget=k_budget)
+    n_kmers = int(jax.device_get(n_dev))
+    if n_kmers > k_budget:
+        raise ValueError(
+            "k_budget=%d too small: union has %d k-mers" % (k_budget, n_kmers)
+        )
+
+    # Phase 3: scatter each batch's packed columns to their merged homes.
+    final = jnp.zeros((w_total, k_budget + 1), jnp.uint32)
+    off = 0
+    for b_matrix, _, _, w_off, bucket in batches:
+        final = _scatter_batch_columns(
+            final, b_matrix, jax.lax.dynamic_slice(dest, (off,), (bucket,)),
+            w_off, k_budget=k_budget,
+        )
+        off += bucket
+
+    if filter_singleton:
+        final, union, n_dev = _compact_singletons(
+            final, union, n_dev, k_budget=k_budget
+        )
+        n_kmers = int(jax.device_get(n_dev))
+    return DeviceMatrix(final[:, :k_budget], union, n_kmers, k, genome_ids)
 
 
 def build_matrix_device(codes_list, k, genome_ids=None, k_budget=None,

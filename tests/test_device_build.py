@@ -74,6 +74,45 @@ def test_device_build_singleton_filter(rng):
     np.testing.assert_array_equal(got32, want32)
 
 
+@pytest.mark.parametrize("k,filter_singleton", [(9, False), (17, False),
+                                                (11, True)])
+def test_batched_build_matches_host(rng, k, filter_singleton):
+    """Batched builds + device union merges == the host oracle, including a
+    ragged final batch and k-mers shared across batches."""
+    shared = "".join(rng.choice(list("ACGT"), 120))  # cross-batch overlap
+    contig_sets = []
+    for _ in range(70):
+        own = "".join(rng.choice(list("ACGT"), rng.randint(60, 200)))
+        contig_sets.append([shared, own])
+    codes_list = [encode_contigs(c) for c in contig_sets]
+
+    from grm_tpu.parallel.device_build import build_matrix_device_batched
+
+    dm = build_matrix_device_batched(
+        codes_list, k, genome_batch=32, filter_singleton=filter_singleton
+    )
+    gks = [GenomeKmers("g%d" % i, k, sorted_kmers_np(c, k))
+           for i, c in enumerate(codes_list)]
+    km = build_presence_matrix(gks, filter_singleton=filter_singleton)
+
+    assert dm.n_kmers == km.n_kmers
+    np.testing.assert_array_equal(dm.union_kmers_host(), km.kmers)
+    got32 = np.asarray(dm.matrix)[:, : dm.n_kmers]
+    want32 = u64_matrix_to_u32(km.matrix)[: got32.shape[0]]
+    np.testing.assert_array_equal(got32, want32)
+
+
+def test_batched_build_validation(rng):
+    from grm_tpu.parallel.device_build import build_matrix_device_batched
+
+    codes_list = [encode_contigs(c) for c in _genomes(rng, n=40)]
+    with pytest.raises(ValueError, match="multiple of 32"):
+        build_matrix_device_batched(codes_list, 9, genome_batch=20)
+    with pytest.raises(ValueError, match="k_budget"):
+        build_matrix_device_batched(codes_list, 9, genome_batch=32,
+                                    k_budget=10)
+
+
 def test_device_build_budget_too_small(rng):
     codes_list = [encode_contigs(c) for c in _genomes(rng, n=3)]
     with pytest.raises(ValueError, match="k_budget"):

@@ -134,6 +134,32 @@ def _cmd_dataset_create(argv):
         logging.basicConfig(level=logging.DEBUG)
     progress = _progress_printer(args.progress)
 
+    # Directory convenience (the GUI's create_contigs_path_tsv role,
+    # src/kover.py:40-49): a directory of .fna files stands in for the
+    # genome-id -> path TSV, ids = file stems, sorted for determinism.
+    if (args.source in ("from-contigs", "from-reads")
+            and os.path.isdir(args.genomic_data)):
+        entries = sorted(
+            f for f in os.listdir(args.genomic_data)
+            if f.endswith((".fna", ".fa", ".fasta"))
+            or (args.source == "from-reads"
+                and f.endswith((".fastq", ".fastq.gz")))
+        )
+        if not entries:
+            print("Error: no genome files found in %s." % args.genomic_data)
+            sys.exit(1)
+        tsv_path = os.path.join(args.genomic_data.rstrip("/\\") + "_paths.tsv")
+        with open(tsv_path, "w") as f:
+            for name in entries:
+                stem = name
+                for ext in (".fastq.gz", ".fastq", ".fasta", ".fna", ".fa"):
+                    if stem.endswith(ext):
+                        stem = stem[: -len(ext)]
+                        break
+                f.write("%s\t%s\n"
+                        % (stem, os.path.join(args.genomic_data, name)))
+        args.genomic_data = tsv_path
+
     from .dataset import from_contigs, from_reads, from_tsv
 
     if (args.phenotype_description is None) != (args.phenotype_metadata is None):

@@ -28,11 +28,14 @@ def enable_compilation_cache(cache_dir=None):
     """Point JAX's persistent compilation cache at ``cache_dir``.
 
     Resolution order: explicit argument, ``GRM_COMPILE_CACHE`` env var,
-    ``~/.cache/grm_tpu/xla``. Set ``GRM_COMPILE_CACHE=0`` to disable.
+    JAX's own ``JAX_COMPILATION_CACHE_DIR`` env var, ``~/.cache/grm_tpu/xla``.
+    Set ``GRM_COMPILE_CACHE=0`` to disable.
     Returns the directory in use, or None when disabled/unavailable.
     """
     if cache_dir is None:
-        cache_dir = os.environ.get("GRM_COMPILE_CACHE") or _DEFAULT_DIR
+        cache_dir = (os.environ.get("GRM_COMPILE_CACHE")
+                     or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                     or _DEFAULT_DIR)
     if str(cache_dir) in ("0", "off", "none"):
         return None
     try:

@@ -148,6 +148,37 @@ def test_cli_from_reads(cli_workspace, tmp_path_factory):
     assert "Genome type: reads" in r.stdout
 
 
+def test_cli_create_from_contigs_dir(cli_workspace, tmp_path_factory):
+    """A directory of .fna files stands in for the paths TSV (the GUI's
+    create_contigs_path_tsv role, src/kover.py:40-49); the resulting
+    dataset matches the TSV-driven build genome for genome."""
+    import h5py
+
+    tmp = tmp_path_factory.mktemp("dircreate")
+    gdir = tmp / "genomes"
+    gdir.mkdir()
+    for line in (cli_workspace / "contigs.tsv").read_text().splitlines():
+        gid, path = line.split("\t")
+        (gdir / ("%s.fna" % gid)).write_text(open(path).read())
+    meta = (cli_workspace / "meta.tsv").read_text()
+    (tmp / "meta.tsv").write_text(meta)
+
+    r = _run(["dataset", "create", "from-contigs",
+              "--genomic-data", "genomes", "--output", "dir.h5",
+              "--kmer-size", "15", "--singleton-kmers",
+              "--phenotype-description", "test amr",
+              "--phenotype-metadata", "meta.tsv"], cwd=tmp)
+    assert r.returncode == 0, r.stderr
+    assert (tmp / "genomes_paths.tsv").exists()
+
+    with h5py.File(tmp / "dir.h5") as a, \
+            h5py.File(cli_workspace / "amr.h5") as b:
+        np.testing.assert_array_equal(a["genome_identifiers"][...],
+                                      b["genome_identifiers"][...])
+        np.testing.assert_array_equal(a["kmer_matrix"][...],
+                                      b["kmer_matrix"][...])
+
+
 def test_cli_errors(cli_workspace):
     tmp = cli_workspace
     r = _run(["dataset", "split", "--dataset", "amr.h5", "--id", "bad",

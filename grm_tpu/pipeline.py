@@ -49,22 +49,35 @@ class InMemoryDataset:
 
     @classmethod
     def from_contigs_device(cls, genome_specs, labels_by_genome_id, k,
-                            filter_singleton=False, k_budget=None):
+                            filter_singleton=False, k_budget=None,
+                            genome_batch=None, batch_budget=None):
         """Fully on-device ingest: extraction, union and packing stay in HBM.
 
         Returns a :class:`DeviceDataset` whose matrix never leaves the
         device (only the model's few rule k-mers are decoded at the end).
+        ``genome_batch`` (a multiple of 32) switches to the batched builder
+        — per-batch window sorts + one fused union merge — for inputs past
+        single-global-sort scale.
         """
         from .ops.kmer import encode_contigs
-        from .parallel.device_build import build_matrix_device
+        from .parallel.device_build import (build_matrix_device,
+                                            build_matrix_device_batched)
         from .utils import fasta_to_sequences
 
         codes_list = [encode_contigs(fasta_to_sequences(path))
                       for _, path in genome_specs]
-        dm = build_matrix_device(
-            codes_list, k, genome_ids=[gid for gid, _ in genome_specs],
-            k_budget=k_budget, filter_singleton=filter_singleton,
-        )
+        ids = [gid for gid, _ in genome_specs]
+        if genome_batch:
+            dm = build_matrix_device_batched(
+                codes_list, k, genome_ids=ids, k_budget=k_budget,
+                genome_batch=genome_batch, batch_budget=batch_budget,
+                filter_singleton=filter_singleton,
+            )
+        else:
+            dm = build_matrix_device(
+                codes_list, k, genome_ids=ids, k_budget=k_budget,
+                filter_singleton=filter_singleton,
+            )
         return DeviceDataset(dm, labels_by_genome_id)
 
     def bit_matrix(self, sharding=None):

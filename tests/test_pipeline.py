@@ -52,6 +52,30 @@ def test_device_ingest_pipeline(inmem):
     assert r_dev.test_metrics["risk"][0] == r_host.test_metrics["risk"][0] == 0.0
 
 
+def test_device_ingest_pipeline_batched(tmp_path, rng):
+    """Batched device ingest (multi-batch + ragged tail) through the
+    pipeline produces the same union size and the same learned rules."""
+    marker = "TTGACGGCTAGCTCAGT"
+    specs, labels = [], {}
+    for i in range(40):
+        gid = "g%02d" % i
+        bg = "".join(rng.choice(list("ACGT"), 240))
+        seq = bg[:100] + (marker if i % 2 else "") + bg[100:]
+        p = tmp_path / (gid + ".fna")
+        p.write_text(">c\n%s\n" % seq)
+        specs.append((gid, str(p)))
+        labels[gid] = i % 2
+
+    ds_host = InMemoryDataset.from_contigs(specs, labels, k=15)
+    ds_dev = InMemoryDataset.from_contigs_device(specs, labels, k=15,
+                                                 genome_batch=32)
+    assert ds_dev.kmer_count == ds_host.kmer_count
+    r_host = train_scm(ds_host, random_seed=3)
+    r_dev = train_scm(ds_dev, random_seed=3)
+    assert [str(r) for r in r_host.model.rules] == \
+        [str(r) for r in r_dev.model.rules]
+
+
 def test_in_memory_pipeline_sharded(inmem):
     from grm_tpu.parallel.mesh import make_mesh
 

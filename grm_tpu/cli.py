@@ -148,7 +148,9 @@ def _cmd_dataset_create(argv):
         if not entries:
             print("Error: no genome files found in %s." % args.genomic_data)
             sys.exit(1)
-        tsv_path = os.path.join(args.genomic_data.rstrip("/\\") + "_paths.tsv")
+        # Write beside the OUTPUT dataset (never into the possibly
+        # read-only input directory, never clobbering a user's own TSV).
+        tsv_path = args.output + ".paths.tsv"
         with open(tsv_path, "w") as f:
             for name in entries:
                 stem = name

@@ -312,8 +312,16 @@ class DecisionTreeClassifier:
                 vmin = np.min(vals)
                 if vmin == np.inf:
                     return None, None, None, None
-                candidate_rules_idx = payload["cols"][vals == vmin]
-                best_rules_idx = tiebreaker(candidate_rules_idx)
+                tie_sel = vals == vmin
+                candidate_rules_idx = payload["cols"][tie_sel]
+                if getattr(tiebreaker, "accepts_occurrences", False):
+                    # The engine shipped each candidate's train-set
+                    # occurrence count with the candidate — no re-fetch.
+                    best_rules_idx = tiebreaker(
+                        candidate_rules_idx,
+                        occurrences=payload["occ"][tie_sel])
+                else:
+                    best_rules_idx = tiebreaker(candidate_rules_idx)
                 selected_rule_idx = int(best_rules_idx[0])
             elif device_result is not None:
                 best, score = device_result

@@ -135,9 +135,13 @@ def _lazy_tiebreaker(rule_classifications, example_idx):
     a full 2K ``sum_rows`` fetch per tree would dominate)."""
     cache = {}
 
-    def tiebreaker(best_score_idx):
+    def tiebreaker(best_score_idx, occurrences=None):
         best_score_idx = np.asarray(best_score_idx)
-        if "occ" in cache:
+        if occurrences is not None:
+            # The exact device engine already computed each candidate's
+            # occurrence count in its pass-2 contraction — no fetch at all.
+            occ = np.asarray(occurrences)
+        elif "occ" in cache:
             occ = cache["occ"][best_score_idx]
         elif len(best_score_idx) <= 1024:
             # Candidate-only occurrences: identical integers to
@@ -150,6 +154,7 @@ def _lazy_tiebreaker(rule_classifications, example_idx):
             occ = cache["occ"][best_score_idx]
         return best_score_idx[np.isclose(occ, occ.max())]
 
+    tiebreaker.accepts_occurrences = True
     return tiebreaker
 
 
@@ -485,6 +490,18 @@ def learn_CART(dataset_file, split_name, criterion, max_depth, min_samples_split
     dataset = GrmDataset(dataset_file)
     rule_blacklist = _find_rule_blacklist(dataset, kmer_blacklist_file,
                                           warning_callback)
+
+    if engine in ("device", "device-argmax") and mesh is None:
+        # Same guard as learn_SCM: matrices past the HBM budget come back
+        # as a host-resident StreamingBitMatrix, which the fused device
+        # engines cannot consume — stream blocks through the host engine.
+        if not hasattr(dataset.bit_matrix(), "data"):
+            warning_callback(
+                "The k-mer matrix exceeds the device memory budget; "
+                "falling back to --engine host (streaming sweeps). Shard "
+                "over a mesh to keep large matrices device-resident."
+            )
+            engine = "host"
 
     criterion = list(np.unique(np.atleast_1d(criterion)))
     max_depth = list(np.unique(np.atleast_1d(max_depth)))

@@ -142,38 +142,20 @@ def _cross_validation(dataset, split_name, model_types, p_values, max_rules,
                       rule_blacklist, progress_callback):
     """Best (model_type, p, length) by CV (experiment_scm.py:196-248)."""
     n_hp = len(model_types) * len(p_values)
-    best_hp_score = 1.0
-    best_hp = {"model_type": None, "p": None, "max_rules": None}
     n_completed = 0.0
     progress_callback("Cross-validation", 0.0)
+    hp_list, scores_by_hp = [], []
     for hp_values in product(model_types, p_values):
         hp, score = _cv_score_hp(hp_values, max_rules, dataset, split_name,
                                  rule_blacklist)
         n_completed += 1
         progress_callback("Cross-validation", n_completed / n_hp)
-        # Reference tie rules: better score; equal score -> shorter model;
-        # equal length -> p closest to 1.0 (experiment_scm.py:233-246). The
-        # None initial state never wins ties, like Py2's int<None == False.
-        if (
-            (not np.allclose(score, best_hp_score) and score < best_hp_score)
-            or (
-                np.allclose(score, best_hp_score)
-                and best_hp["max_rules"] is not None
-                and hp[2] < best_hp["max_rules"]
-            )
-            or (
-                np.allclose(score, best_hp_score)
-                and best_hp["max_rules"] is not None
-                and hp[2] == best_hp["max_rules"]
-                and not np.allclose(hp[1], best_hp["p"])
-                and abs(1.0 - hp[1]) < abs(1.0 - best_hp["p"])
-            )
-        ):
-            best_hp["model_type"] = hp[0]
-            best_hp["p"] = hp[1]
-            best_hp["max_rules"] = hp[2]
-            best_hp_score = score
-    return best_hp_score, best_hp
+        hp_list.append((hp[0], hp[1]))
+        scores_by_hp.append((hp[2], score))
+    # Reference tie rules (experiment_scm.py:233-246) live in ONE place:
+    # _hp_selection_loop, shared by the host, exact-device, and argmax
+    # CV drivers.
+    return _hp_selection_loop(hp_list, scores_by_hp)
 
 
 def _full_train(dataset, split_name, model_type, p, max_rules, max_equiv_rules,
@@ -365,7 +347,8 @@ def _column_sharding(mesh):
 def _hp_selection_loop(hp_list, scores_by_hp):
     """Reference HP tie rules over precomputed (hp, best_len, score) rows
     (experiment_scm.py:233-246): better score; equal (allclose) score ->
-    shorter model; equal length -> p closest to 1.0."""
+    shorter model; equal length -> p closest to 1.0. The None initial
+    state never wins ties, like Py2's int<None == False."""
     best_hp_score = 1.0
     best_hp = {"model_type": None, "p": None, "max_rules": None}
     for (model_type, p), (best_len, score) in zip(hp_list, scores_by_hp):
@@ -615,33 +598,14 @@ def _cross_validation_device(dataset, split_name, model_types, p_values,
                                           max_rules)
     progress_callback("Cross-validation", 1.0)
 
-    best_hp_score = 1.0
-    best_hp = {"model_type": None, "p": None, "max_rules": None}
     n_folds = len(folds)
-    for i, (model_type, p) in enumerate(hp_list):
+    scores_by_hp = []
+    for i in range(len(hp_list)):
         fold_risks = risks[i * n_folds : (i + 1) * n_folds]  # (folds, L+1)
         score_by_len = fold_risks.mean(axis=0).astype(np.float64)
         best_len = int(np.argmin(score_by_len))
-        score = score_by_len[best_len]
-        hp = (model_type, p, best_len)
-        if (
-            (not np.allclose(score, best_hp_score) and score < best_hp_score)
-            or (
-                np.allclose(score, best_hp_score)
-                and best_hp["max_rules"] is not None
-                and hp[2] < best_hp["max_rules"]
-            )
-            or (
-                np.allclose(score, best_hp_score)
-                and best_hp["max_rules"] is not None
-                and hp[2] == best_hp["max_rules"]
-                and not np.allclose(hp[1], best_hp["p"])
-                and abs(1.0 - hp[1]) < abs(1.0 - best_hp["p"])
-            )
-        ):
-            best_hp = {"model_type": hp[0], "p": hp[1], "max_rules": hp[2]}
-            best_hp_score = score
-    return best_hp_score, best_hp
+        scores_by_hp.append((best_len, score_by_len[best_len]))
+    return _hp_selection_loop(hp_list, scores_by_hp)
 
 
 def _full_train_device(dataset, split_name, model_type, p, max_rules,

@@ -80,6 +80,10 @@ def get_multiclass_metrics(predictions, answers, nb_class):
     risk = (p != y).sum(axis=1) / float(y.shape[0])
 
     # One flattened bincount per row: cell (a, pr) <- a * nb_class + pr.
+    # int64 up front: small label dtypes (uint8 answers) would overflow the
+    # flattening product under NEP-50 dtype preservation.
+    y = y.astype(np.int64)
+    p = p.astype(np.int64)
     in_range = (
         (y >= 0) & (y < nb_class) & (p >= 0) & (p < nb_class)
     )

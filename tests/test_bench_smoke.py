@@ -18,7 +18,10 @@ def test_bench_emits_json_line():
         BENCH_FOLDS="2",
         BENCH_MAX_RULES="2",
         BENCH_INGEST="0",
+        BENCH_READS="0",
+        BENCH_DEVICE_INGEST="0",  # device-scale sorts are not a CPU smoke
         BENCH_CART="0",
+        BENCH_RUNS="2",
         PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
     )
     r = subprocess.run(

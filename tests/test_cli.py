@@ -169,7 +169,7 @@ def test_cli_create_from_contigs_dir(cli_workspace, tmp_path_factory):
               "--phenotype-description", "test amr",
               "--phenotype-metadata", "meta.tsv"], cwd=tmp)
     assert r.returncode == 0, r.stderr
-    assert (tmp / "genomes_paths.tsv").exists()
+    assert (tmp / "dir.h5.paths.tsv").exists()
 
     with h5py.File(tmp / "dir.h5") as a, \
             h5py.File(cli_workspace / "amr.h5") as b:

@@ -39,6 +39,19 @@ def test_multiclass_metrics():
     assert m["confusion_matrix"][0] == [[1, 0, 0], [0, 0, 1], [0, 1, 1]]
 
 
+def test_multiclass_metrics_small_dtype_many_classes():
+    """uint8 labels with nb_class >= 16 must not overflow the flattened
+    confusion index (y * nb_class + p wraps in uint8 under NEP 50)."""
+    answers = np.array([16, 16, 3], dtype=np.uint8)
+    preds = np.array([[16, 2, 3]], dtype=np.uint8)
+    m = get_multiclass_metrics(preds, answers, 17)
+    cm = np.array(m["confusion_matrix"][0])
+    assert cm[16][16] == 1
+    assert cm[16][2] == 1
+    assert cm[3][3] == 1
+    assert cm.sum() == 3
+
+
 def test_conjunction_disjunction_predictions():
     X = np.array([[1, 1], [1, 0], [0, 1], [0, 0]], dtype=np.uint8)
     r0 = KmerRule(0, "AAA", "presence")

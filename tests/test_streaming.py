@@ -59,6 +59,28 @@ def test_dataset_auto_streams_large_matrices(tmp_path, rng, monkeypatch):
                     parameter_selection="none", random_seed=0)
     assert out[2]["risk"][0] <= 0.5
 
+    # Both device-engine entry points must fall back to the host engine
+    # (with a warning) instead of crashing on the streaming matrix.
+    warnings = []
+    out_dev = learn_SCM(dataset_file=ds_path, split_name="s",
+                        model_type="conjunction", p=[1.0], max_rules=2,
+                        parameter_selection="none", random_seed=0,
+                        engine="device", warning_callback=warnings.append)
+    assert any("falling back" in w for w in warnings)
+    assert [str(r) for r in out[4].rules] == [str(r) for r in out_dev[4].rules]
+
+    from grm_tpu.learning.experiments import learn_CART
+
+    warnings_cart = []
+    cart_out = learn_CART(dataset_file=ds_path, split_name="s",
+                          criterion="gini", max_depth=2, min_samples_split=2,
+                          class_importance={0: 1.0, 1: 1.0},
+                          parameter_selection="bound", bound_delta=0.05,
+                          bound_max_genome_size=1000, engine="device",
+                          warning_callback=warnings_cart.append)
+    assert any("falling back" in w for w in warnings_cart)
+    assert cart_out[3]["risk"][0] <= 1.0
+
     monkeypatch.delenv("GRM_HBM_BUDGET_BYTES")
     ds2 = GrmDataset(ds_path)
     assert isinstance(ds2.bit_matrix(), BitMatrix)

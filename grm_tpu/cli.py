@@ -135,29 +135,50 @@ def _cmd_dataset_create(argv):
     progress = _progress_printer(args.progress)
 
     # Directory convenience (the GUI's create_contigs_path_tsv role,
-    # src/kover.py:40-49): a directory of .fna files stands in for the
+    # src/kover.py:40-49): a directory of genome files stands in for the
     # genome-id -> path TSV, ids = file stems, sorted for determinism.
+    # Extensions are mode-specific: FASTA (incl. .gz, matching the collect
+    # genomes output handling) only for from-contigs; FASTQ files or
+    # per-genome subdirectories only for from-reads.
     if (args.source in ("from-contigs", "from-reads")
             and os.path.isdir(args.genomic_data)):
+        from .kmer.counter import FASTA_EXTENSIONS, READS_EXTENSIONS
+
+        if args.source == "from-contigs":
+            exts = FASTA_EXTENSIONS
+        else:
+            exts = READS_EXTENSIONS
         entries = sorted(
             f for f in os.listdir(args.genomic_data)
-            if f.endswith((".fna", ".fa", ".fasta"))
+            if f.endswith(exts)
             or (args.source == "from-reads"
-                and f.endswith((".fastq", ".fastq.gz")))
+                and os.path.isdir(os.path.join(args.genomic_data, f)))
         )
         if not entries:
-            print("Error: no genome files found in %s." % args.genomic_data)
+            print("Error: no %s found in %s."
+                  % ("FASTA files (%s)" % "/".join(FASTA_EXTENSIONS)
+                     if args.source == "from-contigs"
+                     else "FASTQ files or per-genome read directories",
+                     args.genomic_data))
             sys.exit(1)
         # Write beside the OUTPUT dataset (never into the possibly
         # read-only input directory, never clobbering a user's own TSV).
         tsv_path = args.output + ".paths.tsv"
+        stems = {}
+        for name in entries:
+            stem = name
+            for ext in sorted(exts, key=len, reverse=True):
+                if stem.endswith(ext):
+                    stem = stem[: -len(ext)]
+                    break
+            if stem in stems:
+                print("Error: duplicate genome id %r (%s and %s); rename "
+                      "one or provide an explicit TSV."
+                      % (stem, stems[stem], name))
+                sys.exit(1)
+            stems[stem] = name
         with open(tsv_path, "w") as f:
-            for name in entries:
-                stem = name
-                for ext in (".fastq.gz", ".fastq", ".fasta", ".fna", ".fa"):
-                    if stem.endswith(ext):
-                        stem = stem[: -len(ext)]
-                        break
+            for stem, name in stems.items():
                 f.write("%s\t%s\n"
                         % (stem, os.path.join(args.genomic_data, name)))
         args.genomic_data = tsv_path
@@ -853,7 +874,17 @@ _COMMANDS = {
 }
 
 
-def main(argv=None):
+# Commands that never touch jax: keep their startup interpreter-fast (no
+# jax import, no compile-cache directory creation).
+_JAX_FREE = {
+    ("collect", "amr"), ("collect", "genomes"),
+    ("results", "site"), ("results", "serve"),
+}
+
+
+def _init_compute_backend():
+    """Configure jax for a compute command (deferred: jax-free commands and
+    bare --help never import jax or create the cache directory)."""
     # Honor an explicit platform override. The container's sitecustomize may
     # force-register a TPU platform at interpreter start, which ignores the
     # JAX_PLATFORMS environment variable; jax.config.update still wins as
@@ -885,6 +916,8 @@ def main(argv=None):
             jax.config.update("jax_platforms", "cpu")
             jax.devices()  # raises if even the CPU backend is unusable
 
+
+def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     top = argparse.ArgumentParser(
         prog="grm",
@@ -929,6 +962,8 @@ def main(argv=None):
     if key not in _COMMANDS:
         top.parse_args(argv[:2])
         return
+    if key not in _JAX_FREE:
+        _init_compute_backend()
     _COMMANDS[key](argv[2:])
 
 

@@ -29,19 +29,32 @@ def enable_compilation_cache(cache_dir=None):
 
     Resolution order: explicit argument, ``GRM_COMPILE_CACHE`` env var,
     JAX's own ``JAX_COMPILATION_CACHE_DIR`` env var, ``~/.cache/grm_tpu/xla``.
-    Set ``GRM_COMPILE_CACHE=0`` to disable.
-    Returns the directory in use, or None when disabled/unavailable.
+    ``GRM_COMPILE_CACHE=0`` disables the cache even when the caller passes
+    an explicit directory (bench.py does), so the env kill-switch always
+    works. Returns the directory in use, or None when disabled/unavailable.
     """
+    if os.environ.get("GRM_COMPILE_CACHE", "").lower() in ("0", "off", "none"):
+        return None
     if cache_dir is None:
         cache_dir = (os.environ.get("GRM_COMPILE_CACHE")
                      or os.environ.get("JAX_COMPILATION_CACHE_DIR")
                      or _DEFAULT_DIR)
-    if str(cache_dir) in ("0", "off", "none"):
+    if str(cache_dir).lower() in ("0", "off", "none"):
+        return None
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+    except OSError as e:
+        # An unwritable cache directory is a real misconfiguration — say so
+        # (but keep running uncached) instead of silently swallowing it.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "compilation cache disabled: cannot create %s (%s)", cache_dir, e
+        )
         return None
     try:
         import jax
 
-        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))
         # Cache everything that took noticeable compile time; the sweeps
         # are few and large, so the cache stays small (tens of MB).

@@ -23,7 +23,8 @@ from ..utils import fasta_to_sequences
 __all__ = ["GenomeKmers", "count_fasta", "count_fasta_many",
            "count_reads_dir", "count_reads_many", "fastq_to_sequences"]
 
-READS_EXTENSIONS = (".fastq", ".fastq.gz")
+READS_EXTENSIONS = (".fastq", ".fastq.gz", ".fq", ".fq.gz")
+FASTA_EXTENSIONS = (".fna", ".fa", ".fasta", ".fna.gz", ".fa.gz", ".fasta.gz")
 
 
 @dataclass
@@ -192,13 +193,17 @@ def count_reads_dir(read_dir, k, abundance_min=1, genome_id=None, engine="auto")
     Mirrors the reference reads path (create.py:479-499): every
     ``.fastq``/``.fastq.gz`` in the directory contributes reads; k-mers seen
     fewer than ``abundance_min`` times are dropped (multidsk
-    ``-abundance-min``, kmer_count.py:47).
+    ``-abundance-min``, kmer_count.py:47). A single FASTQ file path is also
+    accepted (a one-file genome).
     """
-    files = sorted(
-        os.path.join(read_dir, f)
-        for f in os.listdir(read_dir)
-        if f.endswith(READS_EXTENSIONS)
-    )
+    if os.path.isfile(read_dir):
+        files = [read_dir]
+    else:
+        files = sorted(
+            os.path.join(read_dir, f)
+            for f in os.listdir(read_dir)
+            if f.endswith(READS_EXTENSIONS)
+        )
     if not files:
         raise IOError("No FASTQ files found in %s" % read_dir)
     engine = _resolve_engine(engine)

@@ -27,6 +27,8 @@ derived on the host as ``n_selected - presence`` (rules.py:265).
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 
 import jax
@@ -63,11 +65,14 @@ def u64_matrix_to_u32(m64):
     return out
 
 
-@jax.jit
+@partial(jax.jit, donate_argnums=(0,))
 def _deinterleave_u64_view(x):
     """(W64, 2K) uint32 raw little-endian view of a uint64 matrix ->
     (2*W64, K) device layout (high half first, matching
-    :func:`u64_matrix_to_u32`). A layout copy at HBM bandwidth."""
+    :func:`u64_matrix_to_u32`). A layout copy at HBM bandwidth. The input
+    buffer is donated (same byte size as the output) so peak HBM stays at
+    ~1x matrix bytes — large-but-resident matrices near the 0.6x budget
+    (artifact.py) would otherwise OOM at load."""
     r, k2 = x.shape
     x = x.reshape(r, k2 // 2, 2)
     return jnp.stack([x[:, :, 1], x[:, :, 0]], axis=1).reshape(2 * r, k2 // 2)

@@ -75,6 +75,7 @@ def bench_ingest():
     The DSK + dsk2kover role (SURVEY.md section 2.5) on synthetic
     bacterial-scale genomes; reports Mbp/s and genomes/s (BASELINE.md
     throughput vocabulary). Skipped with BENCH_INGEST=0.
+    Returns the measured Mbp/s (a driver-tracked metric).
     """
     import shutil
     import tempfile
@@ -109,12 +110,14 @@ def bench_ingest():
         km = build_presence_matrix(gks, filter_singleton=True)
         t_merge = time.time() - t0
         total_mbp = n_genomes * mbp
+        mbp_per_s = total_mbp / (t_count + t_merge)
         log("ingest(contigs): %d genomes x %.1f Mbp, k=31 -> %.1fM union "
             "kmers; count %.1fs + merge/pack %.1fs = %.1f Mbp/s, "
             "%.2f genomes/s (host-native, %d cores)"
             % (n_genomes, mbp, km.n_kmers / 1e6, t_count, t_merge,
-               total_mbp / (t_count + t_merge),
-               n_genomes / (t_count + t_merge), os.cpu_count() or 1))
+               mbp_per_s, n_genomes / (t_count + t_merge),
+               os.cpu_count() or 1))
+        return mbp_per_s
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -389,7 +392,66 @@ def bench_learn_e2e(ds_path, n_kmers, max_rules, runs):
                                                   result_summary))
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
-    return min(walls), result_summary
+    return min(walls), sorted(walls)[len(walls) // 2], result_summary
+
+
+def bench_cart_e2e(ds_path, n_kmers, runs):
+    """CART end-to-end: full `grm learn tree` gate-to-gate at median scale
+    with the GUI-default grid — gini, 16 class-importance combos
+    (src/kover.py:249: values 0.25/0.5/0.75/1.0 per class), depth 10,
+    5-fold CV cost-complexity pruning, exact device engine (bit-identical
+    selection), report writes included. Reference CART wall-clocks are
+    unpublished; vs_baseline uses the published 355 s median `kover learn`
+    wall-clock (SCM), the only learn-phase number the reference ships.
+    """
+    import shutil
+    import tempfile
+
+    from grm_tpu.dataset import GrmDataset
+    from grm_tpu.learning.experiments import learn_CART
+    from grm_tpu.reports import write_cart_outputs
+
+    vals = [0.25, 0.5, 0.75, 1.0]
+    cis = [{0: a, 1: b} for a in vals for b in vals]
+    walls = []
+    summary = None
+    for r in range(runs):
+        out_dir = tempfile.mkdtemp(prefix="grm_bench_cart_")
+        try:
+            t0 = time.time()
+            (best_hp, best_score, train_metrics, test_metrics, model,
+             rule_importances, equivalent_rules, classifications) = learn_CART(
+                dataset_file=ds_path, split_name="sp", criterion="gini",
+                max_depth=10, min_samples_split=2, class_importance=cis,
+                bound_delta=0.05, bound_max_genome_size=n_kmers,
+                parameter_selection="cv", engine="device",
+            )
+            wall = time.time() - t0
+            write_cart_outputs(
+                output_dir=out_dir, dataset=GrmDataset(ds_path),
+                split_name="sp",
+                config={"engine": "device", "hp_choice": "cv"},
+                best_hp=best_hp, best_hp_score=best_score,
+                train_metrics=train_metrics, test_metrics=test_metrics,
+                model=model, rule_importances=rule_importances,
+                equivalent_rules=equivalent_rules,
+                classifications=classifications,
+                running_time_seconds=wall,
+                classification_type="binary",
+            )
+            wall = time.time() - t0
+            walls.append(wall)
+            summary = ("depth=%s ci=%s train_risk=%.4f test_risk=%.4f "
+                       "tree_rules=%d" % (
+                           best_hp.get("max_depth"),
+                           best_hp.get("class_importance"),
+                           train_metrics["risk"][0],
+                           test_metrics["risk"][0],
+                           len(model.decision_tree.rules)))
+            log("cart e2e run %d: %.1fs (%s)" % (r + 1, wall, summary))
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    return min(walls), sorted(walls)[len(walls) // 2]
 
 
 def bench_host_iteration(dataset):
@@ -525,9 +587,10 @@ def main():
         "JAX_COMPILATION_CACHE_DIR", os.path.join(REPO, ".jax_cache")))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
+    ingest_mbp_per_s = None
     if os.environ.get("BENCH_INGEST", "1") != "0":
         try:
-            bench_ingest()
+            ingest_mbp_per_s = bench_ingest()
         except Exception as e:  # auxiliary; never fail the run
             log("ingest bench skipped (%s)" % e)
     if os.environ.get("BENCH_READS", "1") != "0":
@@ -554,7 +617,17 @@ def main():
 
     ds_path = build_cache_artifact(n_genomes, n_kmers, n_folds)
 
-    value, summary = bench_learn_e2e(ds_path, n_kmers, max_rules, runs)
+    value, value_median, summary = bench_learn_e2e(
+        ds_path, n_kmers, max_rules, runs)
+
+    cart_value = cart_median = None
+    if os.environ.get("BENCH_CART_E2E", "1") != "0":
+        try:
+            cart_runs = int(os.environ.get("BENCH_CART_RUNS", max(1, runs - 1)))
+            cart_value, cart_median = bench_cart_e2e(
+                ds_path, n_kmers, cart_runs)
+        except Exception as e:
+            log("cart e2e bench skipped (%s)" % str(e)[:160])
 
     if (os.environ.get("BENCH_HOST_ITER", "1") != "0"
             or os.environ.get("BENCH_CORE", "1") != "0"):
@@ -572,12 +645,24 @@ def main():
             except Exception as e:
                 log("core bench skipped (%s)" % str(e)[:120])
 
-    print(json.dumps({
+    # ONE JSON line: the headline metric plus the driver-tracked extras
+    # (VERDICT r3: CART e2e and ingest must be parsed fields, and the
+    # medians ride along so rounds can see through tunnel variance).
+    record = {
         "metric": "scm_learn_e2e_wall_clock_median_dataset",
         "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(REFERENCE_MEDIAN_LEARN_SECONDS / value, 1),
-    }))
+        "scm_learn_e2e_median_of_runs_s": round(value_median, 3),
+    }
+    if cart_value is not None:
+        record["cart_learn_e2e_wall_clock_s"] = round(cart_value, 3)
+        record["cart_learn_e2e_median_of_runs_s"] = round(cart_median, 3)
+        record["cart_vs_scm_reference_median"] = round(
+            REFERENCE_MEDIAN_LEARN_SECONDS / cart_value, 1)
+    if ingest_mbp_per_s is not None:
+        record["ingest_mbp_per_s"] = round(ingest_mbp_per_s, 2)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

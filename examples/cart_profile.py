@@ -59,44 +59,32 @@ def main():
     from grm_tpu.learning.experiments import cart_experiment
 
     shapes_seen = set()
-    orig_pass1 = cart_exact._pass1_sbmin
 
-    def pass1_spy(matrix, masks, *a, **kw):
-        shapes_seen.add(("pass1", masks.shape))
-        t0 = time.perf_counter()
-        out = orig_pass1(matrix, masks, *a, **kw)
-        jax.block_until_ready(out)
-        STATS["pass1"] += time.perf_counter() - t0
-        COUNTS["pass1"] += 1
-        COUNTS["pass1_nodes"] += masks.shape[0]
-        return out
-    cart_exact._pass1_sbmin = pass1_spy
+    def spy(name, orig, shape_of=None, count_of=None):
+        def wrapper(*a, **kw):
+            if shape_of:
+                shapes_seen.add((name, shape_of(*a, **kw)))
+            t0 = time.perf_counter()
+            out = orig(*a, **kw)
+            jax.block_until_ready(out)
+            STATS[name] += time.perf_counter() - t0
+            COUNTS[name] += 1
+            if count_of:
+                COUNTS[name + "_nodes"] += count_of(*a, **kw)
+            return out
+        return wrapper
 
-    orig_pass2 = cart_exact._pass2_gather
-
-    def pass2_spy(matrix, masks, n_node, priors, totals, train_masks,
-                  pair_n, pair_sb, *a, **kw):
-        shapes_seen.add(("pass2", masks.shape, pair_n.shape))
-        t0 = time.perf_counter()
-        out = orig_pass2(matrix, masks, n_node, priors, totals, train_masks,
-                         pair_n, pair_sb, *a, **kw)
-        jax.block_until_ready(out)
-        STATS["pass2"] += time.perf_counter() - t0
-        COUNTS["pass2"] += 1
-        COUNTS["pass2_pairs"] += pair_n.shape[0]
-        return out
-    cart_exact._pass2_gather = pass2_spy
-
-    orig_hit = cart_exact._hit_sbs
-
-    def hit_spy(*a, **kw):
-        t0 = time.perf_counter()
-        out = orig_hit(*a, **kw)
-        jax.block_until_ready(out)
-        STATS["hit"] += time.perf_counter() - t0
-        COUNTS["hit"] += 1
-        return out
-    cart_exact._hit_sbs = hit_spy
+    cart_exact._tuple_tables = spy(
+        "tuple_tables", cart_exact._tuple_tables,
+        shape_of=lambda m, masks, *a, **k: masks.shape,
+        count_of=lambda m, masks, *a, **k: masks.shape[0])
+    cart_exact._gather_pass = spy(
+        "gather_pass", cart_exact._gather_pass,
+        shape_of=lambda m, masks, *a, **k: masks.shape,
+        count_of=lambda m, masks, *a, **k: masks.shape[0])
+    cart_exact._equiv_gather = spy(
+        "equiv_gather", cart_exact._equiv_gather,
+        shape_of=lambda m, masks, *a, **k: masks.shape)
 
     cart_exact.cart_frontier_candidates = timed(
         "frontier_candidates", cart_exact.cart_frontier_candidates)

@@ -262,9 +262,17 @@ class GrmDataset:
         base_cols = np.where(columns >= n_kmers, columns - n_kmers, columns)
         invert = columns >= n_kmers
         uniq, inverse = np.unique(base_cols, return_inverse=True)
-        with self.open() as f:
-            packed = f["kmer_matrix"][:, uniq.tolist()]
-        dense = unpack_binary_bytes_from_ints(packed)[: self.genome_count]
+        bm = self._bit_matrix
+        if bm is not None and hasattr(bm, "get_columns_dense"):
+            # The matrix is already device-resident: one small device
+            # gather instead of inflating full gzip chunks per packed row
+            # (the HDF5 chunk cache is disabled, reference utils.py:78-87,
+            # so the fancy read below costs MBs of inflate per call).
+            dense = bm.get_columns_dense(uniq)
+        else:
+            with self.open() as f:
+                packed = f["kmer_matrix"][:, uniq.tolist()]
+            dense = unpack_binary_bytes_from_ints(packed)[: self.genome_count]
         dense = dense[:, inverse]
         dense[:, invert] = 1 - dense[:, invert]
         return dense

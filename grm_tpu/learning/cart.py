@@ -55,6 +55,90 @@ class FrontierRequest:
     bit_matrix: object = None    # the packed presence matrix to score over
     exact: bool = False          # exact engine: candidate gathers, host ties
     train_idx: object = None     # the tree's training examples (tiebreaker)
+    need_equiv: bool = True      # gather full equivalent-rule tie sets
+                                 # (False for fold trees: no split_callback)
+
+
+def gini_impurity(altered_priors, n_total_class_examples, n_examples_by_class,
+                  multiply_by_node_proba=False):
+    """Gini diversity index; works on scalars or per-k-mer vectors
+    (cart.py:85-110). Module-level so the exact device engine's float64
+    tuple replay reuses the IDENTICAL op sequence (bit-identity)."""
+    p_j_t = {
+        c: 1.0 * altered_priors[c] * n_examples_by_class[c]
+        / n_total_class_examples[c]
+        for c in n_examples_by_class
+    }
+    p_t = sum(p_j_t.values())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p_j_given_t = {c: np.divide(p_j_t[c], p_t) for c in p_j_t}
+    gini = sum(
+        p_j_given_t[i] * p_j_given_t[j]
+        for i in p_j_given_t
+        for j in p_j_given_t
+        if i != j
+    )
+    return gini * (p_t if multiply_by_node_proba else 1.0)
+
+
+def cross_entropy(altered_priors, n_total_class_examples, n_class_examples,
+                  multiply_by_node_proba=False):
+    """(cart.py:167-176) — module-level twin of :func:`gini_impurity`."""
+    p_class_node = {
+        c: 1.0 * altered_priors[c] * n_class_examples[c]
+        / n_total_class_examples[c]
+        for c in n_class_examples
+    }
+    node_resubstitution_estimate = sum(p_class_node.values())
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p_class_given_node = {
+            c: np.divide(p_class_node[c], node_resubstitution_estimate)
+            for c in p_class_node
+        }
+        diversity_index = -1.0 * sum(
+            np.nan_to_num(p_class_given_node[c] * np.log(p_class_given_node[c]))
+            for c in p_class_given_node
+        )
+    return diversity_index * (
+        node_resubstitution_estimate if multiply_by_node_proba else 1.0
+    )
+
+
+def score_candidates_f64(criterion, altered_priors, n_total_class_examples,
+                         node_n_by_class, left_int_by_class):
+    """float64 impurity scores of candidate left-count vectors — the SAME
+    math (and class handling) as the full host scan, applied elementwise to
+    candidate count vectors, so values are bit-identical to the full
+    scan's. ``node_n_by_class``: {class: int node example count};
+    ``left_int_by_class``: {class: int array of left-child counts}.
+
+    Shared by the in-tree candidate replay AND the exact device engine's
+    tuple-space replay (parallel/cart_exact.py) so both produce identical
+    float64 orderings.
+    """
+    if criterion == "gini":
+        left = {c: left_int_by_class[c].astype(np.float64)
+                for c in node_n_by_class}
+        right = {c: float(node_n_by_class[c]) - left[c]
+                 for c in left}
+        vals = gini_impurity(altered_priors, n_total_class_examples, left,
+                             True)
+        vals = vals + gini_impurity(altered_priors, n_total_class_examples,
+                                    right, True)
+    else:
+        nonempty = {c for c in node_n_by_class
+                    if node_n_by_class[c]}
+        left = {c: left_int_by_class[c].astype(np.float64)
+                for c in nonempty}
+        right = {c: float(node_n_by_class[c]) - left[c]
+                 for c in left}
+        vals = cross_entropy(altered_priors, n_total_class_examples, left,
+                             True)
+        vals = vals + cross_entropy(altered_priors, n_total_class_examples,
+                                    right, True)
+    vals[sum(left.values()) == 0] = np.inf
+    vals[sum(right.values()) == 0] = np.inf
+    return vals
 
 
 def service_frontier_request(request):
@@ -69,6 +153,7 @@ def service_frontier_request(request):
                 request.criterion,
                 [request.train_idx] * len(request.node_sets),
                 excl=request.excl, mesh=request.mesh,
+                need_equiv=[request.need_equiv] * len(request.node_sets),
             )
         ]
     if request.mesh is not None:
@@ -147,6 +232,10 @@ class DecisionTreeClassifier:
         trees never yield."""
         if level_callback is None:
             level_callback = lambda x: None
+        # Equivalent-rule tie sets are only consumed through split_callback
+        # (experiment drivers attach it to master trees only); fold trees
+        # skip the exact engine's equivalence gathers entirely.
+        need_equiv = split_callback is not None
         if split_callback is None:
             split_callback = lambda x, y: None
         if tiebreaker is None:
@@ -168,44 +257,12 @@ class DecisionTreeClassifier:
         }
 
         def _gini_impurity(n_examples_by_class, multiply_by_node_proba=False):
-            """Gini diversity index; works on scalars or per-k-mer vectors
-            (cart.py:85-110)."""
-            p_j_t = {
-                c: 1.0 * altered_priors[c] * n_examples_by_class[c]
-                / n_total_class_examples[c]
-                for c in n_examples_by_class
-            }
-            p_t = sum(p_j_t.values())
-            with np.errstate(divide="ignore", invalid="ignore"):
-                p_j_given_t = {c: np.divide(p_j_t[c], p_t) for c in p_j_t}
-            gini = sum(
-                p_j_given_t[i] * p_j_given_t[j]
-                for i in p_j_given_t
-                for j in p_j_given_t
-                if i != j
-            )
-            return gini * (p_t if multiply_by_node_proba else 1.0)
+            return gini_impurity(altered_priors, n_total_class_examples,
+                                 n_examples_by_class, multiply_by_node_proba)
 
         def _cross_entropy(n_class_examples, multiply_by_node_proba=False):
-            """(cart.py:167-176)"""
-            p_class_node = {
-                c: 1.0 * altered_priors[c] * n_class_examples[c]
-                / n_total_class_examples[c]
-                for c in n_class_examples
-            }
-            node_resubstitution_estimate = sum(p_class_node.values())
-            with np.errstate(divide="ignore", invalid="ignore"):
-                p_class_given_node = {
-                    c: np.divide(p_class_node[c], node_resubstitution_estimate)
-                    for c in p_class_node
-                }
-                diversity_index = -1.0 * sum(
-                    np.nan_to_num(p_class_given_node[c] * np.log(p_class_given_node[c]))
-                    for c in p_class_given_node
-                )
-            return diversity_index * (
-                node_resubstitution_estimate if multiply_by_node_proba else 1.0
-            )
+            return cross_entropy(altered_priors, n_total_class_examples,
+                                 n_class_examples, multiply_by_node_proba)
 
         def _left_right_counts(node_example_idx):
             """All classes' left-child (k-mer present) counts in ONE device pass."""
@@ -271,47 +328,48 @@ class DecisionTreeClassifier:
         node_type = ProbabilisticTreeNode
 
         def _score_candidates(node_example_idx, left_int):
-            """float64 scores of candidate columns — the SAME math (and
-            class handling) as score_rules, applied to candidate count
-            vectors instead of all K columns (elementwise, so values are
-            bit-identical to the full scan's)."""
-            if self.criterion == "gini":
-                left = {c: left_int[c].astype(np.float64)
-                        for c in node_example_idx}
-                right = {c: float(len(node_example_idx[c])) - left[c]
-                         for c in left}
-                vals = _gini_impurity(left, True)
-                vals = vals + _gini_impurity(right, True)
-            else:
-                nonempty = {c for c in node_example_idx
-                            if len(node_example_idx[c])}
-                left = {c: left_int[c].astype(np.float64)
-                        for c in nonempty}
-                right = {c: float(len(node_example_idx[c])) - left[c]
-                         for c in left}
-                vals = _cross_entropy(left, True)
-                vals = vals + _cross_entropy(right, True)
-            vals[sum(left.values()) == 0] = np.inf
-            vals[sum(right.values()) == 0] = np.inf
-            return vals
+            """float64 scores of candidate columns (bit-identical to the
+            full host scan; see :func:`score_candidates_f64`)."""
+            return score_candidates_f64(
+                self.criterion, altered_priors, n_total_class_examples,
+                {c: len(node_example_idx[c]) for c in node_example_idx},
+                left_int,
+            )
 
-        def _find_best_split(node, device_result=None):
-            """(cart.py:219-250)"""
+        def _select_best_rule(node, device_result=None):
+            """Selection half of the reference's _find_best_split
+            (cart.py:219-250): the winning rule + its equivalence set,
+            WITHOUT the column fetch (the caller batches one fetch for the
+            whole frontier). Returns (selected_rule_idx or None,
+            best_rules_idx)."""
             node_example_idx = node.class_examples_idx
 
             if (isinstance(device_result, tuple)
                     and device_result[0] == "exact"):
-                # Exact device engine: the candidate set provably contains
-                # every column whose float64 score can reach the minimum;
-                # selection (exact-equality min set + the supplied
-                # tiebreaker) replays the host path bit-for-bit.
+                # Exact device engine. Two payload forms:
+                # - {"winner", "equiv"}: the engine already replayed the
+                #   float64 selection (tuple-space replay) — bit-identical
+                #   by construction (it runs score_candidates_f64 + the
+                #   same tiebreaker semantics);
+                # - {"cols", "left", "occ"}: candidate gather — the set
+                #   provably contains every column whose float64 score can
+                #   reach the minimum; selection replays here.
                 payload = device_result[1]
                 if payload is None:
-                    return None, None, None, None
+                    return None, None
+                if "winner" in payload:
+                    selected_rule_idx = int(payload["winner"])
+                    equiv = payload.get("equiv")
+                    best_rules_idx = (
+                        np.asarray(equiv, dtype=np.int64)
+                        if equiv is not None
+                        else np.array([selected_rule_idx])
+                    )
+                    return selected_rule_idx, best_rules_idx
                 vals = _score_candidates(node_example_idx, payload["left"])
                 vmin = np.min(vals)
                 if vmin == np.inf:
-                    return None, None, None, None
+                    return None, None
                 tie_sel = vals == vmin
                 candidate_rules_idx = payload["cols"][tie_sel]
                 if getattr(tiebreaker, "accepts_occurrences", False):
@@ -322,26 +380,28 @@ class DecisionTreeClassifier:
                         occurrences=payload["occ"][tie_sel])
                 else:
                     best_rules_idx = tiebreaker(candidate_rules_idx)
-                selected_rule_idx = int(best_rules_idx[0])
+                return int(best_rules_idx[0]), best_rules_idx
             elif device_result is not None:
                 best, score = device_result
                 if best is None:
-                    return None, None, None, None
-                selected_rule_idx = best
-                best_rules_idx = np.array([best])
+                    return None, None
+                return best, np.array([best])
             else:
                 rules_criterion = score_rules(node_example_idx)
                 if len(rule_blacklist):
                     rules_criterion[rule_blacklist] = np.inf
                 if np.min(rules_criterion) == np.inf:
-                    return None, None, None, None
+                    return None, None
                 candidate_rules_idx = np.where(
                     rules_criterion == np.min(rules_criterion)
                 )[0]
                 best_rules_idx = tiebreaker(candidate_rules_idx)
-                selected_rule_idx = int(best_rules_idx[0])
+                return int(best_rules_idx[0]), best_rules_idx
 
-            rule_preds = rule_classifications.get_columns(selected_rule_idx)
+        def _dispatch_examples(node, rule_preds):
+            """Dispatch half: split the node's examples on the fetched
+            rule column (cart.py:245-248)."""
+            node_example_idx = node.class_examples_idx
             left = {
                 c: node_example_idx[c][rule_preds[node_example_idx[c]] == 1]
                 for c in node_example_idx
@@ -350,7 +410,7 @@ class DecisionTreeClassifier:
                 c: node_example_idx[c][rule_preds[node_example_idx[c]] == 0]
                 for c in node_example_idx
             }
-            return selected_rule_idx, best_rules_idx, left, right
+            return left, right
 
         root = node_type(
             class_examples_idx=example_idx,
@@ -418,18 +478,34 @@ class DecisionTreeClassifier:
                     bit_matrix=rule_classifications.bit_matrix,
                     exact=exact_engine,
                     train_idx=tree_train_idx,
+                    need_equiv=need_equiv,
                 )
+            # Phase 1: select every node's winning rule (host, no fetch).
+            selections = []
+            for node_i, node in enumerate(splittable):
+                selections.append(_select_best_rule(
+                    node,
+                    None if device_results is None
+                    else device_results[node_i],
+                ))
+            # Phase 2: ONE batched column fetch for the whole frontier —
+            # per-node fetches each pay a device round trip (or, on the
+            # HDF5 path, a full gzip-chunk inflate per packed row).
+            sel_cols = [s for s, _ in selections if s is not None]
+            col_block = (
+                rule_classifications.get_columns(np.array(sel_cols))
+                if sel_cols else None
+            )
+            col_pos = 0
+            # Phase 3: dispatch children.
             nodes_to_split = deque()
             for node_i, node in enumerate(splittable):
-                (selected_rule_idx, equivalent_rule_idx, left_idx, right_idx) = (
-                    _find_best_split(
-                        node,
-                        None if device_results is None
-                        else device_results[node_i],
-                    )
-                )
+                selected_rule_idx, equivalent_rule_idx = selections[node_i]
                 if selected_rule_idx is None:
                     continue
+                rule_preds = col_block[:, col_pos]
+                col_pos += 1
+                left_idx, right_idx = _dispatch_examples(node, rule_preds)
 
                 node.rule = rules[selected_rule_idx]
                 left_n = {c: len(idx) for c, idx in left_idx.items()}

@@ -124,6 +124,40 @@ def _predictions(decision_tree, dataset, train_example_idx, test_example_idx,
     return train_predictions, test_predictions
 
 
+def _family_predictor(trees, dataset):
+    """One column fetch serving a whole pruning family of trees.
+
+    The (alpha, tree) sequences of :func:`prune_tree` are nested subtrees,
+    so every tree's rules draw from the union of the family's k-mer
+    columns. Fetching that union ONCE and predicting each tree against it
+    replaces one ``get_matrix_columns`` round trip per pruned tree per
+    fold (the reference pays the same per-tree HDF5 fetch,
+    experiment_cart.py:120-152; predictions are identical — the per-tree
+    column subset is the same bits).
+
+    Returns ``predict(tree, example_idx) -> labels``.
+    """
+    seqs = {}
+    for t in trees:
+        for r in t.rules:
+            seqs[r.kmer_sequence] = r.kmer_index
+    if not seqs:
+        return lambda tree, example_idx: tree.predict(
+            np.empty((len(example_idx), 1)))
+    kmer_idx = np.array(sorted(seqs.values()))
+    idx_by_seq = {s: i for i, s in enumerate(
+        sorted(seqs, key=lambda s: seqs[s]))}
+    X = dataset.get_matrix_columns(kmer_idx)
+
+    def predict(tree, example_idx):
+        if len(tree.rules) == 0:
+            return tree.predict(np.empty((len(example_idx), 1)))
+        readdressed = _readdress_tree(tree, idx_by_seq)
+        return readdressed.predict(X[example_idx])
+
+    return predict
+
+
 def _class_example_idx(example_idx, labels, n_classes):
     return {c: example_idx[labels[example_idx] == c] for c in range(n_classes)}
 
@@ -199,8 +233,10 @@ def _bound_finish(hps, master, dataset, split_name, delta, max_genome_size):
     min_score = np.inf
     min_score_tree = None
     train_answers = example_labels[train_idx]
-    for alpha, tree in zip(*prune_tree(master.decision_tree)):
-        train_predictions = _predictions(tree, dataset, train_idx, [])[0]
+    alphas, pruned_trees = prune_tree(master.decision_tree)
+    family_predict = _family_predictor(pruned_trees, dataset)
+    for alpha, tree in zip(alphas, pruned_trees):
+        train_predictions = family_predict(tree, train_idx)
         bound_value = cart_bound(
             train_predictions=train_predictions,
             train_answers=train_answers,
@@ -291,14 +327,16 @@ def _cv_finish(hps, dataset, split_name, fold_predictors, master_predictor):
         fold_pruned_trees.append(trees)
 
     # Per-fold test risk per alpha interval (experiment_cart.py:392-412).
+    # One column fetch per fold family instead of one per pruned tree.
     fold_scores_by_alpha = []
     for i, fold in enumerate(split.folds):
         fold_test_idx = fold.test_genome_idx
         fold_labels = example_labels[fold_test_idx]
+        fold_predict = _family_predictor(fold_pruned_trees[i], dataset)
         bro = BetweenDict()
         for j, t in enumerate(fold_pruned_trees[i]):
             fold_test_risk = get_binary_metrics(
-                predictions=_predictions(t, dataset, [], fold_test_idx)[1],
+                predictions=fold_predict(t, fold_test_idx),
                 answers=fold_labels,
             )["risk"][0]
             if j < len(fold_alphas[i]) - 1:

@@ -90,6 +90,27 @@ def u32_matrix_to_u64(m32):
 
 
 @jax.jit
+def _gather_columns(matrix, cols):
+    """(C,) column indices -> (C, W) packed uint32 columns.
+
+    Same wide-slice trick as scm_grid._fetch_columns: single-column takes
+    on the minor axis make XLA materialize a relaid-out matrix copy, while
+    (W, B) dynamic_slices lower to a cheap gather.
+    """
+    w, k = matrix.shape
+    b = min(1024, k)
+
+    def take_block(c):
+        start = jnp.clip(c, 0, k - b).astype(jnp.int32)
+        return jax.lax.dynamic_slice(matrix, (0, start), (w, b)), c - start
+
+    blocks, offs = jax.vmap(take_block)(cols)  # (C, W, B), (C,)
+    return jnp.take_along_axis(
+        blocks, offs[:, None, None].astype(jnp.int32), axis=2
+    )[:, :, 0]
+
+
+@jax.jit
 def _colsum_xla(matrix, masks):
     """counts[c, k] = sum_w popcount(matrix[w, k] & masks[c, w]); XLA path."""
     sel = matrix[None, :, :] & masks[:, :, None]  # (C, W, K), fused by XLA
@@ -182,6 +203,21 @@ class StreamingBitMatrix:
         out[: self.n_columns] = presence
         out[self.n_columns:] = rows.shape[0] - presence
         return out
+
+    def get_columns_dense(self, cols):
+        """Unpacked presence columns (n_rows, len(cols)) uint8 — a plain
+        host-RAM gather (the matrix is already inflated here, unlike the
+        HDF5 path which re-inflates gzip chunks per fetch)."""
+        from ..utils import unpack_binary_bytes_from_ints
+
+        cols = np.asarray(cols, dtype=np.int64)
+        if cols.size == 0:
+            return np.empty((self.n_rows, 0), np.uint8)
+        if (cols < 0).any() or (cols >= self.n_columns).any():
+            raise IndexError("column index out of range")
+        return unpack_binary_bytes_from_ints(
+            np.ascontiguousarray(self.host[:, cols])
+        )[: self.n_rows]
 
 
 class BitMatrix:
@@ -290,4 +326,33 @@ class BitMatrix:
         out[: self.n_columns] = presence
         out[self.n_columns :] = rows.shape[0] - presence
         return out
+
+    def get_columns_dense(self, cols):
+        """Unpacked presence columns (n_rows, len(cols)) uint8, one device
+        gather.
+
+        The device replacement for the HDF5 fancy column read of the
+        reference's ``get_columns`` (rules.py:135-171): with the chunk
+        cache disabled, every HDF5 column fetch inflates full gzip chunks
+        per packed row — MBs of host work per call — while the matrix is
+        already resident in HBM. Column counts are bucket-padded (pow2) so
+        repeated model-sized fetches share one compiled program.
+        """
+        cols = np.asarray(cols, dtype=np.int64)
+        if cols.size == 0:
+            return np.empty((self.n_rows, 0), np.uint8)
+        if (cols < 0).any() or (cols >= self.n_columns).any():
+            raise IndexError("column index out of range")
+        n = len(cols)
+        bucket = 1
+        while bucket < n:
+            bucket *= 2
+        padded = np.zeros(bucket, np.int64)
+        padded[:n] = cols
+        packed = np.asarray(_gather_columns(self.data, jnp.asarray(padded)))
+        # (bucket, W) uint32 -> (32W, bucket) bits, MSB-first per word.
+        from ..utils import unpack_binary_bytes_from_ints
+
+        dense = unpack_binary_bytes_from_ints(packed[:n].T)
+        return dense[: self.n_rows]
 

@@ -1,35 +1,42 @@
-"""Exact-parity device CART split scoring: candidate gathers, host f64 ties.
+"""Exact-parity device CART split scoring: tuple tables + candidate gathers.
 
 The argmax frontier scorers (:mod:`grm_tpu.parallel.cart_device`,
 :mod:`grm_tpu.ops.pallas_cart_sweep`) resolve impurity ties to the lowest
 column and compare scores in float32 — fast, but not the reference's
 semantics (``learners/cart.py:219-250``: float64 scores, exact-equality
 candidate sets, then the max-occurrence tiebreaker of
-``experiment_cart.py:82-94``). This module is the CART analogue of
-:mod:`grm_tpu.parallel.scm_exact`:
+``experiment_cart.py:82-94``). This module reproduces the reference
+selection bit-for-bit while keeping the matrix sweeps on the MXU, using
+two regimes keyed on a node's per-class count lattice:
 
-1. **Pass 1 (device, MXU)** — per frontier node, one blocked matrix pass
-   computes every column's class counts and reduces the float32
-   child-impurity scores to per-superblock minima. Scores follow the same
-   formula as the host (`sum of child impurities x node probability`);
-   empty children and blacklisted columns are +inf — conditions on exact
-   integers, so the inf-structure is exact.
-2. **Threshold (host)** — candidates for the exact float64 minimum can
-   only live below ``min32 + margin``; the margin over-covers the float32
-   evaluation error of the impurity formula (a few hundred ulps of
-   O(1)-magnitude probabilities; over-inclusion is harmless because the
-   decision is replayed exactly in step 3).
-3. **Gather (device)** — candidate columns' exact integer class counts
-   and their occurrence counts among the tree's training set (the
-   tiebreaker input) come back compacted; the host recomputes the float64
-   scores with the SAME impurity closure as the host engine, takes the
-   exact-equality min set, and applies the isclose max-occurrence
-   tiebreaker — selected splits AND equivalent-rule sets are bit-identical
-   to the host engine.
+**Tuple regime** (lattice fits ``S_MAX`` = 65536 entries — virtually every
+node of a median-scale dataset, and ALL small nodes, where exact impurity
+ties span millions of columns): a split's float64 score depends only on
+the tuple of per-class left-child counts, so the engine builds, per node,
+dense per-tuple tables on device — max train-set occurrence (the
+tiebreaker input) and the lowest column achieving it — via scatter-max /
+scatter-min over one blocked MXU pass each. The host then replays the
+float64 impurity (:func:`grm_tpu.learning.cart.score_candidates_f64` —
+the same op sequence as the host engine) over the ≤65536 present tuples:
+the minimum tie set, the occurrence tiebreak, and the winning column are
+all exact, with **no margin or over-inclusion machinery at all**. A
+100k-column tie set costs the same as a unique winner.
 
-Column-sharded matrices work unchanged: the passes are plain jit programs,
-so XLA's auto-partitioning runs them SPMD over the matrix sharding, and
-every decision stays on the host from exact integers.
+**Gather regime** (big nodes, lattice > ``S_MAX``): one pass computes
+per-node float32 score minima; a second compacts every column within a
+float32-error margin of the minimum (cols, per-class counts, occurrences)
+into fixed budgets via cursor scatters. Exact float64 selection is
+replayed on the host over the candidate pool (margin over-covers the f32
+evaluation error; over-inclusion is harmless). Budgets escalate on
+overflow. Big nodes have coarse score lattices, so near-minimum candidate
+mass is small — the regimes are complementary.
+
+Equivalent-rule tie sets (consumed only by master trees' split callbacks)
+are compacted in a separate gather pass restricted to the winning tuples.
+
+Column-sharded matrices work unchanged: the passes are plain jit
+programs, so XLA's auto-partitioning runs them SPMD over the matrix
+sharding, and every decision stays on the host from exact integers.
 """
 
 from __future__ import annotations
@@ -46,14 +53,15 @@ from .scm_grid import _unpack_words
 __all__ = ["cart_frontier_candidates"]
 
 _F32_EPS = 1.2e-7
+S_MAX = 1 << 16
 
 
 def _scores_f32(counts, n_node, priors, totals, criterion):
     """float32 child-impurity scores for count blocks.
 
     counts (N, C, B) int32 left-child counts; n_node (N, C) int32;
-    priors/totals (N, C) f32. Mirrors cart_device._best_split's math with
-    per-node parameters.
+    priors/totals (N, C) f32. Mirrors the host float64 formula
+    (score_candidates_f64) with per-node parameters.
     """
     left = counts.astype(jnp.float32)
     right = (n_node[:, :, None] - counts).astype(jnp.float32)
@@ -76,134 +84,234 @@ def _scores_f32(counts, n_node, priors, totals, criterion):
     return jnp.where(empty, jnp.inf, score)  # (N, B)
 
 
-@partial(jax.jit, static_argnames=("n_kmers", "sb", "criterion"))
-def _pass1_sbmin(matrix, masks, n_node, priors, totals, n_kmers, sb,
-                 criterion, excl=None):
-    """(N, NSB) per-superblock float32 score minima + (N,) global minima."""
+def _block_counts(matrix, md, n, c, b, sb):
+    """One matrix block's per-node class counts + train occurrences.
+
+    md: (N*(C+1), 32W) int8 dense masks (classes then the train mask).
+    Returns (counts (N, C, sb) int32, occ (N, sb) int32, col (sb,) int32).
+    """
+    w = matrix.shape[0]
+    mb = jax.lax.dynamic_slice(matrix, (0, b * sb), (w, sb))
+    xb = _unpack_words(mb)  # (32W, sb) int8
+    counts = jax.lax.dot_general(
+        md, xb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(n, c + 1, sb)
+    col = b * sb + jnp.arange(sb, dtype=jnp.int32)
+    return counts[:, :c], counts[:, c], col
+
+
+def _mixed_radix_key(class_counts, radix):
+    """(N, C, B) counts + (N, C) radix -> (N, B) int32 lattice keys."""
+    c = class_counts.shape[1]
+    key = class_counts[:, 0]
+    for ci in range(1, c):
+        key = key * radix[:, ci][:, None] + class_counts[:, ci]
+    return key
+
+
+@partial(jax.jit, static_argnames=("n_kmers", "sb", "s", "p"))
+def _tuple_tables(matrix, masks, train_masks, radix, active, n_kmers, sb,
+                  s, p, excl=None):
+    """Per-node dense tuple tables + compacted present-tuple triples.
+
+    masks (N, C, W) uint32; train_masks (N, W) uint32; radix (N, C) int32
+    (per-class count lattice radix = n_c + 1); active (N,) bool (padded
+    bucket rows are inactive).
+
+    Returns (keys (N, p) int32 [s = pad sentinel], occ (N, p) int32,
+    mincol (N, p) int32, n_present (N,) int32, occtab (N*s,) uint32,
+    coltab (N*s,) uint32) — the tables stay on device for escalation
+    fetches.
+    """
     n, c, w = masks.shape
     kp = matrix.shape[1]
     nsb = kp // sb
-    masks_dense = _unpack_words(
-        masks.reshape(n * c, w).T
-    ).T  # (N*C, 32W) int8
+    md = _unpack_words(
+        jnp.concatenate([masks, train_masks[:, None, :]], axis=1)
+        .reshape(n * (c + 1), w).T
+    ).T  # (N(C+1), 32W) int8
+    rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]  # (N, 1)
 
-    def scan_block(sbmin, b):
-        mb = jax.lax.dynamic_slice(matrix, (0, b * sb), (w, sb))
-        xb = _unpack_words(mb)  # (32W, sb)
-        counts = jax.lax.dot_general(
-            masks_dense, xb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        ).reshape(n, c, sb)
-        score = _scores_f32(counts, n_node, priors, totals, criterion)
-        col = b * sb + jnp.arange(sb)
-        pad = (col >= n_kmers)[None, :]
+    def common(b):
+        ccounts, occ, col = _block_counts(matrix, md, n, c, b, sb)
+        key = _mixed_radix_key(ccounts, radix)
+        valid = (col < n_kmers)[None, :] & active[:, None]
         if excl is not None:
             eb = jax.lax.dynamic_slice(excl, (b * sb,), (sb,))
-            pad = pad | eb[None, :]
-        score = jnp.where(pad, jnp.inf, score)
-        m = score.min(axis=1)
-        return jax.lax.dynamic_update_slice(sbmin, m[:, None], (0, b)), None
+            valid = valid & ~eb[None, :]
+        return key, occ, col, valid
 
-    sbmin, _ = jax.lax.scan(
-        scan_block, jnp.full((n, nsb), jnp.inf, jnp.float32),
-        jnp.arange(nsb),
-    )
-    return sbmin, sbmin.min(axis=1)
+    # Sweep 1: per-tuple max train occurrence (+1; 0 = tuple absent).
+    def sweep1(tab, b):
+        key, occ, col, valid = common(b)
+        flat = (rowbase + key).reshape(-1)
+        upd = jnp.where(valid, occ.astype(jnp.uint32) + 1, 0).reshape(-1)
+        return tab.at[flat].max(upd, mode="promise_in_bounds"), None
 
+    occtab, _ = jax.lax.scan(
+        sweep1, jnp.zeros((n * s,), jnp.uint32), jnp.arange(nsb))
 
-@partial(jax.jit, static_argnames=("m",))
-def _hit_sbs(sbmin, thresh, m):
-    n, nsb = sbmin.shape
-    hit = sbmin <= thresh[:, None]
-    key = jnp.where(hit, jnp.arange(nsb, dtype=jnp.int32)[None, :],
-                    jnp.int32(nsb))
-    key = jax.lax.sort(key, dimension=1)[:, :m]
-    return (jnp.where(key < nsb, key, -1),
-            hit.sum(axis=1).astype(jnp.int32))
+    # Sweep 2: per-tuple min column among occurrence-maximal columns.
+    def sweep2(tab, b):
+        key, occ, col, valid = common(b)
+        flat = (rowbase + key).reshape(-1)
+        got = occtab[flat].reshape(n, sb)
+        sel = valid & ((occ.astype(jnp.uint32) + 1) == got)
+        upd = jnp.where(sel, col[None, :].astype(jnp.uint32),
+                        jnp.uint32(0xFFFFFFFF)).reshape(-1)
+        return tab.at[flat].min(upd, mode="promise_in_bounds"), None
 
+    coltab, _ = jax.lax.scan(
+        sweep2, jnp.full((n * s,), 0xFFFFFFFF, jnp.uint32), jnp.arange(nsb))
 
-@partial(jax.jit, static_argnames=("n_kmers", "sb", "cmax", "criterion"))
-def _pass2_gather(matrix, masks, n_node, priors, totals, train_masks,
-                  pair_n, pair_sb, thresh, n_kmers, sb, cmax, criterion,
-                  excl=None):
-    """Candidate (col, per-class left counts, train occurrence) per pair."""
-    w = matrix.shape[0]
-    c = masks.shape[1]
-
-    def one(ni, sbi):
-        mslice = jax.lax.dynamic_slice(matrix, (0, sbi * sb), (w, sb))
-        xb = _unpack_words(mslice)  # (32W, sb)
-        md = _unpack_words(
-            jnp.concatenate([masks[ni], train_masks[ni][None]], axis=0).T
-        ).T  # (C+1, 32W)
-        counts = jax.lax.dot_general(
-            md, xb, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )  # (C+1, sb)
-        ccounts, occ = counts[:c], counts[c]
-        score = _scores_f32(
-            ccounts[None], n_node[ni][None], priors[ni][None],
-            totals[ni][None], criterion,
-        )[0]
-        col = sbi * sb + jnp.arange(sb)
-        pad = col >= n_kmers
-        if excl is not None:
-            eb = jax.lax.dynamic_slice(excl, (sbi * sb,), (sb,))
-            pad = pad | eb
-        score = jnp.where(pad, jnp.inf, score)
-        hitm = score <= thresh[ni]
-        key = jnp.where(hitm, jnp.arange(sb, dtype=jnp.int32), jnp.int32(sb))
-        order = jax.lax.sort(key)[:cmax]
-        valid = order < sb
-        j = jnp.where(valid, order, 0)
-        out_cols = jnp.where(valid, sbi * sb + j, -1).astype(jnp.int32)
-        out_counts = jnp.where(valid[None, :], ccounts[:, j], -1)
-        out_occ = jnp.where(valid, occ[j], -1)
-        return out_cols, out_counts, out_occ, hitm.sum().astype(jnp.int32)
-
-    return jax.vmap(one)(pair_n, pair_sb)
+    # Compaction: ascending present tuple keys, budget p.
+    pres = occtab.reshape(n, s) > 0
+    tkey = jnp.where(pres, jnp.arange(s, dtype=jnp.int32)[None, :], s)
+    tkey = jax.lax.sort(tkey, dimension=1)
+    if p < s:
+        tkey = tkey[:, :p]
+    live = tkey < s
+    safe = jnp.where(live, tkey, 0)
+    flat = (rowbase + safe).reshape(-1)
+    out_occ = jnp.where(
+        live, occtab[flat].reshape(n, p).astype(jnp.int32) - 1, -1)
+    out_col = jnp.where(
+        live, coltab[flat].reshape(n, p).astype(jnp.int32), -1)
+    n_present = pres.sum(axis=1).astype(jnp.int32)
+    return tkey, out_occ, out_col, n_present, occtab, coltab
 
 
-def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
-                             total_n_examples_by_class, criterion,
-                             train_example_idx, excl=None, mesh=None,
-                             sb=8192, hit_budget=64, cand_budget=64):
-    """Exact-candidate data for a BFS frontier.
+@partial(jax.jit, static_argnames=("n_kmers", "sb", "budget", "criterion"))
+def _gather_pass(matrix, masks, train_masks, n_node, priors, totals, active,
+                 n_kmers, sb, budget, criterion, excl=None):
+    """Big-node regime: f32 minima then margin-threshold compaction.
 
-    ``train_example_idx``: per-node training-set index arrays (the
-    occurrence-tiebreaker population — each node's own tree's train set;
-    forest batching mixes trees). Returns a list per node: ``None`` when no
-    valid split exists (exactly when the host's float64 minimum is +inf),
-    else a dict with
-
-    - ``cols``: ascending candidate column indices (guaranteed to contain
-      every column whose exact float64 score can equal the minimum),
-    - ``left``: {class: int64 left-child counts aligned with cols},
-    - ``occ``: int64 occurrence counts among the tree's train set.
+    Returns (cols (N, budget) int32 [-1 pad, ascending], counts
+    (N, C, budget) int32, occ (N, budget) int32, total (N,) int32,
+    gmin (N,) float32).
     """
-    from .cart_device import _frontier_masks
-    from .scm_device import build_packed_mask
-
-    crit = "gini" if criterion == "gini" else "cross-entropy"
-    masks, n_node, priors, totals = _frontier_masks(
-        bit_matrix, node_example_sets, altered_priors,
-        total_n_examples_by_class,
-    )
     n, c, w = masks.shape
-    classes = sorted(
-        (total_n_examples_by_class[0]
-         if isinstance(total_n_examples_by_class, list)
-         else total_n_examples_by_class))
-    train_masks = np.stack([
-        build_packed_mask(idx, bit_matrix.n_rows, w)
-        for idx in train_example_idx
-    ])
+    kp = matrix.shape[1]
+    nsb = kp // sb
+    md = _unpack_words(
+        jnp.concatenate([masks, train_masks[:, None, :]], axis=1)
+        .reshape(n * (c + 1), w).T
+    ).T
 
+    def scored(b):
+        ccounts, occ, col = _block_counts(matrix, md, n, c, b, sb)
+        score = _scores_f32(ccounts, n_node, priors, totals, criterion)
+        valid = (col < n_kmers)[None, :] & active[:, None]
+        if excl is not None:
+            eb = jax.lax.dynamic_slice(excl, (b * sb,), (sb,))
+            valid = valid & ~eb[None, :]
+        return jnp.where(valid, score, jnp.inf), ccounts, occ, col
+
+    def sweep1(gmin, b):
+        score = scored(b)[0]
+        return jnp.minimum(gmin, score.min(axis=1)), None
+
+    gmin, _ = jax.lax.scan(
+        sweep1, jnp.full((n,), jnp.inf, jnp.float32), jnp.arange(nsb))
+
+    # Margin over-covering the f32 evaluation error of the impurity
+    # formula (a few dozen rounded O(1)-magnitude ops per class; inputs
+    # are exact int32 counts and f32-rounded priors). Over-inclusion is
+    # replayed away exactly on the host.
+    margin = (256.0 + 128.0 * c) * _F32_EPS * (1.0 + jnp.abs(gmin))
+    thresh = jnp.where(jnp.isfinite(gmin), gmin + margin, -jnp.inf)
+
+    rowidx = jnp.arange(n, dtype=jnp.int32)[:, None]
+
+    def sweep2(carry, b):
+        cursor, cols, cnts, occs = carry
+        score, ccounts, occ, col = scored(b)
+        hit = score <= thresh[:, None]
+        pos = cursor[:, None] + jnp.cumsum(hit, axis=1) - 1
+        tgt = jnp.where(hit & (pos < budget), pos, budget)  # budget = drop
+        cols = cols.at[rowidx, tgt].set(
+            jnp.broadcast_to(col[None, :], (n, sb)), mode="drop")
+        occs = occs.at[rowidx, tgt].set(occ, mode="drop")
+        for ci in range(c):
+            cnts = cnts.at[rowidx, ci, tgt].set(ccounts[:, ci], mode="drop")
+        cursor = cursor + hit.sum(axis=1).astype(jnp.int32)
+        return (cursor, cols, cnts, occs), None
+
+    (total, cols, cnts, occs), _ = jax.lax.scan(
+        sweep2,
+        (jnp.zeros((n,), jnp.int32),
+         jnp.full((n, budget), -1, jnp.int32),
+         jnp.full((n, c, budget), -1, jnp.int32),
+         jnp.full((n, budget), -1, jnp.int32)),
+        jnp.arange(nsb))
+    return cols, cnts, occs, total, gmin
+
+
+@partial(jax.jit, static_argnames=("n_kmers", "sb", "budget", "tmax"))
+def _equiv_gather(matrix, masks, train_masks, radix, tset, occmax, active,
+                  n_kmers, sb, budget, tmax, excl=None):
+    """All columns whose tuple is in the winning set with maximal
+    occurrence — the equivalent-rule tie set, ascending.
+
+    tset (M, tmax) int32 winning tuple keys (-1 pad); occmax (M,) int32.
+    Returns (cols (M, budget) int32 [-1 pad], total (M,)).
+    """
+    m, c, w = masks.shape
+    kp = matrix.shape[1]
+    nsb = kp // sb
+    md = _unpack_words(
+        jnp.concatenate([masks, train_masks[:, None, :]], axis=1)
+        .reshape(m * (c + 1), w).T
+    ).T
+    rowidx = jnp.arange(m, dtype=jnp.int32)[:, None]
+
+    def sweep(carry, b):
+        cursor, cols = carry
+        ccounts, occ, col = _block_counts(matrix, md, m, c, b, sb)
+        key = _mixed_radix_key(ccounts, radix)
+        valid = (col < n_kmers)[None, :] & active[:, None]
+        if excl is not None:
+            eb = jax.lax.dynamic_slice(excl, (b * sb,), (sb,))
+            valid = valid & ~eb[None, :]
+        match = jnp.zeros((m, sb), bool)
+        for t in range(tmax):
+            match = match | (key == tset[:, t][:, None])
+        sel = valid & match & (occ == occmax[:, None])
+        pos = cursor[:, None] + jnp.cumsum(sel, axis=1) - 1
+        tgt = jnp.where(sel & (pos < budget), pos, budget)
+        cols = cols.at[rowidx, tgt].set(
+            jnp.broadcast_to(col[None, :], (m, sb)), mode="drop")
+        cursor = cursor + sel.sum(axis=1).astype(jnp.int32)
+        return (cursor, cols), None
+
+    (total, cols), _ = jax.lax.scan(
+        sweep,
+        (jnp.zeros((m,), jnp.int32),
+         jnp.full((m, budget), -1, jnp.int32)),
+        jnp.arange(nsb))
+    return cols, total
+
+
+def _bucket(x, lo=8):
+    b = lo
+    while b < x:
+        b *= 2
+    return b
+
+
+def _pad_rows(arr, bucket):
+    pad = bucket - arr.shape[0]
+    if pad == 0:
+        return arr
+    return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:],
+                                         arr.dtype)], axis=0)
+
+
+def _place_matrix(bit_matrix, mesh, sb):
+    """Device placement (+ column-shard cache on meshes) and sb padding."""
     matrix = bit_matrix.data
     if mesh is not None and mesh.shape.get("cols", 1) > 1:
-        # Column-shard once per (bit_matrix, mesh) — same cache as the
-        # argmax sharded scorer; the exact passes are plain jit programs,
-        # so GSPMD partitions them over the sharding.
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         cache = getattr(bit_matrix, "_exact_shard_cache", None)
@@ -226,112 +334,256 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
                 )(matrix)
             cache[mesh] = sharded
         matrix = sharded
-    n_kmers = bit_matrix.n_columns
     kp = matrix.shape[1]
     sb = min(sb, max(256, kp))
     pad = (-kp) % sb
     if pad:
         matrix = jax.jit(lambda m: jnp.pad(m, ((0, 0), (0, pad))))(matrix)
+    return matrix, sb
+
+
+def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
+                             total_n_examples_by_class, criterion,
+                             train_example_idx, excl=None, mesh=None,
+                             sb=8192, tuple_budget=4096, gather_budget=4096,
+                             need_equiv=None):
+    """Exact-selection data for a BFS frontier.
+
+    ``node_example_sets``: per-node {class: example idx} dicts.
+    ``altered_priors`` / ``total_n_examples_by_class``: one dict or a
+    per-node list (forest batching mixes trees with different priors).
+    ``train_example_idx``: per-node training-set index arrays (the
+    occurrence-tiebreaker population). ``need_equiv``: per-node bools —
+    False skips the equivalent-rule gather (fold trees).
+
+    Returns a list per node: ``None`` when no valid split exists (exactly
+    when the host's float64 minimum is +inf), else one of
+
+    - ``{"winner": col, "equiv": ndarray | None}`` — tuple regime; the
+      float64 selection already replayed (bit-identical to the host);
+    - ``{"cols", "left", "occ"}`` — gather regime; candidates provably
+      cover the float64 minimum tie set, selection replays in the tree.
+    """
+    from .cart_device import _frontier_masks, _per_node_dicts
+    from .scm_device import build_packed_mask
+
+    crit = "gini" if criterion == "gini" else "cross-entropy"
+    masks, n_node, priors, totals = _frontier_masks(
+        bit_matrix, node_example_sets, altered_priors,
+        total_n_examples_by_class,
+    )
+    n, c, w = masks.shape
+    priors_l = _per_node_dicts(altered_priors, n)
+    totals_l = _per_node_dicts(total_n_examples_by_class, n)
+    classes = sorted(totals_l[0]) if n else []
+    if need_equiv is None:
+        need_equiv = [True] * n
+    train_masks = np.stack([
+        build_packed_mask(idx, bit_matrix.n_rows, w)
+        for idx in train_example_idx
+    ]) if n else np.zeros((0, w), np.uint32)
+
+    matrix, sb = _place_matrix(bit_matrix, mesh, sb)
+    n_kmers = bit_matrix.n_columns
     excl_dev = None
     if excl is not None:
         excl_np = np.zeros(matrix.shape[1], bool)
         excl_np[: len(excl)] = np.asarray(excl, bool)
         excl_dev = jnp.asarray(excl_np)
 
-    masks_d = jnp.asarray(masks)
-    n_node_d = jnp.asarray(n_node)
-    priors_d = jnp.asarray(priors)
-    totals_d = jnp.asarray(totals)
-    train_d = jnp.asarray(train_masks)
+    # Regime split on the count-lattice size.
+    n_node64 = n_node.astype(np.int64)
+    lattice = np.prod(n_node64 + 1, axis=1) if n else np.zeros(0, np.int64)
+    is_tuple = lattice <= S_MAX
+    out = [None] * n
 
-    sbmin, gmin = _pass1_sbmin(matrix, masks_d, n_node_d, priors_d,
-                               totals_d, n_kmers, sb, crit, excl=excl_dev)
-    gmin_np = np.asarray(gmin, np.float64)
+    t_idx = np.where(is_tuple)[0]
+    g_idx = np.where(~is_tuple)[0]
 
-    # Margin: a few hundred f32 ulps of the O(1) impurity magnitudes,
-    # scaled by the class count (each class adds ~12 rounded ops); 1e-3
-    # absolute dominates for small C. Over-inclusion only grows the gather.
-    margin = (1e-3 + 5e-6 * c) * (1.0 + np.abs(gmin_np))
-    finite = np.isfinite(gmin_np)
-    thresh = np.where(finite, gmin_np + margin, -np.inf).astype(np.float32)
-    thresh_d = jnp.asarray(thresh)
-
-    hits_m = hit_budget
-    while True:
-        hits, hcount = _hit_sbs(sbmin, thresh_d, hits_m)
-        hits, hcount = np.asarray(hits), np.asarray(hcount)
-        if (hcount <= hits_m).all():
-            break
-        hits_m = min(int(sbmin.shape[1]), hits_m * 16)
-
-    pair_n, pair_sb = [], []
-    for ni in range(n):
-        if not finite[ni]:
-            continue
-        for s in hits[ni]:
-            if s >= 0:
-                pair_n.append(ni)
-                pair_sb.append(int(s))
-
-    pools = {ni: [] for ni in range(n)}
-    if pair_n:
-        pair_n = np.asarray(pair_n, np.int32)
-        pair_sb = np.asarray(pair_sb, np.int32)
-
-        def run(pn, psb, cmax):
-            cnt = len(pn)
-            bucket = 16
-            while bucket < cnt:
-                bucket *= 4
-            pn_p = np.zeros(bucket, np.int32)
-            psb_p = np.zeros(bucket, np.int32)
-            pn_p[:cnt], psb_p[:cnt] = pn, psb
-            cols, counts, occ, found = _pass2_gather(
-                matrix, masks_d, n_node_d, priors_d, totals_d, train_d,
-                jnp.asarray(pn_p), jnp.asarray(psb_p), thresh_d,
-                n_kmers, sb, cmax, crit, excl=excl_dev,
-            )
-            return (np.asarray(cols)[:cnt], np.asarray(counts)[:cnt],
-                    np.asarray(occ)[:cnt], np.asarray(found)[:cnt])
-
-        def run_chunked(pn, psb, cmax):
-            chunk = 256
-            if len(pn) <= chunk:
-                return run(pn, psb, cmax)
-            parts = [run(pn[lo:lo + chunk], psb[lo:lo + chunk], cmax)
-                     for lo in range(0, len(pn), chunk)]
-            return tuple(np.concatenate([p[i] for p in parts])
-                         for i in range(4))
-
-        cols, counts, occ, found = run_chunked(pair_n, pair_sb, cand_budget)
-        overflow = found > cand_budget
-        groups = [(pair_n[~overflow], cols[~overflow], counts[~overflow],
-                   occ[~overflow])]
-        if overflow.any():
-            c2, k2, o2, _ = run_chunked(pair_n[overflow], pair_sb[overflow],
-                                        sb)
-            groups.append((pair_n[overflow], c2, k2, o2))
-        for pn, pcols, pcounts, pocc in groups:
-            for i in range(len(pn)):
-                valid = pcols[i] >= 0
-                if valid.any():
-                    pools[int(pn[i])].append(
-                        (pcols[i][valid], pcounts[i][:, valid],
-                         pocc[i][valid]))
-
-    out = []
-    for ni in range(n):
-        if not finite[ni] or not pools[ni]:
-            out.append(None)
-            continue
-        cols_all = np.concatenate([p[0] for p in pools[ni]]).astype(np.int64)
-        counts_all = np.concatenate([p[1] for p in pools[ni]], axis=1)
-        occ_all = np.concatenate([p[2] for p in pools[ni]]).astype(np.int64)
-        order = np.argsort(cols_all, kind="stable")
-        out.append({
-            "cols": cols_all[order],
-            "left": {cl: counts_all[ci][order].astype(np.int64)
-                     for ci, cl in enumerate(classes)},
-            "occ": occ_all[order],
-        })
+    if len(t_idx):
+        _run_tuple_regime(
+            out, t_idx, matrix, masks, train_masks, n_node, n_kmers, sb,
+            tuple_budget, crit, classes, priors_l, totals_l, need_equiv,
+            excl_dev)
+    if len(g_idx):
+        _run_gather_regime(
+            out, g_idx, matrix, masks, train_masks, n_node, priors, totals,
+            n_kmers, sb, gather_budget, crit, classes, excl_dev)
     return out
+
+
+def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
+                      n_kmers, sb, budget, crit, classes, priors_l,
+                      totals_l, need_equiv, excl_dev):
+    c = masks.shape[1]
+    w = masks.shape[2]
+    nb = _bucket(len(t_idx))
+    masks_t = _pad_rows(masks[t_idx], nb)
+    train_t = _pad_rows(train_masks[t_idx], nb)
+    radix_np = (n_node[t_idx] + 1).astype(np.int32)
+    radix_t = _pad_rows(radix_np, nb)
+    radix_t[len(t_idx):] = 1
+    active = np.zeros(nb, bool)
+    active[: len(t_idx)] = True
+
+    p = min(S_MAX, budget)
+    keys_d, occ_d, col_d, npres_d, occtab, coltab = _tuple_tables(
+        matrix, jnp.asarray(masks_t), jnp.asarray(train_t),
+        jnp.asarray(radix_t), jnp.asarray(active), n_kmers, sb, S_MAX, p,
+        excl=excl_dev)
+    keys, occs, cols, npres = jax.device_get(
+        (keys_d, occ_d, col_d, npres_d))
+
+    # Escalation: nodes with more present tuples than the compaction
+    # budget read their full table rows (256 KB each) straight off the
+    # device-resident tables.
+    full_rows = {}
+    over = [i for i in range(len(t_idx)) if npres[i] > p]
+    if over:
+        occ_rows = jax.device_get(
+            occtab.reshape(nb, S_MAX)[np.asarray(over)])
+        col_rows = jax.device_get(
+            coltab.reshape(nb, S_MAX)[np.asarray(over)])
+        for j, i in enumerate(over):
+            full_rows[i] = (occ_rows[j], col_rows[j])
+
+    # Host float64 replay over present tuples.
+    from ..learning.cart import score_candidates_f64
+
+    equiv_jobs = []  # (slot i, node ni, T keys, occmax)
+    winners = {}
+    for i, ni in enumerate(t_idx):
+        if i in full_rows:
+            occ_row, col_row = full_rows[i]
+            pres = occ_row > 0
+            tkeys = np.where(pres)[0].astype(np.int64)
+            toccs = occ_row[pres].astype(np.int64) - 1
+            tcols = col_row[pres].astype(np.int64)
+        else:
+            k = int(npres[i])
+            tkeys = keys[i, :k].astype(np.int64)
+            toccs = occs[i, :k].astype(np.int64)
+            tcols = cols[i, :k].astype(np.int64)
+        if len(tkeys) == 0:
+            continue
+        # Mixed-radix decode (inverse of _mixed_radix_key).
+        radix = radix_np[i].astype(np.int64)
+        rem = tkeys.copy()
+        lefts = [None] * c
+        for ci in range(c - 1, 0, -1):
+            lefts[ci] = rem % radix[ci]
+            rem //= radix[ci]
+        lefts[0] = rem
+        node_counts = {cl: int(n_node[ni, cj])
+                       for cj, cl in enumerate(classes)}
+        left_int = {cl: lefts[cj] for cj, cl in enumerate(classes)}
+        vals = score_candidates_f64(
+            crit, priors_l[ni], totals_l[ni], node_counts, left_int)
+        vmin = np.min(vals)
+        if vmin == np.inf:
+            continue
+        tie = vals == vmin
+        occmax = toccs[tie].max()
+        # Host tiebreaker is np.isclose(occ, occ.max()) — exact equality
+        # for integer occurrences up to ~1e5 (n_genomes <= 5022).
+        winset = tie & (toccs == occmax)
+        winner = int(tcols[winset].min())
+        winners[ni] = winner
+        if need_equiv[ni]:
+            n_wintuples = int(winset.sum())
+            equiv_jobs.append((i, ni, tkeys[winset], int(occmax),
+                               n_wintuples))
+        else:
+            out[ni] = {"winner": winner, "equiv": None}
+
+    # Equivalent-rule gather for the nodes that need the full tie set.
+    if equiv_jobs:
+        _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t,
+                          train_t, radix_t, t_idx, n_kmers, sb, excl_dev)
+
+
+def _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t, train_t,
+                      radix_t, t_idx, n_kmers, sb, excl_dev):
+    tmax = _bucket(max(len(j[2]) for j in equiv_jobs), lo=4)
+    mb = _bucket(len(equiv_jobs), lo=4)
+    sel_rows = np.zeros(mb, np.int64)
+    tset = np.full((mb, tmax), -1, np.int32)
+    occmax_v = np.zeros(mb, np.int32)
+    active = np.zeros(mb, bool)
+    for j, (i, ni, keys, om, _) in enumerate(equiv_jobs):
+        sel_rows[j] = i
+        tset[j, : len(keys)] = keys
+        occmax_v[j] = om
+        active[j] = True
+
+    masks_m = masks_t[sel_rows]
+    train_m = train_t[sel_rows]
+    radix_m = radix_t[sel_rows]
+
+    budget = 4096
+    pending = list(range(len(equiv_jobs)))
+    while pending:
+        cols_d, total_d = _equiv_gather(
+            matrix, jnp.asarray(masks_m), jnp.asarray(train_m),
+            jnp.asarray(radix_m), jnp.asarray(tset),
+            jnp.asarray(occmax_v), jnp.asarray(active), n_kmers, sb,
+            budget, tmax, excl=excl_dev)
+        cols_np, total_np = jax.device_get((cols_d, total_d))
+        still = []
+        for j in pending:
+            i, ni, keys, om, _ = equiv_jobs[j]
+            if total_np[j] > budget:
+                still.append(j)
+                continue
+            cc = cols_np[j]
+            equiv = cc[cc >= 0].astype(np.int64)
+            out[ni] = {"winner": winners[ni], "equiv": equiv}
+            active[j] = False
+        if still:
+            budget *= 8
+        pending = still
+
+
+def _run_gather_regime(out, g_idx, matrix, masks, train_masks, n_node,
+                       priors, totals, n_kmers, sb, budget, crit, classes,
+                       excl_dev):
+    c = masks.shape[1]
+    pending = np.asarray(g_idx)
+    while len(pending):
+        nb = _bucket(len(pending))
+        masks_g = _pad_rows(masks[pending], nb)
+        train_g = _pad_rows(train_masks[pending], nb)
+        n_node_g = _pad_rows(n_node[pending], nb)
+        priors_g = _pad_rows(priors[pending], nb)
+        totals_g = _pad_rows(np.maximum(totals[pending], 1.0), nb)
+        totals_g[totals_g == 0] = 1.0
+        active = np.zeros(nb, bool)
+        active[: len(pending)] = True
+
+        cols_d, cnts_d, occs_d, total_d, gmin_d = _gather_pass(
+            matrix, jnp.asarray(masks_g), jnp.asarray(train_g),
+            jnp.asarray(n_node_g), jnp.asarray(priors_g),
+            jnp.asarray(totals_g), jnp.asarray(active), n_kmers, sb,
+            budget, crit, excl=excl_dev)
+        cols, cnts, occs, total, gmin = jax.device_get(
+            (cols_d, cnts_d, occs_d, total_d, gmin_d))
+
+        overflow = []
+        for i, ni in enumerate(pending):
+            if not np.isfinite(gmin[i]):
+                continue
+            if total[i] > budget:
+                overflow.append(ni)
+                continue
+            cc = cols[i]
+            valid = cc >= 0
+            if not valid.any():
+                continue
+            out[ni] = {
+                "cols": cc[valid].astype(np.int64),
+                "left": {cl: cnts[i, cj][valid].astype(np.int64)
+                         for cj, cl in enumerate(classes)},
+                "occ": occs[i][valid].astype(np.int64),
+            }
+        pending = np.asarray(overflow, dtype=np.int64)
+        budget *= 8

@@ -84,7 +84,8 @@ def grow_trees_batched(jobs):
 
         for key, members in groups.items():
             head = requests[members[0]]
-            node_sets, priors, totals, trains, spans = [], [], [], [], []
+            node_sets, priors, totals, trains, equivs, spans = (
+                [], [], [], [], [], [])
             for t in members:
                 req = requests[t]
                 lo = len(node_sets)
@@ -94,17 +95,18 @@ def grow_trees_batched(jobs):
                     [req.total_n_examples_by_class] * len(req.node_sets)
                 )
                 trains.extend([req.train_idx] * len(req.node_sets))
+                equivs.extend([req.need_equiv] * len(req.node_sets))
                 spans.append((t, lo, len(node_sets)))
             if len(members) == 1:
                 scored = service_frontier_request(head)
             else:
                 scored = _service_batched(head, node_sets, priors, totals,
-                                          trains)
+                                          trains, equivs)
             for t, lo, hi in spans:
                 results[t] = scored[lo:hi]
 
 
-def _service_batched(head, node_sets, priors, totals, trains):
+def _service_batched(head, node_sets, priors, totals, trains, equivs):
     """One device call over the concatenated frontier with per-node priors."""
     if head.exact:
         from .cart_exact import cart_frontier_candidates
@@ -112,7 +114,7 @@ def _service_batched(head, node_sets, priors, totals, trains):
         return [
             ("exact", d) for d in cart_frontier_candidates(
                 head.bit_matrix, node_sets, priors, totals, head.criterion,
-                trains, excl=head.excl, mesh=head.mesh,
+                trains, excl=head.excl, mesh=head.mesh, need_equiv=equivs,
             )
         ]
     if head.mesh is not None:

@@ -119,8 +119,25 @@ def test_cart_exact_device_blacklist_presence_only(tmp_path):
         parameter_selection="cv", kmer_blacklist_file=str(bl),
     )
     host = _fingerprint(learn_CART(engine="host", **kwargs))
-    dev = _fingerprint(learn_CART(engine="device", **kwargs))
+    # The device engine must stay on the device scorer (no host-sweep
+    # fallback): the host scorer's full-matrix presence_counts sweeps must
+    # never run during device-engine growth.
+    from grm_tpu.learning import rules as rules_mod
+
+    calls = []
+    orig = rules_mod.KmerRuleClassifications.presence_counts
+
+    def counting(self, rows_list):
+        calls.append(len(rows_list))
+        return orig(self, rows_list)
+
+    rules_mod.KmerRuleClassifications.presence_counts = counting
+    try:
+        dev = _fingerprint(learn_CART(engine="device", **kwargs))
+    finally:
+        rules_mod.KmerRuleClassifications.presence_counts = orig
     assert host == dev
+    assert not calls, "device engine fell back to host presence sweeps"
     assert all(seq != kmer for seq, _ in host["rules"])
 
 

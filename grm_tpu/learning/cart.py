@@ -25,6 +25,7 @@ import numpy as np
 from .tree import ProbabilisticTreeNode
 
 __all__ = [
+    "ColumnFetchRequest",
     "DecisionTreeClassifier",
     "FrontierRequest",
     "prune_tree",
@@ -57,6 +58,17 @@ class FrontierRequest:
     train_idx: object = None     # the tree's training examples (tiebreaker)
     need_equiv: bool = True      # gather full equivalent-rule tie sets
                                  # (False for fold trees: no split_callback)
+
+
+@dataclass
+class ColumnFetchRequest:
+    """Winner-column fetch for one tree's frontier, yielded between BFS
+    levels so the forest driver can batch EVERY tree's winning columns
+    into one device gather per round (per-tree fetches each pay a device
+    round trip)."""
+
+    cols: object                   # (n,) int64 rule indices in [0, 2K)
+    rule_classifications: object   # provider (get_columns)
 
 
 def gini_impurity(altered_priors, n_total_class_examples, n_examples_by_class,
@@ -143,6 +155,8 @@ def score_candidates_f64(criterion, altered_priors, n_total_class_examples,
 
 def service_frontier_request(request):
     """Score one tree's frontier request (the non-batched drive path)."""
+    if isinstance(request, ColumnFetchRequest):
+        return request.rule_classifications.get_columns(request.cols)
     if request.exact:
         from ..parallel.cart_exact import cart_frontier_candidates
 
@@ -491,11 +505,17 @@ class DecisionTreeClassifier:
             # Phase 2: ONE batched column fetch for the whole frontier —
             # per-node fetches each pay a device round trip (or, on the
             # HDF5 path, a full gzip-chunk inflate per packed row).
+            # Device-engine trees yield the fetch so the forest driver
+            # batches it across ALL trees of the round.
             sel_cols = [s for s, _ in selections if s is not None]
-            col_block = (
-                rule_classifications.get_columns(np.array(sel_cols))
-                if sel_cols else None
-            )
+            if not sel_cols:
+                col_block = None
+            elif use_device:
+                col_block = yield ColumnFetchRequest(
+                    np.array(sel_cols), rule_classifications)
+            else:
+                col_block = rule_classifications.get_columns(
+                    np.array(sel_cols))
             col_pos = 0
             # Phase 3: dispatch children.
             nodes_to_split = deque()

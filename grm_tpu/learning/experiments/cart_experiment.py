@@ -529,15 +529,16 @@ def learn_CART(dataset_file, split_name, criterion, max_depth, min_samples_split
     rule_blacklist = _find_rule_blacklist(dataset, kmer_blacklist_file,
                                           warning_callback)
 
-    if engine in ("device", "device-argmax") and mesh is None:
-        # Same guard as learn_SCM: matrices past the HBM budget come back
-        # as a host-resident StreamingBitMatrix, which the fused device
-        # engines cannot consume — stream blocks through the host engine.
+    if engine == "device-argmax" and mesh is None:
+        # Matrices past the HBM budget come back as a host-resident
+        # StreamingBitMatrix. The EXACT engine (--engine device) streams
+        # column chunks through its sweeps; only the fused argmax scorer
+        # needs a resident matrix.
         if not hasattr(dataset.bit_matrix(), "data"):
             warning_callback(
                 "The k-mer matrix exceeds the device memory budget; "
-                "falling back to --engine host (streaming sweeps). Shard "
-                "over a mesh to keep large matrices device-resident."
+                "falling back to --engine host (streaming sweeps). Use "
+                "--engine device (streamed exact) or shard over a mesh."
             )
             engine = "host"
 

@@ -373,6 +373,18 @@ def _hp_selection_loop(hp_list, scores_by_hp):
     return best_hp_score, best_hp
 
 
+def _make_exact_engine(bm, n_kmers, rule_blacklist):
+    """Resident exact engine, or the streamed (out-of-core) variant when
+    the matrix exceeded the HBM budget and came back host-resident
+    (StreamingBitMatrix) — either way, selection is bit-identical."""
+    from ...parallel.scm_exact import ExactScmEngine
+
+    if hasattr(bm, "data"):
+        return ExactScmEngine(bm.data, n_kmers, excl_rules=rule_blacklist)
+    return ExactScmEngine(bm.host, n_kmers, excl_rules=rule_blacklist,
+                          streamed=True)
+
+
 def _cross_validation_device_exact(dataset, split_name, model_types, p_values,
                                    max_rules, progress_callback,
                                    rule_blacklist=(), mesh=None):
@@ -433,7 +445,7 @@ def _cross_validation_device_exact(dataset, split_name, model_types, p_values,
             })
 
     progress_callback("Cross-validation", 0.0)
-    engine = ExactScmEngine(bm.data, n_kmers, excl_rules=rule_blacklist)
+    engine = _make_exact_engine(bm, n_kmers, rule_blacklist)
     _, _, errors, n_test = engine.run_fits(fits, max_rules)
     progress_callback("Cross-validation", 1.0)
 
@@ -488,7 +500,7 @@ def _full_train_device_exact(dataset, split_name, model_type, p, max_rules,
     }
 
     progress_callback("Training", 0)
-    engine = ExactScmEngine(bm.data, n_kmers, excl_rules=rule_blacklist)
+    engine = _make_exact_engine(bm, n_kmers, rule_blacklist)
     rules_arr, _, _, _, ties = engine.run_fits([fit], max_rules,
                                                collect_ties=True)
     rule_idx = [int(r) for r in rules_arr[0] if r >= 0]
@@ -780,15 +792,16 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
     rule_blacklist = _find_rule_blacklist(dataset, kmer_blacklist_file,
                                           warning_callback)
 
-    if engine in ("device", "device-argmax") and mesh is None:
+    if engine == "device-argmax" and mesh is None:
         # Matrices beyond the HBM budget come back as StreamingBitMatrix
-        # (host-resident); the fused device engines need a resident matrix,
-        # so fall back to the host engine (which streams blocks per sweep).
+        # (host-resident); the fused argmax grid engine needs a resident
+        # matrix. The EXACT engine (--engine device) streams column chunks
+        # through the device instead — no fallback needed there.
         if not hasattr(dataset.bit_matrix(), "data"):
             warning_callback(
                 "The k-mer matrix exceeds the device memory budget; "
-                "falling back to --engine host (streaming sweeps). Shard "
-                "over a mesh to keep large matrices device-resident."
+                "falling back to --engine host (streaming sweeps). Use "
+                "--engine device (streamed exact) or shard over a mesh."
             )
             engine = "host"
 

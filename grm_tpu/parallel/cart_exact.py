@@ -293,6 +293,213 @@ def _equiv_gather(matrix, masks, train_masks, radix, tset, occmax, active,
     return cols, total
 
 
+# -- streamed (out-of-core) chunk programs ----------------------------------
+#
+# For matrices past the HBM budget (host-resident StreamingBitMatrix) the
+# same sweeps run per H2D column chunk with the accumulator tables carried
+# (donated) across chunk calls — identical math, identical selection; the
+# reference's out-of-core contract (rules.py:243-262) kept exact on the
+# accelerator. Chunks share one compiled program each (fixed chunk width,
+# global pads ride in the excl slice, global column ids via col_base).
+
+
+@jax.jit
+def _dense_masks(masks, train_masks):
+    n, c, w = masks.shape
+    return _unpack_words(
+        jnp.concatenate([masks, train_masks[:, None, :]], axis=1)
+        .reshape(n * (c + 1), w).T
+    ).T  # (N(C+1), 32W) int8
+
+
+def _chunk_blocks(chunk, md, n, c, sb, col_base, excl_chunk, active):
+    """Iterator body shared by the streamed sweeps: per in-chunk block,
+    (class counts, occ, GLOBAL col, valid)."""
+    def at(b):
+        ccounts, occ, col = _block_counts(chunk, md, n, c, b, sb)
+        valid = active[:, None] & ~jax.lax.dynamic_slice(
+            excl_chunk, (b * sb,), (sb,))[None, :]
+        return ccounts, occ, col + col_base, valid
+    return at
+
+
+@partial(jax.jit, static_argnames=("sb", "s"), donate_argnums=(4,))
+def _tuple_sweep1_chunk(chunk, md, radix, active, occtab, col_base,
+                        excl_chunk, sb, s):
+    n = radix.shape[0]
+    c = radix.shape[1]
+    nsb = chunk.shape[1] // sb
+    at = _chunk_blocks(chunk, md, n, c, sb, col_base, excl_chunk, active)
+    rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]
+
+    def sweep(tab, b):
+        ccounts, occ, _, valid = at(b)
+        key = _mixed_radix_key(ccounts, radix)
+        flat = (rowbase + key).reshape(-1)
+        upd = jnp.where(valid, occ.astype(jnp.uint32) + 1, 0).reshape(-1)
+        return tab.at[flat].max(upd, mode="promise_in_bounds"), None
+
+    occtab, _ = jax.lax.scan(sweep, occtab, jnp.arange(nsb))
+    return occtab
+
+
+@partial(jax.jit, static_argnames=("sb", "s"), donate_argnums=(5,))
+def _tuple_sweep2_chunk(chunk, md, radix, active, occtab, coltab, col_base,
+                        excl_chunk, sb, s):
+    n = radix.shape[0]
+    c = radix.shape[1]
+    nsb = chunk.shape[1] // sb
+    at = _chunk_blocks(chunk, md, n, c, sb, col_base, excl_chunk, active)
+    rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]
+
+    def sweep(tab, b):
+        ccounts, occ, col, valid = at(b)
+        key = _mixed_radix_key(ccounts, radix)
+        flat = (rowbase + key).reshape(-1)
+        got = occtab[flat].reshape(n, sb)
+        sel = valid & ((occ.astype(jnp.uint32) + 1) == got)
+        upd = jnp.where(sel, col[None, :].astype(jnp.uint32),
+                        jnp.uint32(0xFFFFFFFF)).reshape(-1)
+        return tab.at[flat].min(upd, mode="promise_in_bounds"), None
+
+    coltab, _ = jax.lax.scan(sweep, coltab, jnp.arange(nsb))
+    return coltab
+
+
+@partial(jax.jit, static_argnames=("s",))
+def _take_table_rows(occtab, coltab, rows, s):
+    """Bucketed full-row fetch from the flat per-node tables."""
+    return (occtab.reshape(-1, s)[rows], coltab.reshape(-1, s)[rows])
+
+
+@partial(jax.jit, static_argnames=("s", "p"))
+def _tuple_compact(occtab, coltab, s, p):
+    n = occtab.shape[0] // s
+    rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]
+    pres = occtab.reshape(n, s) > 0
+    tkey = jnp.where(pres, jnp.arange(s, dtype=jnp.int32)[None, :], s)
+    tkey = jax.lax.sort(tkey, dimension=1)
+    if p < s:
+        tkey = tkey[:, :p]
+    live = tkey < s
+    safe = jnp.where(live, tkey, 0)
+    flat = (rowbase + safe).reshape(-1)
+    out_occ = jnp.where(
+        live, occtab[flat].reshape(n, p).astype(jnp.int32) - 1, -1)
+    out_col = jnp.where(
+        live, coltab[flat].reshape(n, p).astype(jnp.int32), -1)
+    return tkey, out_occ, out_col, pres.sum(axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("sb", "criterion"), donate_argnums=(6,))
+def _gather1_chunk(chunk, md, n_node, priors, totals, active, gmin,
+                   excl_chunk, sb, criterion):
+    n, c = n_node.shape
+    nsb = chunk.shape[1] // sb
+    at = _chunk_blocks(chunk, md, n, c, sb, jnp.int32(0), excl_chunk, active)
+
+    def sweep(g, b):
+        ccounts, _, _, valid = at(b)
+        score = _scores_f32(ccounts, n_node, priors, totals, criterion)
+        score = jnp.where(valid, score, jnp.inf)
+        return jnp.minimum(g, score.min(axis=1)), None
+
+    gmin, _ = jax.lax.scan(sweep, gmin, jnp.arange(nsb))
+    return gmin
+
+
+@partial(jax.jit, static_argnames=("sb", "budget", "criterion"),
+         donate_argnums=(7, 8, 9, 10))
+def _gather2_chunk(chunk, md, n_node, priors, totals, active, thresh,
+                   cursor, cols, cnts, occs, col_base, excl_chunk, sb,
+                   budget, criterion):
+    n, c = n_node.shape
+    nsb = chunk.shape[1] // sb
+    at = _chunk_blocks(chunk, md, n, c, sb, col_base, excl_chunk, active)
+    rowidx = jnp.arange(n, dtype=jnp.int32)[:, None]
+
+    def sweep(carry, b):
+        cursor, cols, cnts, occs = carry
+        ccounts, occ, col, valid = at(b)
+        score = _scores_f32(ccounts, n_node, priors, totals, criterion)
+        score = jnp.where(valid, score, jnp.inf)
+        hit = score <= thresh[:, None]
+        pos = cursor[:, None] + jnp.cumsum(hit, axis=1) - 1
+        tgt = jnp.where(hit & (pos < budget), pos, budget)
+        sbw = col.shape[0]
+        cols = cols.at[rowidx, tgt].set(
+            jnp.broadcast_to(col[None, :], (n, sbw)), mode="drop")
+        occs = occs.at[rowidx, tgt].set(occ, mode="drop")
+        for ci in range(c):
+            cnts = cnts.at[rowidx, ci, tgt].set(ccounts[:, ci], mode="drop")
+        cursor = cursor + hit.sum(axis=1).astype(jnp.int32)
+        return (cursor, cols, cnts, occs), None
+
+    carry, _ = jax.lax.scan(sweep, (cursor, cols, cnts, occs),
+                            jnp.arange(nsb))
+    return carry
+
+
+@partial(jax.jit, static_argnames=("sb", "budget", "tmax"),
+         donate_argnums=(6, 7))
+def _equiv_chunk(chunk, md, radix, tset, occmax, active, cursor, cols,
+                 col_base, excl_chunk, sb, budget, tmax):
+    m, c = radix.shape
+    nsb = chunk.shape[1] // sb
+    at = _chunk_blocks(chunk, md, m, c, sb, col_base, excl_chunk, active)
+    rowidx = jnp.arange(m, dtype=jnp.int32)[:, None]
+
+    def sweep(carry, b):
+        cursor, cols = carry
+        ccounts, occ, col, valid = at(b)
+        key = _mixed_radix_key(ccounts, radix)
+        match = jnp.zeros_like(valid)
+        for t in range(tmax):
+            match = match | (key == tset[:, t][:, None])
+        sel = valid & match & (occ == occmax[:, None])
+        pos = cursor[:, None] + jnp.cumsum(sel, axis=1) - 1
+        tgt = jnp.where(sel & (pos < budget), pos, budget)
+        sbw = col.shape[0]
+        cols = cols.at[rowidx, tgt].set(
+            jnp.broadcast_to(col[None, :], (m, sbw)), mode="drop")
+        cursor = cursor + sel.sum(axis=1).astype(jnp.int32)
+        return (cursor, cols), None
+
+    carry, _ = jax.lax.scan(sweep, (cursor, cols), jnp.arange(nsb))
+    return carry
+
+
+class _HostStream:
+    """Chunked H2D access to a host-resident matrix (+ its excl map)."""
+
+    def __init__(self, host_matrix, n_kmers, excl, chunk_cols=None):
+        import os as _os
+
+        if chunk_cols is None:
+            chunk_cols = int(_os.environ.get(
+                "GRM_STREAM_CHUNK_COLS", 1 << 21))
+        sb = 8192
+        chunk_cols = max(sb, (chunk_cols // sb) * sb)
+        kp = host_matrix.shape[1]
+        pad = (-kp) % chunk_cols
+        if pad:
+            host_matrix = np.pad(host_matrix, ((0, 0), (0, pad)))
+        self.host = host_matrix
+        self.chunk_cols = chunk_cols
+        excl_full = np.zeros(host_matrix.shape[1], bool)
+        excl_full[n_kmers:] = True
+        if excl is not None:
+            excl_full[: len(excl)] |= np.asarray(excl, bool)
+        self.excl = excl_full
+
+    def chunks(self):
+        ch = self.chunk_cols
+        for ci in range(self.host.shape[1] // ch):
+            yield (jnp.asarray(self.host[:, ci * ch:(ci + 1) * ch]),
+                   jnp.asarray(self.excl[ci * ch:(ci + 1) * ch]),
+                   jnp.int32(ci * ch))
+
+
 def _bucket(x, lo=8):
     b = lo
     while b < x:
@@ -383,13 +590,21 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
         for idx in train_example_idx
     ]) if n else np.zeros((0, w), np.uint32)
 
-    matrix, sb = _place_matrix(bit_matrix, mesh, sb)
     n_kmers = bit_matrix.n_columns
+    stream = None
     excl_dev = None
-    if excl is not None:
-        excl_np = np.zeros(matrix.shape[1], bool)
-        excl_np[: len(excl)] = np.asarray(excl, bool)
-        excl_dev = jnp.asarray(excl_np)
+    if hasattr(bit_matrix, "data"):
+        matrix, sb = _place_matrix(bit_matrix, mesh, sb)
+        if excl is not None:
+            excl_np = np.zeros(matrix.shape[1], bool)
+            excl_np[: len(excl)] = np.asarray(excl, bool)
+            excl_dev = jnp.asarray(excl_np)
+    else:
+        # Host-resident (>HBM) matrix: stream column chunks through the
+        # same sweeps — identical selection, out-of-core.
+        stream = _HostStream(bit_matrix.host, n_kmers, excl)
+        matrix = None
+        sb = min(8192, stream.chunk_cols)
 
     # Regime split on the count-lattice size.
     n_node64 = n_node.astype(np.int64)
@@ -404,17 +619,17 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
         _run_tuple_regime(
             out, t_idx, matrix, masks, train_masks, n_node, n_kmers, sb,
             tuple_budget, crit, classes, priors_l, totals_l, need_equiv,
-            excl_dev)
+            excl_dev, stream)
     if len(g_idx):
         _run_gather_regime(
             out, g_idx, matrix, masks, train_masks, n_node, priors, totals,
-            n_kmers, sb, gather_budget, crit, classes, excl_dev)
+            n_kmers, sb, gather_budget, crit, classes, excl_dev, stream)
     return out
 
 
 def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
                       n_kmers, sb, budget, crit, classes, priors_l,
-                      totals_l, need_equiv, excl_dev):
+                      totals_l, need_equiv, excl_dev, stream=None):
     c = masks.shape[1]
     w = masks.shape[2]
     nb = _bucket(len(t_idx))
@@ -427,23 +642,42 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
     active[: len(t_idx)] = True
 
     p = min(S_MAX, budget)
-    keys_d, occ_d, col_d, npres_d, occtab, coltab = _tuple_tables(
-        matrix, jnp.asarray(masks_t), jnp.asarray(train_t),
-        jnp.asarray(radix_t), jnp.asarray(active), n_kmers, sb, S_MAX, p,
-        excl=excl_dev)
+    if stream is None:
+        keys_d, occ_d, col_d, npres_d, occtab, coltab = _tuple_tables(
+            matrix, jnp.asarray(masks_t), jnp.asarray(train_t),
+            jnp.asarray(radix_t), jnp.asarray(active), n_kmers, sb, S_MAX,
+            p, excl=excl_dev)
+    else:
+        md = _dense_masks(jnp.asarray(masks_t), jnp.asarray(train_t))
+        radix_d = jnp.asarray(radix_t)
+        active_d = jnp.asarray(active)
+        occtab = jnp.zeros((nb * S_MAX,), jnp.uint32)
+        for chunk, exc, base in stream.chunks():
+            occtab = _tuple_sweep1_chunk(
+                chunk, md, radix_d, active_d, occtab, base, exc, sb, S_MAX)
+        coltab = jnp.full((nb * S_MAX,), 0xFFFFFFFF, jnp.uint32)
+        for chunk, exc, base in stream.chunks():
+            coltab = _tuple_sweep2_chunk(
+                chunk, md, radix_d, active_d, occtab, coltab, base, exc,
+                sb, S_MAX)
+        keys_d, occ_d, col_d, npres_d = _tuple_compact(
+            occtab, coltab, S_MAX, p)
     keys, occs, cols, npres = jax.device_get(
         (keys_d, occ_d, col_d, npres_d))
 
     # Escalation: nodes with more present tuples than the compaction
     # budget read their full table rows (256 KB each) straight off the
-    # device-resident tables.
+    # device-resident tables. Row index arrays are bucket-padded so the
+    # fetch gather compiles once per bucket, not once per distinct count
+    # (remote compiles cost seconds-to-minutes on tunneled rigs).
     full_rows = {}
     over = [i for i in range(len(t_idx)) if npres[i] > p]
     if over:
-        occ_rows = jax.device_get(
-            occtab.reshape(nb, S_MAX)[np.asarray(over)])
-        col_rows = jax.device_get(
-            coltab.reshape(nb, S_MAX)[np.asarray(over)])
+        rb = _bucket(len(over), lo=4)
+        rows = np.zeros(rb, np.int32)
+        rows[: len(over)] = over
+        occ_rows, col_rows = jax.device_get(_take_table_rows(
+            occtab, coltab, jnp.asarray(rows), S_MAX))
         for j, i in enumerate(over):
             full_rows[i] = (occ_rows[j], col_rows[j])
 
@@ -499,11 +733,12 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
     # Equivalent-rule gather for the nodes that need the full tie set.
     if equiv_jobs:
         _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t,
-                          train_t, radix_t, t_idx, n_kmers, sb, excl_dev)
+                          train_t, radix_t, t_idx, n_kmers, sb, excl_dev,
+                          stream)
 
 
 def _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t, train_t,
-                      radix_t, t_idx, n_kmers, sb, excl_dev):
+                      radix_t, t_idx, n_kmers, sb, excl_dev, stream=None):
     tmax = _bucket(max(len(j[2]) for j in equiv_jobs), lo=4)
     mb = _bucket(len(equiv_jobs), lo=4)
     sel_rows = np.zeros(mb, np.int64)
@@ -523,11 +758,25 @@ def _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t, train_t,
     budget = 4096
     pending = list(range(len(equiv_jobs)))
     while pending:
-        cols_d, total_d = _equiv_gather(
-            matrix, jnp.asarray(masks_m), jnp.asarray(train_m),
-            jnp.asarray(radix_m), jnp.asarray(tset),
-            jnp.asarray(occmax_v), jnp.asarray(active), n_kmers, sb,
-            budget, tmax, excl=excl_dev)
+        if stream is None:
+            cols_d, total_d = _equiv_gather(
+                matrix, jnp.asarray(masks_m), jnp.asarray(train_m),
+                jnp.asarray(radix_m), jnp.asarray(tset),
+                jnp.asarray(occmax_v), jnp.asarray(active), n_kmers, sb,
+                budget, tmax, excl=excl_dev)
+        else:
+            md = _dense_masks(jnp.asarray(masks_m), jnp.asarray(train_m))
+            radix_d = jnp.asarray(radix_m)
+            tset_d = jnp.asarray(tset)
+            occmax_d = jnp.asarray(occmax_v)
+            active_d = jnp.asarray(active)
+            cursor = jnp.zeros((mb,), jnp.int32)
+            cols_c = jnp.full((mb, budget), -1, jnp.int32)
+            for chunk, exc, base in stream.chunks():
+                cursor, cols_c = _equiv_chunk(
+                    chunk, md, radix_d, tset_d, occmax_d, active_d,
+                    cursor, cols_c, base, exc, sb, budget, tmax)
+            cols_d, total_d = cols_c, cursor
         cols_np, total_np = jax.device_get((cols_d, total_d))
         still = []
         for j in pending:
@@ -546,7 +795,7 @@ def _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t, train_t,
 
 def _run_gather_regime(out, g_idx, matrix, masks, train_masks, n_node,
                        priors, totals, n_kmers, sb, budget, crit, classes,
-                       excl_dev):
+                       excl_dev, stream=None):
     c = masks.shape[1]
     pending = np.asarray(g_idx)
     while len(pending):
@@ -560,11 +809,38 @@ def _run_gather_regime(out, g_idx, matrix, masks, train_masks, n_node,
         active = np.zeros(nb, bool)
         active[: len(pending)] = True
 
-        cols_d, cnts_d, occs_d, total_d, gmin_d = _gather_pass(
-            matrix, jnp.asarray(masks_g), jnp.asarray(train_g),
-            jnp.asarray(n_node_g), jnp.asarray(priors_g),
-            jnp.asarray(totals_g), jnp.asarray(active), n_kmers, sb,
-            budget, crit, excl=excl_dev)
+        if stream is None:
+            cols_d, cnts_d, occs_d, total_d, gmin_d = _gather_pass(
+                matrix, jnp.asarray(masks_g), jnp.asarray(train_g),
+                jnp.asarray(n_node_g), jnp.asarray(priors_g),
+                jnp.asarray(totals_g), jnp.asarray(active), n_kmers, sb,
+                budget, crit, excl=excl_dev)
+        else:
+            md = _dense_masks(jnp.asarray(masks_g), jnp.asarray(train_g))
+            n_node_d = jnp.asarray(n_node_g)
+            priors_d = jnp.asarray(priors_g)
+            totals_d = jnp.asarray(totals_g)
+            active_d = jnp.asarray(active)
+            gmin_d = jnp.full((nb,), jnp.inf, jnp.float32)
+            for chunk, exc, base in stream.chunks():
+                gmin_d = _gather1_chunk(chunk, md, n_node_d, priors_d,
+                                        totals_d, active_d, gmin_d, exc,
+                                        sb, crit)
+            gmin_np = np.asarray(gmin_d, np.float64)
+            margin = (256.0 + 128.0 * c) * _F32_EPS * (1.0 + np.abs(gmin_np))
+            thresh = np.where(np.isfinite(gmin_np), gmin_np + margin,
+                              -np.inf).astype(np.float32)
+            thresh_d = jnp.asarray(thresh)
+            cursor = jnp.zeros((nb,), jnp.int32)
+            cols_c = jnp.full((nb, budget), -1, jnp.int32)
+            cnts_c = jnp.full((nb, c, budget), -1, jnp.int32)
+            occs_c = jnp.full((nb, budget), -1, jnp.int32)
+            for chunk, exc, base in stream.chunks():
+                cursor, cols_c, cnts_c, occs_c = _gather2_chunk(
+                    chunk, md, n_node_d, priors_d, totals_d, active_d,
+                    thresh_d, cursor, cols_c, cnts_c, occs_c, base, exc,
+                    sb, budget, crit)
+            cols_d, cnts_d, occs_d, total_d = cols_c, cnts_c, occs_c, cursor
         cols, cnts, occs, total, gmin = jax.device_get(
             (cols_d, cnts_d, occs_d, total_d, gmin_d))
 

@@ -20,7 +20,9 @@ from __future__ import annotations
 
 from collections import defaultdict
 
-from ..learning.cart import service_frontier_request
+import numpy as np
+
+from ..learning.cart import ColumnFetchRequest, service_frontier_request
 
 __all__ = ["grow_trees_batched"]
 
@@ -77,6 +79,31 @@ def grow_trees_batched(jobs):
                 live.discard(t)
         if not requests:
             break
+
+        # Winner-column fetches: ONE device gather per provider per round
+        # serves every tree's frontier columns.
+        col_ts = [t for t in sorted(requests)
+                  if isinstance(requests[t], ColumnFetchRequest)]
+        if col_ts:
+            by_provider = defaultdict(list)
+            for t in col_ts:
+                rc = requests[t].rule_classifications
+                # Group by the underlying matrix: every HP combo has its
+                # own KmerRuleClassifications but they share the dataset's
+                # cached bit matrix.
+                by_provider[id(getattr(rc, "bit_matrix", rc))].append(t)
+            for members in by_provider.values():
+                rc = requests[members[0]].rule_classifications
+                spans, cat = [], []
+                for t in members:
+                    lo = len(cat)
+                    cat.extend(np.asarray(requests[t].cols).tolist())
+                    spans.append((t, lo, len(cat)))
+                block = rc.get_columns(np.asarray(cat, dtype=np.int64))
+                for t, lo, hi in spans:
+                    results[t] = block[:, lo:hi]
+            for t in col_ts:
+                del requests[t]
 
         groups = defaultdict(list)
         for t in sorted(requests):

@@ -311,6 +311,30 @@ def _fused_step(matrix, pos, neg, conj, tpos, tneg, ps, is_disj,
             cols, cn, cp, ccount, sbmax)
 
 
+@partial(jax.jit, donate_argnums=(0, 1, 2))
+def _apply_step(pos, neg, conj, tpos, tneg, bits_packed, use_abs, valid,
+                is_disj):
+    """Streamed-mode state update: apply host-fetched rule columns.
+
+    ``bits_packed`` (F, W) uint32 — the chosen rules' packed presence
+    columns, gathered from the HOST matrix (no device matrix exists in
+    streamed mode). Same math as the apply prologue of _fused_step.
+    """
+    bits = jnp.where(use_abs[:, None], ~bits_packed, bits_packed)
+    act = valid[:, None]
+    pos = jnp.where(act, pos & bits, pos)
+    neg = jnp.where(act, neg & bits, neg)
+    conj = jnp.where(act, conj & bits, conj)
+    n_tpos = _popcount_rows(tpos)
+    n_tneg = _popcount_rows(tneg)
+    pos_pred1 = _popcount_rows(tpos & conj)
+    neg_pred1 = _popcount_rows(tneg & conj)
+    conj_err = (n_tpos - pos_pred1) + neg_pred1
+    disj_err = pos_pred1 + (n_tneg - neg_pred1)
+    err = jnp.where(is_disj, disj_err, conj_err)
+    return (pos, neg, conj, err, _popcount_rows(neg), _popcount_rows(pos))
+
+
 def _replay_block_scan(idx, cn, cp, n_neg, n_pos, p, n_kmers):
     """The reference's blockwise utility max + tie accumulation, exactly.
 
@@ -400,26 +424,32 @@ class ExactScmEngine:
     """
 
     def __init__(self, matrix, n_kmers, excl_rules=None, sb=8192,
-                 hit_budget=64, cand_budget=64):
-        matrix = matrix if isinstance(matrix, jax.Array) else jnp.asarray(
-            np.ascontiguousarray(matrix))
+                 hit_budget=64, cand_budget=64, streamed=False,
+                 chunk_cols=None):
+        self.streamed = bool(streamed)
+        if self.streamed:
+            # Out-of-core mode: the matrix stays in HOST memory; pass 1
+            # streams fixed-width column chunks H2D, pass 2 uploads only
+            # the hit superblocks. Bit-identical selection — the same
+            # programs run on chunks, every decision happens on the host
+            # from exact integers (the reference's out-of-core contract,
+            # rules.py:243-262, kept exact on the accelerator).
+            matrix = np.ascontiguousarray(np.asarray(matrix))
+            if matrix.dtype != np.uint32:
+                raise ValueError("exact engine expects a uint32-packed matrix")
+        elif not isinstance(matrix, jax.Array):
+            matrix = jnp.asarray(np.ascontiguousarray(matrix))
         if matrix.dtype != jnp.uint32:
             raise ValueError("exact engine expects a uint32-packed matrix")
         kp = matrix.shape[1]
         sb = min(sb, max(256, kp))
-        pad = (-kp) % sb
-        if pad:
-            matrix = jax.jit(
-                lambda m: jnp.pad(m, ((0, 0), (0, pad)))
-            )(matrix)
-        self.matrix = matrix
         self.n_kmers = int(n_kmers)
         self.sb = sb
         self.hit_budget = int(hit_budget)
         self.cand_budget = int(cand_budget)
-        self.excl = None
+        excl_np = None
         if excl_rules is not None and len(excl_rules):
-            excl_np = np.zeros((2, matrix.shape[1]), bool)
+            excl_np = np.zeros((2, kp), bool)
             er = np.asarray(excl_rules, np.int64)
             excl_np[0, er[er < n_kmers]] = True
             excl_np[1, er[er >= n_kmers] - n_kmers] = True
@@ -427,7 +457,39 @@ class ExactScmEngine:
                 # Mirrors the host fit's guard (scm.py): every utility
                 # would be -inf and the candidate machinery degenerates.
                 raise ValueError("The blacklist cannot include all the rules.")
-            self.excl = jnp.asarray(excl_np)
+        if self.streamed:
+            if chunk_cols is None:
+                chunk_cols = int(os.environ.get(
+                    "GRM_STREAM_CHUNK_COLS", 1 << 21))
+            # Chunk width: a whole number of superblocks so hit indexing
+            # lines up; the host matrix pads to a chunk multiple so every
+            # chunk shares ONE compiled pass-1 program.
+            chunk_cols = max(sb, (chunk_cols // sb) * sb)
+            pad = (-kp) % chunk_cols
+            if pad:
+                matrix = np.pad(matrix, ((0, 0), (0, pad)))
+            self.chunk_cols = chunk_cols
+            self.matrix = matrix
+            # Global pads (and the blacklist) ride in one host-side excl
+            # map, sliced per chunk — pass 1/2 see n_kmers == chunk width.
+            full = np.zeros((2, matrix.shape[1]), bool)
+            full[:, self.n_kmers:] = True
+            if excl_np is not None:
+                full[:, :kp] |= excl_np
+            self.excl_host = full
+            self.excl = None
+            return
+        pad = (-kp) % sb
+        if pad:
+            matrix = jax.jit(
+                lambda m: jnp.pad(m, ((0, 0), (0, pad)))
+            )(matrix)
+        self.matrix = matrix
+        self.excl = None
+        if excl_np is not None:
+            excl_pad = np.zeros((2, matrix.shape[1]), bool)
+            excl_pad[:, :kp] = excl_np
+            self.excl = jnp.asarray(excl_pad)
 
     # -- candidate machinery -------------------------------------------------
 
@@ -528,6 +590,22 @@ class ExactScmEngine:
             collect(pair_f[overflow], r2, c2, p2)
         return pools
 
+    # -- shared host selection ----------------------------------------------
+
+    def _select_for_fit(self, parts, fit, n_neg_fi, n_pos_fi, p_fi):
+        """Exact float64 replay + selection over one fit's candidate parts."""
+        if not parts:
+            return None, None
+        idx = np.concatenate([p[0] for p in parts]).astype(np.int64)
+        cnv = np.concatenate([p[1] for p in parts]).astype(np.int64)
+        cpv = np.concatenate([p[2] for p in parts]).astype(np.int64)
+        order = np.argsort(idx, kind="stable")
+        idx, cnv, cpv = idx[order], cnv[order], cpv[order]
+        tie_idx, tie_pe, tie_nc = _replay_block_scan(
+            idx, cnv, cpv, n_neg_fi, n_pos_fi, p_fi, self.n_kmers)
+        return _select_rule(tie_idx, tie_pe, tie_nc, fit["risk_lookup"],
+                            fit["model_type"])
+
     # -- the greedy loop -----------------------------------------------------
 
     def run_fits(self, fits, max_rules, collect_ties=False):
@@ -543,6 +621,8 @@ class ExactScmEngine:
         when ``collect_ties`` — a list per fit of per-iteration equivalent
         rule index arrays).
         """
+        if self.streamed:
+            return self._run_fits_streamed(fits, max_rules, collect_ties)
         f = len(fits)
         pos_np = np.stack([x["pos_mask"] for x in fits])
         neg_np = np.stack([x["neg_mask"] for x in fits])
@@ -633,21 +713,195 @@ class ExactScmEngine:
             use_abs = np.zeros(f, bool)
             valid = np.zeros(f, bool)
             for fi in np.where(active)[0]:
-                parts = pools.get(int(fi), [])
-                if not parts:
+                rule, equiv = self._select_for_fit(
+                    pools.get(int(fi), []), fits[fi], n_neg[fi], n_pos[fi],
+                    ps_np[fi])
+                if rule is None:
                     active[fi] = False
                     continue
-                idx = np.concatenate([p[0] for p in parts]).astype(np.int64)
-                cnv = np.concatenate([p[1] for p in parts]).astype(np.int64)
-                cpv = np.concatenate([p[2] for p in parts]).astype(np.int64)
-                order = np.argsort(idx, kind="stable")
-                idx, cnv, cpv = idx[order], cnv[order], cpv[order]
-                tie_idx, tie_pe, tie_nc = _replay_block_scan(
-                    idx, cnv, cpv, n_neg[fi], n_pos[fi], ps_np[fi],
-                    self.n_kmers)
-                rule, equiv = _select_rule(
-                    tie_idx, tie_pe, tie_nc, fits[fi]["risk_lookup"],
-                    fits[fi]["model_type"])
+                rules[fi, it] = rule
+                chosen[fi] = rule % self.n_kmers
+                use_abs[fi] = rule >= self.n_kmers
+                valid[fi] = True
+                if collect_ties:
+                    ties[fi].append(equiv)
+
+        n_rules = (rules >= 0).sum(axis=1).astype(np.int64)
+        n_test = n_tpos + n_tneg
+        if collect_ties:
+            return rules, n_rules, errors, n_test, ties
+        return rules, n_rules, errors, n_test
+
+    # -- streamed (out-of-core) greedy loop ---------------------------------
+
+    def _run_fits_streamed(self, fits, max_rules, collect_ties=False):
+        """Greedy SCM over a HOST-resident matrix: pass 1 streams column
+        chunks H2D (one compiled program for every chunk), pass 2 uploads
+        only the hit superblocks compacted, and the chosen rules' columns
+        are gathered from host memory. Selection is the same host float64
+        replay — bit-identical to the resident engine and the host engine.
+        """
+        f = len(fits)
+        pos_np = np.stack([x["pos_mask"] for x in fits])
+        neg_np = np.stack([x["neg_mask"] for x in fits])
+        tpos = np.stack([x["test_pos_mask"] for x in fits])
+        tneg = np.stack([x["test_neg_mask"] for x in fits])
+        ps_np = np.array([x["p"] for x in fits], np.float64)
+        is_disj_np = np.array(
+            [x["model_type"] == "disjunction" for x in fits], bool)
+        w32 = pos_np.shape[1]
+
+        pos = jnp.asarray(pos_np)
+        neg = jnp.asarray(neg_np)
+        conj = jnp.asarray(np.full_like(pos_np, np.uint32(0xFFFFFFFF)))
+        tpos_d = jnp.asarray(tpos)
+        tneg_d = jnp.asarray(tneg)
+        ps_dev = jnp.asarray(ps_np.astype(np.float32))
+        is_disj_d = jnp.asarray(is_disj_np)
+
+        n_pos = np.bitwise_count(pos_np).sum(-1).astype(np.int64)
+        n_neg = np.bitwise_count(neg_np).sum(-1).astype(np.int64)
+        n_tpos = np.bitwise_count(tpos).sum(-1).astype(np.int64)
+        n_tneg = np.bitwise_count(tneg).sum(-1).astype(np.int64)
+
+        rules = np.full((f, max_rules), -1, np.int64)
+        errors = np.zeros((f, max_rules + 1), np.int64)
+        errors[:, 0] = np.where(is_disj_np, n_tpos, n_tneg)
+        ties = [[] for _ in range(f)] if collect_ties else None
+        active = n_neg > 0
+
+        sb = self.sb
+        ch = self.chunk_cols
+        kp = self.matrix.shape[1]
+        nsb = kp // sb
+        sb_per_chunk = ch // sb
+        n_chunks = kp // ch
+
+        chosen = np.zeros(f, np.int32)
+        use_abs = np.zeros(f, bool)
+        valid = np.zeros(f, bool)
+
+        for it in range(max_rules + 1):
+            bits_np = (self.matrix[:, chosen].T.copy()
+                       if valid.any() else np.zeros((f, w32), np.uint32))
+            pos, neg, conj, err_d, nn_d, np_d = _apply_step(
+                pos, neg, conj, tpos_d, tneg_d,
+                jnp.asarray(bits_np[:, :w32]), jnp.asarray(use_abs),
+                jnp.asarray(valid), is_disj_d)
+            err, n_neg_new, n_pos_new = jax.device_get((err_d, nn_d, np_d))
+            if it > 0:
+                errors[:, it] = np.where(valid, err, errors[:, it - 1])
+                n_neg = np.where(valid, n_neg_new.astype(np.int64), n_neg)
+                n_pos = np.where(valid, n_pos_new.astype(np.int64), n_pos)
+                active = active & (n_neg > 0)
+            if it == max_rules or not active.any():
+                for jt in range(it + 1, max_rules + 1):
+                    errors[:, jt] = errors[:, jt - 1]
+                break
+
+            # -- pass 1: stream chunks, accumulate superblock maxima ------
+            sbmax = np.full((f, nsb), -np.inf, np.float32)
+            for ci in range(n_chunks):
+                chunk = jnp.asarray(self.matrix[:, ci * ch:(ci + 1) * ch])
+                exc = jnp.asarray(self.excl_host[:, ci * ch:(ci + 1) * ch])
+                sm, _ = _pass1(chunk, neg, pos, ps_dev, ch, sb, excl=exc)
+                sbmax[:, ci * sb_per_chunk:(ci + 1) * sb_per_chunk] = (
+                    np.asarray(sm))
+            gmax64 = sbmax.max(axis=1).astype(np.float64)
+            thresh = self._thresholds(gmax64, n_neg, n_pos, ps_np, active)
+
+            # -- pass 2: upload ONLY the hit superblocks, compacted -------
+            hit = sbmax >= thresh[:, None]
+            hit[~active] = False
+            gsbs = np.unique(np.where(hit.any(axis=0))[0])
+            pools = {}
+            if len(gsbs):
+                nusb = 1
+                while nusb < len(gsbs):
+                    nusb *= 2
+                cw = nusb * sb
+                compact = np.zeros((self.matrix.shape[0], cw), np.uint32)
+                c_excl = np.ones((2, cw), bool)
+                for li, gs in enumerate(gsbs):
+                    compact[:, li * sb:(li + 1) * sb] = (
+                        self.matrix[:, gs * sb:(gs + 1) * sb])
+                    c_excl[:, li * sb:(li + 1) * sb] = (
+                        self.excl_host[:, gs * sb:(gs + 1) * sb])
+                compact_d = jnp.asarray(compact)
+                c_excl_d = jnp.asarray(c_excl)
+                local_of = {int(g): i for i, g in enumerate(gsbs)}
+
+                pair_f, pair_sb = [], []
+                for fi in np.where(active)[0]:
+                    for gs in np.where(hit[fi])[0]:
+                        pair_f.append(fi)
+                        pair_sb.append(local_of[int(gs)])
+                pair_f = np.asarray(pair_f, np.int32)
+                pair_sb = np.asarray(pair_sb, np.int32)
+                thresh_d = jnp.asarray(thresh.astype(np.float32))
+
+                def run_pairs_chunk(pf, psb, cmax):
+                    n = len(pf)
+                    bucket = 16
+                    while bucket < n:
+                        bucket *= 4
+                    pf_p = np.zeros(bucket, np.int32)
+                    psb_p = np.zeros(bucket, np.int32)
+                    pf_p[:n], psb_p[:n] = pf, psb
+                    ridx, cn, cp, count = _pass2(
+                        compact_d, neg, pos, ps_dev,
+                        jnp.asarray(pf_p), jnp.asarray(psb_p), thresh_d,
+                        cw, sb, cmax, excl=c_excl_d,
+                    )
+                    return (np.asarray(ridx)[:n], np.asarray(cn)[:n],
+                            np.asarray(cp)[:n], np.asarray(count)[:n])
+
+                def run_pairs(pf, psb, cmax):
+                    chunk_p = 64
+                    if len(pf) <= chunk_p:
+                        return run_pairs_chunk(pf, psb, cmax)
+                    parts = [run_pairs_chunk(pf[lo:lo + chunk_p],
+                                             psb[lo:lo + chunk_p], cmax)
+                             for lo in range(0, len(pf), chunk_p)]
+                    return tuple(np.concatenate([p[i] for p in parts])
+                                 for i in range(4))
+
+                def remap(ridx_row):
+                    """Compact rule idx -> global rule idx (keeps -1 pads)."""
+                    r = ridx_row.astype(np.int64)
+                    live = r >= 0
+                    is_abs = live & (r >= cw)
+                    base = np.where(is_abs, r - cw, r)
+                    gcol = gsbs[np.clip(base // sb, 0, len(gsbs) - 1)] * sb \
+                        + base % sb
+                    out = np.where(is_abs, gcol + self.n_kmers, gcol)
+                    return np.where(live, out, -1)
+
+                def collect(pf, ridx, cn, cp):
+                    for i in range(len(pf)):
+                        rr = remap(ridx[i])
+                        sel = rr >= 0
+                        if sel.any():
+                            pools.setdefault(int(pf[i]), []).append(
+                                (rr[sel], cn[i][sel], cp[i][sel]))
+
+                ridx, cn, cp, count = run_pairs(pair_f, pair_sb,
+                                                self.cand_budget)
+                overflow = count > self.cand_budget
+                collect(pair_f[~overflow], ridx[~overflow], cn[~overflow],
+                        cp[~overflow])
+                if overflow.any():
+                    r2, c2, p2, _ = run_pairs(
+                        pair_f[overflow], pair_sb[overflow], 2 * sb)
+                    collect(pair_f[overflow], r2, c2, p2)
+
+            chosen = np.zeros(f, np.int32)
+            use_abs = np.zeros(f, bool)
+            valid = np.zeros(f, bool)
+            for fi in np.where(active)[0]:
+                rule, equiv = self._select_for_fit(
+                    pools.get(int(fi), []), fits[fi], n_neg[fi], n_pos[fi],
+                    ps_np[fi])
                 if rule is None:
                     active[fi] = False
                     continue

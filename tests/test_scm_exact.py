@@ -237,3 +237,46 @@ def test_device_argmax_engine_still_available(tmp_path):
                     parameter_selection="cv", random_seed=5,
                     engine="device-argmax")
     assert out[2]["risk"][0] == 0.0
+
+
+def test_exact_engine_streams_past_hbm_budget(tmp_path, monkeypatch):
+    """A matrix forced past the HBM budget must stay on the EXACT device
+    path (streamed chunks), not fall back to the 0.24x host engine — with
+    results identical to both the host engine and the resident exact
+    engine (VERDICT r3 item 3)."""
+    ds = _tied_dataset(tmp_path, seed=5, n_genomes=28, n_kmers=900,
+                       name="hbm")
+    split_with_proportion(ds, "sp", train_prop=0.7, random_seed=5,
+                          n_folds=2)
+    kwargs = dict(
+        dataset_file=ds, split_name="sp",
+        model_type=["conjunction", "disjunction"], p=[0.5, 1.0, 2.0],
+        max_rules=4, max_equiv_rules=100, parameter_selection="cv",
+        random_seed=7, bound_delta=0.05, bound_max_genome_size=900,
+    )
+    host = _model_fingerprint(learn_SCM(engine="host", **kwargs))
+    resident = _model_fingerprint(learn_SCM(engine="device", **kwargs))
+
+    # Shrink the budget so bit_matrix() returns a StreamingBitMatrix and
+    # the exact engine takes the streamed path with several chunks.
+    monkeypatch.setenv("GRM_HBM_BUDGET_BYTES", "1000")
+    monkeypatch.setenv("GRM_STREAM_CHUNK_COLS", "256")
+
+    from grm_tpu.dataset import GrmDataset as GD
+    from grm_tpu.ops.popcount import StreamingBitMatrix
+    from grm_tpu.parallel import scm_exact
+
+    streamed_runs = []
+    orig = scm_exact.ExactScmEngine._run_fits_streamed
+
+    def spy(self, *a, **kw):
+        streamed_runs.append(self.matrix.shape)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(scm_exact.ExactScmEngine, "_run_fits_streamed", spy)
+    assert isinstance(GD(ds).bit_matrix(), StreamingBitMatrix)
+    streamed = _model_fingerprint(learn_SCM(engine="device", **kwargs))
+
+    assert streamed == host
+    assert streamed == resident
+    assert len(streamed_runs) >= 2  # CV + full train both streamed

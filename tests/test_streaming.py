@@ -59,15 +59,25 @@ def test_dataset_auto_streams_large_matrices(tmp_path, rng, monkeypatch):
                     parameter_selection="none", random_seed=0)
     assert out[2]["risk"][0] <= 0.5
 
-    # Both device-engine entry points must fall back to the host engine
-    # (with a warning) instead of crashing on the streaming matrix.
+    # The EXACT device engine streams column chunks past the budget —
+    # identical results, no fallback warning; only the fused argmax
+    # engine still falls back to the host engine.
     warnings = []
     out_dev = learn_SCM(dataset_file=ds_path, split_name="s",
                         model_type="conjunction", p=[1.0], max_rules=2,
                         parameter_selection="none", random_seed=0,
                         engine="device", warning_callback=warnings.append)
-    assert any("falling back" in w for w in warnings)
+    assert not any("falling back" in w for w in warnings)
     assert [str(r) for r in out[4].rules] == [str(r) for r in out_dev[4].rules]
+
+    warnings_am = []
+    out_am = learn_SCM(dataset_file=ds_path, split_name="s",
+                       model_type="conjunction", p=[1.0], max_rules=2,
+                       parameter_selection="none", random_seed=0,
+                       engine="device-argmax",
+                       warning_callback=warnings_am.append)
+    assert any("falling back" in w for w in warnings_am)
+    assert [str(r) for r in out[4].rules] == [str(r) for r in out_am[4].rules]
 
     from grm_tpu.learning.experiments import learn_CART
 
@@ -78,7 +88,7 @@ def test_dataset_auto_streams_large_matrices(tmp_path, rng, monkeypatch):
                           parameter_selection="bound", bound_delta=0.05,
                           bound_max_genome_size=1000, engine="device",
                           warning_callback=warnings_cart.append)
-    assert any("falling back" in w for w in warnings_cart)
+    assert not any("falling back" in w for w in warnings_cart)
     assert cart_out[3]["risk"][0] <= 1.0
 
     monkeypatch.delenv("GRM_HBM_BUDGET_BYTES")

@@ -258,8 +258,15 @@ def build_cache_artifact(n_genomes, n_kmers, n_folds):
     Reference-compatible layout (create.py:196-238): uint64 MSB-first
     packed kmer_matrix in gzip-4 (1, 100000) chunks, fixed-width
     kmer_sequences, labels sorted ascending (the reference sorts genomes by
-    label, create.py:190-194). ~20 planted marker columns (5 clean + 15
-    noisy) make the learning non-degenerate.
+    label, create.py:190-194).
+
+    v3 planting: the ground truth is a CONJUNCTION of three k-mers — the
+    negatives partition into thirds and marker i is absent exactly on
+    third i (plus 2-4% flip noise), so the greedy cover needs ~3 rules
+    and the timed full-train/predict/report path runs at the published
+    model scale (mean 2.85 rules/model) instead of stopping after one
+    rule. A handful of noisier single markers remain as decoys so CV
+    fits do real multi-rule work.
     """
     import h5py
 
@@ -271,7 +278,7 @@ def build_cache_artifact(n_genomes, n_kmers, n_folds):
     cache_dir = os.path.join(REPO, ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(
-        cache_dir, "median_%dx%d_f%d_v2.h5" % (n_genomes, n_kmers, n_folds))
+        cache_dir, "median_%dx%d_f%d_v3.h5" % (n_genomes, n_kmers, n_folds))
     if os.path.exists(path):
         log("artifact cache hit: %s (%.0f MB)"
             % (path, os.path.getsize(path) / 1e6))
@@ -295,15 +302,24 @@ def build_cache_artifact(n_genomes, n_kmers, n_folds):
     valid = pack_binary_bytes_to_ints(
         np.ones((n_genomes, 1), np.uint8), 64)[:, 0]
     matrix &= valid[:, None]
-    # Planted markers: noisy label columns ONLY (4-10% flips). A clean
-    # marker lets every CV fit stop after one rule, making the measured
-    # learn far easier than the reference's median workload (mean 2.85
-    # rules/model, 10-iteration fits during CV); noise keeps the greedy
-    # loops running like real data.
-    marker_cols = rng.choice(n_kmers, 20, replace=False)
-    for i, c in enumerate(marker_cols):
+
+    neg = np.where(labels == 0)[0]
+    marker_cols = rng.choice(n_kmers, 23, replace=False)
+    # Three conjunction causes: marker i absent exactly on third i of the
+    # negatives, present on every positive (then flip-noised).
+    thirds = np.array_split(rng.permutation(neg), 3)
+    for i in range(3):
+        col = np.ones(n_genomes, np.uint8)
+        col[thirds[i]] = 0
+        n_flips = max(2, n_genomes * (2 + i) // 100)
+        flips = rng.choice(n_genomes, n_flips, replace=False)
+        col[flips] = 1 - col[flips]
+        matrix[:, marker_cols[i]] = pack_binary_bytes_to_ints(
+            col[:, None], 64)[:, 0]
+    # Noisier single-label decoys (6-12% flips).
+    for i, c in enumerate(marker_cols[3:]):
         col = labels.copy()
-        n_flips = max(2, n_genomes * (4 + (i % 7)) // 100)
+        n_flips = max(2, n_genomes * (6 + (i % 7)) // 100)
         flips = rng.choice(n_genomes, n_flips, replace=False)
         col[flips] = 1 - col[flips]
         matrix[:, c] = pack_binary_bytes_to_ints(col[:, None], 64)[:, 0]

@@ -243,7 +243,11 @@ class GrmDataset:
                 )
             else:
                 self._bit_matrix = BitMatrix.from_u64(
-                    m64, self.genome_count, columns_sharding=sharding
+                    m64, self.genome_count, columns_sharding=sharding,
+                    shape_bucket=(
+                        sharding is None
+                        and os.environ.get("GRM_SHAPE_BUCKETS", "1") != "0"
+                    ),
                 )
             self._bit_matrix._sharding_key = (
                 str(sharding) if sharding is not None else None

@@ -229,7 +229,8 @@ class BitMatrix:
     counts followed by absence-rule counts.
     """
 
-    def __init__(self, packed_u32, n_rows, columns_sharding=None):
+    def __init__(self, packed_u32, n_rows, columns_sharding=None,
+                 shape_bucket=False):
         packed_u32 = np.asarray(packed_u32) if not isinstance(
             packed_u32, jax.Array
         ) else packed_u32
@@ -265,6 +266,30 @@ class BitMatrix:
             arr = jax.device_put(jnp.asarray(packed_u32), columns_sharding)
         else:
             arr = jnp.asarray(packed_u32)
+            if shape_bucket:
+                # Compile-hygiene bucketing: round the word rows and the
+                # k-mer columns up to coarse grids so datasets of similar
+                # scale share every compiled learn-path program (remote
+                # compiles cost 10-500 s through tunneled compile
+                # services). Zero pad rows/columns are inert: row masks
+                # never select them and every engine masks columns >=
+                # n_columns. Overhead <= ~12.5% extra sweep width.
+                import os as _os
+
+                row_b = int(_os.environ.get("GRM_ROW_BUCKET_WORDS", 4))
+                # Column grid: 1/8-power-of-two steps (<= 12.5% pad), so
+                # e.g. 9.6M and 10.1M columns land on one 10.5M bucket.
+                # GRM_COL_BUCKET raises the step floor.
+                col_floor = int(_os.environ.get("GRM_COL_BUCKET", 256))
+                col_step = max(col_floor, 1 << max(
+                    int(np.ceil(np.log2(max(self.n_columns, 2)))) - 3, 0))
+                rp = (-self.n_words) % max(row_b, 1)
+                cp = (-self.n_columns) % col_step
+                if rp or cp:
+                    arr = jax.jit(
+                        partial(jnp.pad, pad_width=((0, rp), (0, cp)))
+                    )(arr)
+                    self.n_words = arr.shape[0]
         self.data = arr
 
     @classmethod

@@ -110,7 +110,7 @@ def _mixed_radix_key(class_counts, radix):
     return key
 
 
-@partial(jax.jit, static_argnames=("n_kmers", "sb", "s", "p"))
+@partial(jax.jit, static_argnames=("sb", "s", "p"))
 def _tuple_tables(matrix, masks, train_masks, radix, active, n_kmers, sb,
                   s, p, excl=None):
     """Per-node dense tuple tables + compacted present-tuple triples.
@@ -182,7 +182,7 @@ def _tuple_tables(matrix, masks, train_masks, radix, active, n_kmers, sb,
     return tkey, out_occ, out_col, n_present, occtab, coltab
 
 
-@partial(jax.jit, static_argnames=("n_kmers", "sb", "budget", "criterion"))
+@partial(jax.jit, static_argnames=("sb", "budget", "criterion"))
 def _gather_pass(matrix, masks, train_masks, n_node, priors, totals, active,
                  n_kmers, sb, budget, criterion, excl=None):
     """Big-node regime: f32 minima then margin-threshold compaction.
@@ -248,7 +248,7 @@ def _gather_pass(matrix, masks, train_masks, n_node, priors, totals, active,
     return cols, cnts, occs, total, gmin
 
 
-@partial(jax.jit, static_argnames=("n_kmers", "sb", "budget", "tmax"))
+@partial(jax.jit, static_argnames=("sb", "budget", "tmax"))
 def _equiv_gather(matrix, masks, train_masks, radix, tset, occmax, active,
                   n_kmers, sb, budget, tmax, excl=None):
     """All columns whose tuple is in the winning set with maximal

@@ -64,7 +64,7 @@ _RTOL, _ATOL = 1.0e-5, 1.0e-8  # np.isclose / np.allclose defaults
 _F32_EPS = 1.2e-7
 
 
-@partial(jax.jit, static_argnames=("n_kmers", "sb"))
+@partial(jax.jit, static_argnames=("sb",))
 def _pass1(matrix, neg, pos, ps, n_kmers, sb, excl=None):
     """Per-superblock max utility (F, NSB) float32 + per-fit global max.
 
@@ -131,7 +131,7 @@ def _hit_sbs(sbmax, thresh, m):
             hit.sum(axis=1).astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnames=("n_kmers", "sb", "cmax"))
+@partial(jax.jit, static_argnames=("sb", "cmax"))
 def _pass2(matrix, neg, pos, ps, pair_f, pair_sb, thresh, n_kmers, sb, cmax,
            excl=None):
     """Candidate (rule, cn, cp) triples per hit (fit, superblock) pair.
@@ -189,7 +189,7 @@ def _pass2(matrix, neg, pos, ps, pair_f, pair_sb, thresh, n_kmers, sb, cmax,
 
 
 @partial(jax.jit,
-         static_argnames=("n_kmers", "sb", "hit_m", "cmax"),
+         static_argnames=("sb", "hit_m", "cmax"),
          donate_argnums=(1, 2, 3))
 def _fused_step(matrix, pos, neg, conj, tpos, tneg, ps, is_disj,
                 chosen, use_abs, valid, active, n_kmers, sb, hit_m, cmax,
@@ -394,6 +394,27 @@ def _select_rule(tie_idx, tie_pos_err, tie_neg_cover, risk_lookup,
         # Disjunction trains on inverted labels: risks = 1 - conj risks.
         equiv = kept[np.isclose(tie_rule_risks, tie_rule_risks.max())]
     return int(equiv[0]), equiv
+
+
+def _pad_fit_arrays(f_true, pos_np, neg_np, tpos, tneg, ps_np, is_disj_np):
+    """Bucket the fit count to a power of two (compile hygiene: a CV grid
+    of 80 fits and one of 60 share every compiled program). Padded fits
+    have zero masks, so ``active = n_neg > 0`` retires them immediately.
+    """
+    fb = 8
+    while fb < f_true:
+        fb *= 2
+    if fb == f_true:
+        return f_true, pos_np, neg_np, tpos, tneg, ps_np, is_disj_np
+    pad = fb - f_true
+
+    def z(a):
+        return np.concatenate(
+            [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+
+    return (fb, z(pos_np), z(neg_np), z(tpos), z(tneg),
+            np.concatenate([ps_np, np.ones(pad, ps_np.dtype)]),
+            np.concatenate([is_disj_np, np.zeros(pad, bool)]))
 
 
 def _make_risk_lookup(by_kmer, by_anti, n_kmers):
@@ -623,7 +644,7 @@ class ExactScmEngine:
         """
         if self.streamed:
             return self._run_fits_streamed(fits, max_rules, collect_ties)
-        f = len(fits)
+        f_true = len(fits)
         pos_np = np.stack([x["pos_mask"] for x in fits])
         neg_np = np.stack([x["neg_mask"] for x in fits])
         tpos = np.stack([x["test_pos_mask"] for x in fits])
@@ -631,6 +652,8 @@ class ExactScmEngine:
         ps_np = np.array([x["p"] for x in fits], np.float64)
         is_disj_np = np.array(
             [x["model_type"] == "disjunction" for x in fits], bool)
+        (f, pos_np, neg_np, tpos, tneg, ps_np, is_disj_np) = _pad_fit_arrays(
+            f_true, pos_np, neg_np, tpos, tneg, ps_np, is_disj_np)
         w32 = pos_np.shape[1]
 
         pos = jnp.asarray(pos_np)
@@ -729,8 +752,9 @@ class ExactScmEngine:
         n_rules = (rules >= 0).sum(axis=1).astype(np.int64)
         n_test = n_tpos + n_tneg
         if collect_ties:
-            return rules, n_rules, errors, n_test, ties
-        return rules, n_rules, errors, n_test
+            return (rules[:f_true], n_rules[:f_true], errors[:f_true],
+                    n_test[:f_true], ties[:f_true])
+        return rules[:f_true], n_rules[:f_true], errors[:f_true],             n_test[:f_true]
 
     # -- streamed (out-of-core) greedy loop ---------------------------------
 
@@ -741,7 +765,7 @@ class ExactScmEngine:
         are gathered from host memory. Selection is the same host float64
         replay — bit-identical to the resident engine and the host engine.
         """
-        f = len(fits)
+        f_true = len(fits)
         pos_np = np.stack([x["pos_mask"] for x in fits])
         neg_np = np.stack([x["neg_mask"] for x in fits])
         tpos = np.stack([x["test_pos_mask"] for x in fits])
@@ -749,6 +773,8 @@ class ExactScmEngine:
         ps_np = np.array([x["p"] for x in fits], np.float64)
         is_disj_np = np.array(
             [x["model_type"] == "disjunction" for x in fits], bool)
+        (f, pos_np, neg_np, tpos, tneg, ps_np, is_disj_np) = _pad_fit_arrays(
+            f_true, pos_np, neg_np, tpos, tneg, ps_np, is_disj_np)
         w32 = pos_np.shape[1]
 
         pos = jnp.asarray(pos_np)
@@ -915,5 +941,6 @@ class ExactScmEngine:
         n_rules = (rules >= 0).sum(axis=1).astype(np.int64)
         n_test = n_tpos + n_tneg
         if collect_ties:
-            return rules, n_rules, errors, n_test, ties
-        return rules, n_rules, errors, n_test
+            return (rules[:f_true], n_rules[:f_true], errors[:f_true],
+                    n_test[:f_true], ties[:f_true])
+        return rules[:f_true], n_rules[:f_true], errors[:f_true],             n_test[:f_true]

@@ -397,13 +397,12 @@ def _select_rule(tie_idx, tie_pos_err, tie_neg_cover, risk_lookup,
 
 
 def _pad_fit_arrays(f_true, pos_np, neg_np, tpos, tneg, ps_np, is_disj_np):
-    """Bucket the fit count to a power of two (compile hygiene: a CV grid
-    of 80 fits and one of 60 share every compiled program). Padded fits
-    have zero masks, so ``active = n_neg > 0`` retires them immediately.
+    """Bucket the fit count to a multiple of 16 (compile hygiene: CV grids
+    of 75 and 80 fits share one compiled program; a multiple-of-16 grid —
+    the default 2x8x5 = 80 — pads nothing). Padded fits have zero masks,
+    so ``active = n_neg > 0`` retires them immediately.
     """
-    fb = 8
-    while fb < f_true:
-        fb *= 2
+    fb = max(16, -(-f_true // 16) * 16)
     if fb == f_true:
         return f_true, pos_np, neg_np, tpos, tneg, ps_np, is_disj_np
     pad = fb - f_true

@@ -66,7 +66,7 @@ def test_second_dataset_in_same_bucket_compiles_nothing(tmp_path,
 
 
 def test_fit_count_bucketing_pads_inactive_fits():
-    """A 5-fit grid and an 8-fit grid share one compiled shape; padded
+    """A 5-fit grid and a 16-fit grid share one compiled shape; padded
     fits retire immediately and outputs slice back to the true count."""
     from grm_tpu.parallel.scm_exact import _pad_fit_arrays
 
@@ -78,11 +78,11 @@ def test_fit_count_bucketing_pads_inactive_fits():
     dis = np.zeros(f, bool)
     fb, pos2, neg2, tp2, tn2, ps2, dis2 = _pad_fit_arrays(
         f, pos, neg, t, t, ps, dis)
-    assert fb == 8
-    assert pos2.shape == (8, 3)
+    assert fb == 16
+    assert pos2.shape == (16, 3)
     assert (neg2[5:] == 0).all()          # padded fits have empty masks
     assert (ps2[5:] == 1.0).all()
-    # exact power of two stays untouched
-    fb2, *rest = _pad_fit_arrays(8, *(np.zeros((8, 3), np.uint32),) * 4,
-                                 np.ones(8), np.zeros(8, bool))
-    assert fb2 == 8
+    # exact multiples of 16 stay untouched (the default 2x8x5 grid = 80)
+    fb2, *rest = _pad_fit_arrays(80, *(np.zeros((80, 3), np.uint32),) * 4,
+                                 np.ones(80), np.zeros(80, bool))
+    assert fb2 == 80

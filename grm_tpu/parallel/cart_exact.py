@@ -470,7 +470,13 @@ def _equiv_chunk(chunk, md, radix, tset, occmax, active, cursor, cols,
 
 
 class _HostStream:
-    """Chunked H2D access to a host-resident matrix (+ its excl map)."""
+    """Chunked H2D access to a host-resident matrix (+ its excl map).
+
+    The matrix is NEVER copied whole (it is >HBM by definition): full
+    chunks upload as views, the ragged tail materializes into one
+    chunk-sized zero-padded buffer per pass (pad columns ride as
+    excluded). Cached on the bit matrix so per-level calls reuse it.
+    """
 
     def __init__(self, host_matrix, n_kmers, excl, chunk_cols=None):
         import os as _os
@@ -478,26 +484,33 @@ class _HostStream:
         if chunk_cols is None:
             chunk_cols = int(_os.environ.get(
                 "GRM_STREAM_CHUNK_COLS", 1 << 21))
-        sb = 8192
+        sb = min(8192, max(256, chunk_cols))
         chunk_cols = max(sb, (chunk_cols // sb) * sb)
-        kp = host_matrix.shape[1]
-        pad = (-kp) % chunk_cols
-        if pad:
-            host_matrix = np.pad(host_matrix, ((0, 0), (0, pad)))
+        self.sb = sb
         self.host = host_matrix
         self.chunk_cols = chunk_cols
-        excl_full = np.zeros(host_matrix.shape[1], bool)
-        excl_full[n_kmers:] = True
+        kp = host_matrix.shape[1]
+        self.padded_cols = kp + ((-kp) % chunk_cols)
+        excl_full = np.ones(self.padded_cols, bool)
+        excl_full[:n_kmers] = False
         if excl is not None:
-            excl_full[: len(excl)] |= np.asarray(excl, bool)
+            lim = min(len(excl), n_kmers)
+            excl_full[:lim] |= np.asarray(excl[:lim], bool)
         self.excl = excl_full
 
     def chunks(self):
         ch = self.chunk_cols
-        for ci in range(self.host.shape[1] // ch):
-            yield (jnp.asarray(self.host[:, ci * ch:(ci + 1) * ch]),
-                   jnp.asarray(self.excl[ci * ch:(ci + 1) * ch]),
-                   jnp.int32(ci * ch))
+        kp = self.host.shape[1]
+        for ci in range(self.padded_cols // ch):
+            lo = ci * ch
+            if lo + ch <= kp:
+                block = self.host[:, lo:lo + ch]
+            else:
+                block = np.zeros((self.host.shape[0], ch), np.uint32)
+                block[:, : kp - lo] = self.host[:, lo:]
+            yield (jnp.asarray(block),
+                   jnp.asarray(self.excl[lo:lo + ch]),
+                   jnp.int32(lo))
 
 
 def _bucket(x, lo=8):
@@ -601,10 +614,18 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
             excl_dev = jnp.asarray(excl_np)
     else:
         # Host-resident (>HBM) matrix: stream column chunks through the
-        # same sweeps — identical selection, out-of-core.
-        stream = _HostStream(bit_matrix.host, n_kmers, excl)
+        # same sweeps — identical selection, out-of-core. Cached on the
+        # matrix (keyed by blacklist) so per-level calls reuse it.
+        excl_key = None if excl is None else np.asarray(excl, bool).tobytes()
+        cache = getattr(bit_matrix, "_host_stream_cache", None)
+        if cache is None:
+            cache = bit_matrix._host_stream_cache = {}
+        stream = cache.get(excl_key)
+        if stream is None:
+            stream = cache[excl_key] = _HostStream(
+                bit_matrix.host, n_kmers, excl)
         matrix = None
-        sb = min(8192, stream.chunk_cols)
+        sb = stream.sb
 
     # Regime split on the count-lattice size.
     n_node64 = n_node.astype(np.int64)

@@ -482,18 +482,17 @@ class ExactScmEngine:
                 chunk_cols = int(os.environ.get(
                     "GRM_STREAM_CHUNK_COLS", 1 << 21))
             # Chunk width: a whole number of superblocks so hit indexing
-            # lines up; the host matrix pads to a chunk multiple so every
-            # chunk shares ONE compiled pass-1 program.
+            # lines up; every chunk shares ONE compiled pass-1 program.
+            # The ragged tail materializes into a zero-padded chunk-sized
+            # buffer per pass (the >HBM matrix is never copied whole).
             chunk_cols = max(sb, (chunk_cols // sb) * sb)
-            pad = (-kp) % chunk_cols
-            if pad:
-                matrix = np.pad(matrix, ((0, 0), (0, pad)))
             self.chunk_cols = chunk_cols
+            self.padded_cols = kp + ((-kp) % chunk_cols)
             self.matrix = matrix
             # Global pads (and the blacklist) ride in one host-side excl
             # map, sliced per chunk — pass 1/2 see n_kmers == chunk width.
-            full = np.zeros((2, matrix.shape[1]), bool)
-            full[:, self.n_kmers:] = True
+            full = np.ones((2, self.padded_cols), bool)
+            full[:, : self.n_kmers] = False
             if excl_np is not None:
                 full[:, :kp] |= excl_np
             self.excl_host = full
@@ -797,10 +796,19 @@ class ExactScmEngine:
 
         sb = self.sb
         ch = self.chunk_cols
-        kp = self.matrix.shape[1]
+        kp = self.padded_cols
+        true_cols = self.matrix.shape[1]
         nsb = kp // sb
         sb_per_chunk = ch // sb
         n_chunks = kp // ch
+
+        def chunk_view(lo):
+            if lo + ch <= true_cols:
+                return self.matrix[:, lo:lo + ch]
+            block = np.zeros((self.matrix.shape[0], ch), np.uint32)
+            if lo < true_cols:
+                block[:, : true_cols - lo] = self.matrix[:, lo:]
+            return block
 
         chosen = np.zeros(f, np.int32)
         use_abs = np.zeros(f, bool)
@@ -827,7 +835,7 @@ class ExactScmEngine:
             # -- pass 1: stream chunks, accumulate superblock maxima ------
             sbmax = np.full((f, nsb), -np.inf, np.float32)
             for ci in range(n_chunks):
-                chunk = jnp.asarray(self.matrix[:, ci * ch:(ci + 1) * ch])
+                chunk = jnp.asarray(chunk_view(ci * ch))
                 exc = jnp.asarray(self.excl_host[:, ci * ch:(ci + 1) * ch])
                 sm, _ = _pass1(chunk, neg, pos, ps_dev, ch, sb, excl=exc)
                 sbmax[:, ci * sb_per_chunk:(ci + 1) * sb_per_chunk] = (
@@ -848,10 +856,12 @@ class ExactScmEngine:
                 compact = np.zeros((self.matrix.shape[0], cw), np.uint32)
                 c_excl = np.ones((2, cw), bool)
                 for li, gs in enumerate(gsbs):
-                    compact[:, li * sb:(li + 1) * sb] = (
-                        self.matrix[:, gs * sb:(gs + 1) * sb])
+                    lo = int(gs) * sb
+                    width = max(0, min(true_cols - lo, sb))
+                    compact[:, li * sb:li * sb + width] = (
+                        self.matrix[:, lo:lo + width])
                     c_excl[:, li * sb:(li + 1) * sb] = (
-                        self.excl_host[:, gs * sb:(gs + 1) * sb])
+                        self.excl_host[:, lo:lo + sb])
                 compact_d = jnp.asarray(compact)
                 c_excl_d = jnp.asarray(c_excl)
                 local_of = {int(g): i for i, g in enumerate(gsbs)}

@@ -278,7 +278,7 @@ def build_cache_artifact(n_genomes, n_kmers, n_folds):
     cache_dir = os.path.join(REPO, ".bench_cache")
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(
-        cache_dir, "median_%dx%d_f%d_v3.h5" % (n_genomes, n_kmers, n_folds))
+        cache_dir, "median_%dx%d_f%d_v4.h5" % (n_genomes, n_kmers, n_folds))
     if os.path.exists(path):
         log("artifact cache hit: %s (%.0f MB)"
             % (path, os.path.getsize(path) / 1e6))
@@ -306,20 +306,24 @@ def build_cache_artifact(n_genomes, n_kmers, n_folds):
     neg = np.where(labels == 0)[0]
     marker_cols = rng.choice(n_kmers, 23, replace=False)
     # Three conjunction causes: marker i absent exactly on third i of the
-    # negatives, present on every positive (then flip-noised).
+    # negatives, present on every positive (then lightly flip-noised:
+    # 0.5-1.5%, so the 3-rule conjunction reaches ~2-4% risk).
     thirds = np.array_split(rng.permutation(neg), 3)
     for i in range(3):
         col = np.ones(n_genomes, np.uint8)
         col[thirds[i]] = 0
-        n_flips = max(2, n_genomes * (2 + i) // 100)
+        n_flips = max(1, n_genomes * (1 + i) // 200)
         flips = rng.choice(n_genomes, n_flips, replace=False)
         col[flips] = 1 - col[flips]
         matrix[:, marker_cols[i]] = pack_binary_bytes_to_ints(
             col[:, None], 64)[:, 0]
-    # Noisier single-label decoys (6-12% flips).
+    # Weak label-correlated texture (30-40% flips): never beats the
+    # planted causes' per-rule utility, but keeps the CV fits' utility
+    # landscape non-trivial (a strong single-label decoy would hand the
+    # greedy cover a 1-rule shortcut and collapse the model length).
     for i, c in enumerate(marker_cols[3:]):
         col = labels.copy()
-        n_flips = max(2, n_genomes * (6 + (i % 7)) // 100)
+        n_flips = max(2, n_genomes * (30 + 2 * (i % 6)) // 100)
         flips = rng.choice(n_genomes, n_flips, replace=False)
         col[flips] = 1 - col[flips]
         matrix[:, c] = pack_binary_bytes_to_ints(col[:, None], 64)[:, 0]

@@ -513,6 +513,60 @@ class _HostStream:
                    jnp.int32(lo))
 
 
+class _DeviceStream:
+    """Chunked access to a DEVICE-resident matrix.
+
+    Monolithic whole-matrix programs embed an ``nsb``-iteration scatter
+    scan; past a few hundred blocks their XLA compiles blow up (measured:
+    a 1280-block tuple-table program wedged a remote compile service for
+    40+ minutes, vs minutes at 244 blocks). Big resident matrices
+    therefore run the SAME per-chunk programs as the out-of-core stream,
+    with chunks sliced on device — each chunk program is one short scan,
+    compiled once.
+    """
+
+    def __init__(self, matrix_dev, n_kmers, excl, chunk_cols=None):
+        import os as _os
+
+        if chunk_cols is None:
+            chunk_cols = int(_os.environ.get(
+                "GRM_STREAM_CHUNK_COLS", 1 << 21))
+        sb = min(8192, max(256, chunk_cols))
+        chunk_cols = max(sb, (chunk_cols // sb) * sb)
+        self.sb = sb
+        self.matrix = matrix_dev
+        self.chunk_cols = chunk_cols
+        kp = matrix_dev.shape[1]
+        self.padded_cols = kp + ((-kp) % chunk_cols)
+        excl_full = np.ones(self.padded_cols, bool)
+        excl_full[:n_kmers] = False
+        if excl is not None:
+            lim = min(len(excl), n_kmers)
+            excl_full[:lim] |= np.asarray(excl[:lim], bool)
+        self.excl = excl_full
+        self._slice = jax.jit(
+            lambda m, lo: jax.lax.dynamic_slice(
+                m, (0, lo), (m.shape[0], chunk_cols)))
+        self._tail = None
+
+    def chunks(self):
+        ch = self.chunk_cols
+        kp = self.matrix.shape[1]
+        for ci in range(self.padded_cols // ch):
+            lo = ci * ch
+            if lo + ch <= kp:
+                chunk = self._slice(self.matrix, lo)
+            else:
+                if self._tail is None:
+                    pad = lo + ch - kp
+                    self._tail = jax.jit(
+                        partial(jnp.pad, pad_width=((0, 0), (0, pad)))
+                    )(self.matrix[:, lo:])
+                chunk = self._tail
+            yield (chunk, jnp.asarray(self.excl[lo:lo + ch]),
+                   jnp.int32(lo))
+
+
 def _bucket(x, lo=8):
     b = lo
     while b < x:
@@ -607,8 +661,28 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
     stream = None
     excl_dev = None
     if hasattr(bit_matrix, "data"):
+        import os as _os
+
         matrix, sb = _place_matrix(bit_matrix, mesh, sb)
-        if excl is not None:
+        monolith_max = int(_os.environ.get(
+            "GRM_MONOLITH_MAX_COLS", 3 << 20))
+        if ((mesh is None or mesh.shape.get("cols", 1) == 1)
+                and matrix.shape[1] > monolith_max):
+            # Big resident matrix: per-chunk programs (device-sliced) —
+            # the whole-matrix programs' block scans stop compiling
+            # tractably past a few hundred superblocks.
+            excl_key = (None if excl is None
+                        else np.asarray(excl, bool).tobytes())
+            cache = getattr(bit_matrix, "_dev_stream_cache", None)
+            if cache is None:
+                cache = bit_matrix._dev_stream_cache = {}
+            stream = cache.get(excl_key)
+            if stream is None:
+                stream = cache[excl_key] = _DeviceStream(
+                    matrix, n_kmers, excl)
+            matrix = None
+            sb = stream.sb
+        elif excl is not None:
             excl_np = np.zeros(matrix.shape[1], bool)
             excl_np[: len(excl)] = np.asarray(excl, bool)
             excl_dev = jnp.asarray(excl_np)

@@ -292,3 +292,32 @@ def test_cart_exact_streams_past_hbm_budget(tmp_path, monkeypatch):
     assert streamed == host
     assert streamed == resident
     assert len(streams) >= 2  # chunked sweeps actually ran
+
+
+def test_cart_exact_device_stream_matches_monolith(tmp_path, monkeypatch):
+    """Big RESIDENT matrices route through the per-chunk programs
+    (device-sliced stream); results must equal the monolithic path."""
+    ds = _tied_cart_dataset(tmp_path, 21, "dstr")
+    kwargs = dict(
+        dataset_file=ds, split_name="sp", criterion=["gini"],
+        max_depth=[3], min_samples_split=[2],
+        class_importance=[{0: 1.0, 1: 1.0}, {0: 0.5, 1: 1.0}],
+        parameter_selection="cv",
+    )
+    mono = _fingerprint(learn_CART(engine="device", **kwargs))
+    monkeypatch.setenv("GRM_MONOLITH_MAX_COLS", "16")
+    monkeypatch.setenv("GRM_STREAM_CHUNK_COLS", "256")
+
+    from grm_tpu.parallel import cart_exact
+
+    used = []
+    orig = cart_exact._DeviceStream.chunks
+
+    def spy(self):
+        used.append(self.matrix.shape)
+        return orig(self)
+
+    monkeypatch.setattr(cart_exact._DeviceStream, "chunks", spy)
+    streamed = _fingerprint(learn_CART(engine="device", **kwargs))
+    assert streamed == mono
+    assert used, "device stream did not engage"

@@ -21,9 +21,14 @@ The synthetic artifact (planted markers + uniform noise, gzip-4 chunks,
 byte-compatible layout) is built once into .bench_cache/ and reused across
 rounds; setup is no longer part of the driver's window.
 
+The JSON record also carries driver-tracked extras:
+cart_learn_e2e_wall_clock_s (+ median), ingest_mbp_per_s, and the SCM
+median-of-runs (tunnel-variance context for the min-of-runs headline).
+
 Environment knobs: BENCH_GENOMES, BENCH_KMERS, BENCH_FOLDS,
 BENCH_MAX_RULES, BENCH_RUNS, BENCH_INGEST, BENCH_READS, BENCH_CORE,
-BENCH_CART, BENCH_HOST_ITER.
+BENCH_CART, BENCH_CART_E2E, BENCH_CART_RUNS, BENCH_HOST_ITER,
+BENCH_DEVICE_INGEST.
 """
 
 import json

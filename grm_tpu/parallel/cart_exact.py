@@ -736,6 +736,19 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
     active = np.zeros(nb, bool)
     active[: len(t_idx)] = True
 
+    import os as _os
+    import time as _time
+    dbg = _os.environ.get("GRM_EXACT_DEBUG")
+    t0 = _time.perf_counter()
+
+    def _mark(label):
+        nonlocal t0
+        if dbg:
+            now = _time.perf_counter()
+            print("[cart_exact] %-14s %6.2fs (n=%d)"
+                  % (label, now - t0, len(t_idx)), flush=True)
+            t0 = now
+
     p = min(S_MAX, budget)
     if stream is None:
         keys_d, occ_d, col_d, npres_d, occtab, coltab = _tuple_tables(
@@ -757,8 +770,10 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
                 sb, S_MAX)
         keys_d, occ_d, col_d, npres_d = _tuple_compact(
             occtab, coltab, S_MAX, p)
+    _mark("sweeps")
     keys, occs, cols, npres = jax.device_get(
         (keys_d, occ_d, col_d, npres_d))
+    _mark("compact_fetch")
 
     # Escalation: nodes with more present tuples than the compaction
     # budget read their full table rows (256 KB each) straight off the
@@ -775,6 +790,7 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
             occtab, coltab, jnp.asarray(rows), S_MAX))
         for j, i in enumerate(over):
             full_rows[i] = (occ_rows[j], col_rows[j])
+    _mark("escalation(%d)" % len(over))
 
     # Host float64 replay over present tuples.
     from ..learning.cart import score_candidates_f64
@@ -825,11 +841,13 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
         else:
             out[ni] = {"winner": winner, "equiv": None}
 
+    _mark("host_replay")
     # Equivalent-rule gather for the nodes that need the full tie set.
     if equiv_jobs:
         _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t,
                           train_t, radix_t, t_idx, n_kmers, sb, excl_dev,
                           stream)
+        _mark("equiv(%d)" % len(equiv_jobs))
 
 
 def _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t, train_t,

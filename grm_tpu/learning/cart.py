@@ -355,7 +355,9 @@ class DecisionTreeClassifier:
             (cart.py:219-250): the winning rule + its equivalence set,
             WITHOUT the column fetch (the caller batches one fetch for the
             whole frontier). Returns (selected_rule_idx or None,
-            best_rules_idx)."""
+            best_rules_idx, winner_column_bits or None — the exact engine
+            ships the winning column's dense bits with the payload so no
+            fetch is needed at all)."""
             node_example_idx = node.class_examples_idx
 
             if (isinstance(device_result, tuple)
@@ -370,7 +372,7 @@ class DecisionTreeClassifier:
                 #   reach the minimum; selection replays here.
                 payload = device_result[1]
                 if payload is None:
-                    return None, None
+                    return None, None, None
                 if "winner" in payload:
                     selected_rule_idx = int(payload["winner"])
                     equiv = payload.get("equiv")
@@ -379,11 +381,12 @@ class DecisionTreeClassifier:
                         if equiv is not None
                         else np.array([selected_rule_idx])
                     )
-                    return selected_rule_idx, best_rules_idx
+                    return (selected_rule_idx, best_rules_idx,
+                            payload.get("bits"))
                 vals = _score_candidates(node_example_idx, payload["left"])
                 vmin = np.min(vals)
                 if vmin == np.inf:
-                    return None, None
+                    return None, None, None
                 tie_sel = vals == vmin
                 candidate_rules_idx = payload["cols"][tie_sel]
                 if getattr(tiebreaker, "accepts_occurrences", False):
@@ -394,23 +397,23 @@ class DecisionTreeClassifier:
                         occurrences=payload["occ"][tie_sel])
                 else:
                     best_rules_idx = tiebreaker(candidate_rules_idx)
-                return int(best_rules_idx[0]), best_rules_idx
+                return int(best_rules_idx[0]), best_rules_idx, None
             elif device_result is not None:
                 best, score = device_result
                 if best is None:
-                    return None, None
-                return best, np.array([best])
+                    return None, None, None
+                return best, np.array([best]), None
             else:
                 rules_criterion = score_rules(node_example_idx)
                 if len(rule_blacklist):
                     rules_criterion[rule_blacklist] = np.inf
                 if np.min(rules_criterion) == np.inf:
-                    return None, None
+                    return None, None, None
                 candidate_rules_idx = np.where(
                     rules_criterion == np.min(rules_criterion)
                 )[0]
                 best_rules_idx = tiebreaker(candidate_rules_idx)
-                return int(best_rules_idx[0]), best_rules_idx
+                return int(best_rules_idx[0]), best_rules_idx, None
 
         def _dispatch_examples(node, rule_preds):
             """Dispatch half: split the node's examples on the fetched
@@ -502,12 +505,14 @@ class DecisionTreeClassifier:
                     None if device_results is None
                     else device_results[node_i],
                 ))
-            # Phase 2: ONE batched column fetch for the whole frontier —
-            # per-node fetches each pay a device round trip (or, on the
-            # HDF5 path, a full gzip-chunk inflate per packed row).
+            # Phase 2: ONE batched column fetch for the frontier nodes
+            # whose winning bits did not already ride back with the exact
+            # payload — per-node fetches each pay a device round trip (or,
+            # on the HDF5 path, a full gzip-chunk inflate per packed row).
             # Device-engine trees yield the fetch so the forest driver
             # batches it across ALL trees of the round.
-            sel_cols = [s for s, _ in selections if s is not None]
+            sel_cols = [s for s, _, bits in selections
+                        if s is not None and bits is None]
             if not sel_cols:
                 col_block = None
             elif use_device:
@@ -520,11 +525,15 @@ class DecisionTreeClassifier:
             # Phase 3: dispatch children.
             nodes_to_split = deque()
             for node_i, node in enumerate(splittable):
-                selected_rule_idx, equivalent_rule_idx = selections[node_i]
+                selected_rule_idx, equivalent_rule_idx, bits = (
+                    selections[node_i])
                 if selected_rule_idx is None:
                     continue
-                rule_preds = col_block[:, col_pos]
-                col_pos += 1
+                if bits is not None:
+                    rule_preds = bits
+                else:
+                    rule_preds = col_block[:, col_pos]
+                    col_pos += 1
                 left_idx, right_idx = _dispatch_examples(node, rule_preds)
 
                 node.rule = rules[selected_rule_idx]

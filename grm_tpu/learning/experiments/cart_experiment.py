@@ -124,7 +124,26 @@ def _predictions(decision_tree, dataset, train_example_idx, test_example_idx,
     return train_predictions, test_predictions
 
 
-def _family_predictor(trees, dataset):
+class _ColumnCache:
+    """One prefetched column block serving many tree families.
+
+    Each ``dataset.get_matrix_columns`` call is a full device (or HDF5)
+    round trip — seconds each on tunneled rigs — so the batched HP search
+    prefetches EVERY grown tree's rule columns in ONE call before the
+    per-combo pruning/scoring phase.
+    """
+
+    def __init__(self, dataset, kmer_idx):
+        self.idx = np.unique(np.asarray(kmer_idx, dtype=np.int64))
+        self.pos = {int(k): i for i, k in enumerate(self.idx)}
+        self.X = (dataset.get_matrix_columns(self.idx)
+                  if len(self.idx) else None)
+
+    def get(self, kmer_idx):
+        return self.X[:, [self.pos[int(k)] for k in kmer_idx]]
+
+
+def _family_predictor(trees, dataset, column_cache=None):
     """One column fetch serving a whole pruning family of trees.
 
     The (alpha, tree) sequences of :func:`prune_tree` are nested subtrees,
@@ -133,7 +152,8 @@ def _family_predictor(trees, dataset):
     replaces one ``get_matrix_columns`` round trip per pruned tree per
     fold (the reference pays the same per-tree HDF5 fetch,
     experiment_cart.py:120-152; predictions are identical — the per-tree
-    column subset is the same bits).
+    column subset is the same bits). With ``column_cache`` (the batched
+    search's whole-grid prefetch) there is no fetch at all.
 
     Returns ``predict(tree, example_idx) -> labels``.
     """
@@ -147,7 +167,10 @@ def _family_predictor(trees, dataset):
     kmer_idx = np.array(sorted(seqs.values()))
     idx_by_seq = {s: i for i, s in enumerate(
         sorted(seqs, key=lambda s: seqs[s]))}
-    X = dataset.get_matrix_columns(kmer_idx)
+    if column_cache is not None:
+        X = column_cache.get(kmer_idx)
+    else:
+        X = dataset.get_matrix_columns(kmer_idx)
 
     def predict(tree, example_idx):
         if len(tree.rules) == 0:
@@ -222,7 +245,8 @@ def _bound_grow(hps, dataset, split_name, rule_blacklist, engine="host",
     return master, jobs
 
 
-def _bound_finish(hps, master, dataset, split_name, delta, max_genome_size):
+def _bound_finish(hps, master, dataset, split_name, delta, max_genome_size,
+                  column_cache=None):
     """Prune the grown master by bound value (experiment_cart.py:208-294)."""
     split = dataset.get_split(split_name)
     train_idx = split.train_genome_idx
@@ -234,7 +258,7 @@ def _bound_finish(hps, master, dataset, split_name, delta, max_genome_size):
     min_score_tree = None
     train_answers = example_labels[train_idx]
     alphas, pruned_trees = prune_tree(master.decision_tree)
-    family_predict = _family_predictor(pruned_trees, dataset)
+    family_predict = _family_predictor(pruned_trees, dataset, column_cache)
     for alpha, tree in zip(alphas, pruned_trees):
         train_predictions = family_predict(tree, train_idx)
         bound_value = cart_bound(
@@ -314,7 +338,8 @@ def _cv_grow(hps, dataset, split_name, rule_blacklist, engine="host",
     return fold_predictors, master_predictor, jobs
 
 
-def _cv_finish(hps, dataset, split_name, fold_predictors, master_predictor):
+def _cv_finish(hps, dataset, split_name, fold_predictors, master_predictor,
+               column_cache=None):
     """CV cost-complexity pruning of grown trees (experiment_cart.py:382-434)."""
     split = dataset.get_split(split_name)
     example_labels = dataset.phenotype.metadata
@@ -332,7 +357,8 @@ def _cv_finish(hps, dataset, split_name, fold_predictors, master_predictor):
     for i, fold in enumerate(split.folds):
         fold_test_idx = fold.test_genome_idx
         fold_labels = example_labels[fold_test_idx]
-        fold_predict = _family_predictor(fold_pruned_trees[i], dataset)
+        fold_predict = _family_predictor(fold_pruned_trees[i], dataset,
+                                         column_cache)
         bro = BetweenDict()
         for j, t in enumerate(fold_pruned_trees[i]):
             fold_test_risk = get_binary_metrics(
@@ -381,7 +407,12 @@ def _search_batched(hps_list, dataset, split_name, rule_blacklist, grow, finish)
     level-synchronous forest (one fused frontier pass per criterion per
     round — the CART analogue of the SCM grid engine, replacing the
     reference's fork-per-HP pool, experiment_cart.py:437-487), then prune
-    and score each combo. Yields (hps, score, tree) in grid order."""
+    and score each combo. Yields (hps, score, tree) in grid order.
+
+    Before the pruning/scoring phase, EVERY grown tree's rule columns
+    prefetch in ONE device call (pruned trees are subtrees, so the grown
+    trees' rules cover every family) — per-family fetches each cost a
+    full round trip."""
     from ...parallel.cart_forest import grow_trees_batched
 
     states, all_jobs = [], []
@@ -390,8 +421,14 @@ def _search_batched(hps_list, dataset, split_name, rule_blacklist, grow, finish)
         states.append((hps, grown))
         all_jobs.extend(jobs)
     grow_trees_batched(all_jobs)
+    all_rules = []
+    for classifier, _ in all_jobs:
+        if classifier.decision_tree is not None:
+            all_rules.extend(
+                r.kmer_index for r in classifier.decision_tree.rules)
+    cache = _ColumnCache(dataset, all_rules)
     for hps, grown in states:
-        yield finish(hps, grown)
+        yield finish(hps, grown, cache)
 
 
 def _cv_search_batched(hps_list, dataset, split_name, rule_blacklist,
@@ -399,8 +436,9 @@ def _cv_search_batched(hps_list, dataset, split_name, rule_blacklist,
     return _search_batched(
         hps_list, dataset, split_name, rule_blacklist,
         grow=partial(_cv_grow, engine=engine, mesh=mesh),
-        finish=lambda hps, grown: _cv_finish(
-            hps, dataset, split_name, grown[0], grown[1]
+        finish=lambda hps, grown, cache=None: _cv_finish(
+            hps, dataset, split_name, grown[0], grown[1],
+            column_cache=cache,
         ),
     )
 
@@ -410,8 +448,9 @@ def _bound_search_batched(hps_list, dataset, split_name, rule_blacklist,
     return _search_batched(
         hps_list, dataset, split_name, rule_blacklist,
         grow=partial(_bound_grow, engine=engine, mesh=mesh),
-        finish=lambda hps, grown: _bound_finish(
-            hps, grown[0], dataset, split_name, delta, max_genome_size
+        finish=lambda hps, grown, cache=None: _bound_finish(
+            hps, grown[0], dataset, split_name, delta, max_genome_size,
+            column_cache=cache,
         ),
     )
 

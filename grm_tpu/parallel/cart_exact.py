@@ -719,7 +719,38 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
         _run_gather_regime(
             out, g_idx, matrix, masks, train_masks, n_node, priors, totals,
             n_kmers, sb, gather_budget, crit, classes, excl_dev, stream)
+
+    # Winner-column bits ride back with the frontier result (ONE gather
+    # for the whole frontier) so the trees dispatch children without a
+    # separate per-round column-fetch round trip.
+    _attach_winner_bits(out, t_idx, matrix, stream, bit_matrix.n_rows)
     return out
+
+
+def _attach_winner_bits(out, t_idx, matrix, stream, n_rows):
+    from ..utils import unpack_binary_bytes_from_ints
+
+    twin = [(int(ni), out[ni]) for ni in t_idx
+            if out[ni] is not None and "winner" in out[ni]]
+    if not twin:
+        return
+    cols = np.array([pay["winner"] for _, pay in twin], np.int64)
+    if stream is not None and not hasattr(stream, "matrix"):
+        packed = np.ascontiguousarray(stream.host[:, cols].T)  # (M, W)
+    else:
+        from ..ops.popcount import _gather_columns
+
+        src = matrix if matrix is not None else stream.matrix
+        b = 1
+        while b < len(cols):
+            b *= 2
+        padded = np.zeros(b, np.int64)
+        padded[: len(cols)] = cols
+        packed = np.asarray(
+            _gather_columns(src, jnp.asarray(padded)))[: len(cols)]
+    dense = unpack_binary_bytes_from_ints(packed.T)[:n_rows]  # (n_rows, M)
+    for j, (_, pay) in enumerate(twin):
+        pay["bits"] = dense[:, j]
 
 
 def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,

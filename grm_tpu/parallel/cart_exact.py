@@ -720,37 +720,35 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
             out, g_idx, matrix, masks, train_masks, n_node, priors, totals,
             n_kmers, sb, gather_budget, crit, classes, excl_dev, stream)
 
-    # Winner-column bits ride back with the frontier result (ONE gather
-    # for the whole frontier) so the trees dispatch children without a
-    # separate per-round column-fetch round trip.
-    _attach_winner_bits(out, t_idx, matrix, stream, bit_matrix.n_rows)
     return out
 
 
-def _attach_winner_bits(out, t_idx, matrix, stream, n_rows):
+def _dispatch_winner_bits(winner_cols, matrix, stream):
+    """Async-dispatch the winners' packed-column gather; returns a device
+    value (or a host array for host streams) to be fetched together with
+    the equivalence gather — each separate device_get costs a full
+    tunnel round trip, so the bits ride in an existing fetch."""
+    cols = np.asarray(winner_cols, np.int64)
+    if stream is not None and not hasattr(stream, "matrix"):
+        return np.ascontiguousarray(stream.host[:, cols].T)  # (M, W) host
+    from ..ops.popcount import _gather_columns
+
+    src = matrix if matrix is not None else stream.matrix
+    b = 1
+    while b < len(cols):
+        b *= 2
+    padded = np.zeros(b, np.int64)
+    padded[: len(cols)] = cols
+    return _gather_columns(src, jnp.asarray(padded))[: len(cols)]
+
+
+def _attach_bits(out, winner_nodes, packed, n_rows):
     from ..utils import unpack_binary_bytes_from_ints
 
-    twin = [(int(ni), out[ni]) for ni in t_idx
-            if out[ni] is not None and "winner" in out[ni]]
-    if not twin:
-        return
-    cols = np.array([pay["winner"] for _, pay in twin], np.int64)
-    if stream is not None and not hasattr(stream, "matrix"):
-        packed = np.ascontiguousarray(stream.host[:, cols].T)  # (M, W)
-    else:
-        from ..ops.popcount import _gather_columns
-
-        src = matrix if matrix is not None else stream.matrix
-        b = 1
-        while b < len(cols):
-            b *= 2
-        padded = np.zeros(b, np.int64)
-        padded[: len(cols)] = cols
-        packed = np.asarray(
-            _gather_columns(src, jnp.asarray(padded)))[: len(cols)]
+    packed = np.asarray(packed)
     dense = unpack_binary_bytes_from_ints(packed.T)[:n_rows]  # (n_rows, M)
-    for j, (_, pay) in enumerate(twin):
-        pay["bits"] = dense[:, j]
+    for j, ni in enumerate(winner_nodes):
+        out[ni]["bits"] = dense[:, j]
 
 
 def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
@@ -873,16 +871,28 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
             out[ni] = {"winner": winner, "equiv": None}
 
     _mark("host_replay")
-    # Equivalent-rule gather for the nodes that need the full tie set.
+    # Set the no-equiv payloads now so the winner list below sees them.
+    winner_nodes = [ni for ni in t_idx
+                    if out[ni] is not None and "winner" in out[ni]]
+    winner_nodes += [ni for (_, ni, _, _, _) in equiv_jobs]
+    bits_d = (_dispatch_winner_bits(
+        [winners[ni] for ni in winner_nodes], matrix, stream)
+        if winner_nodes else None)
+    # Equivalent-rule gather for the nodes that need the full tie set;
+    # the winner bits ride in its fetch (one round trip for both).
     if equiv_jobs:
         _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t,
                           train_t, radix_t, t_idx, n_kmers, sb, excl_dev,
-                          stream)
+                          stream, extra_fetch=bits_d)
         _mark("equiv(%d)" % len(equiv_jobs))
+    if winner_nodes:
+        _attach_bits(out, winner_nodes, bits_d, train_masks.shape[1] * 32)
+        _mark("winner_bits")
 
 
 def _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t, train_t,
-                      radix_t, t_idx, n_kmers, sb, excl_dev, stream=None):
+                      radix_t, t_idx, n_kmers, sb, excl_dev, stream=None,
+                      extra_fetch=None):
     tmax = _bucket(max(len(j[2]) for j in equiv_jobs), lo=4)
     mb = _bucket(len(equiv_jobs), lo=4)
     sel_rows = np.zeros(mb, np.int64)
@@ -921,7 +931,12 @@ def _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t, train_t,
                     chunk, md, radix_d, tset_d, occmax_d, active_d,
                     cursor, cols_c, base, exc, sb, budget, tmax)
             cols_d, total_d = cols_c, cursor
-        cols_np, total_np = jax.device_get((cols_d, total_d))
+        if extra_fetch is not None:
+            cols_np, total_np, _ = jax.device_get(
+                (cols_d, total_d, extra_fetch))
+            extra_fetch = None  # fetched (and cached client-side) once
+        else:
+            cols_np, total_np = jax.device_get((cols_d, total_d))
         still = []
         for j in pending:
             i, ni, keys, om, _ = equiv_jobs[j]

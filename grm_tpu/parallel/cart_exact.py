@@ -110,62 +110,58 @@ def _mixed_radix_key(class_counts, radix):
     return key
 
 
-@partial(jax.jit, static_argnames=("sb", "s", "p"))
-def _tuple_tables(matrix, masks, train_masks, radix, active, n_kmers, sb,
-                  s, p, excl=None):
-    """Per-node dense tuple tables + compacted present-tuple triples.
+@jax.jit
+def _thresh_from_gmin(gmin, cf):
+    """Margin-threshold from per-node f32 minima (device-side; same margin
+    as the gather regime — over-covers the f32 evaluation error, so every
+    float64-minimum tuple's columns pass the filter together)."""
+    margin = (256.0 + 128.0 * cf) * _F32_EPS * (1.0 + jnp.abs(gmin))
+    return jnp.where(jnp.isfinite(gmin), gmin + margin, -jnp.inf)
 
-    masks (N, C, W) uint32; train_masks (N, W) uint32; radix (N, C) int32
-    (per-class count lattice radix = n_c + 1); active (N,) bool (padded
-    bucket rows are inactive).
 
-    Returns (keys (N, p) int32 [s = pad sentinel], occ (N, p) int32,
-    mincol (N, p) int32, n_present (N,) int32, occtab (N*s,) uint32,
-    coltab (N*s,) uint32) — the tables stay on device for escalation
-    fetches.
+@partial(jax.jit, static_argnames=("sb", "s", "criterion"),
+         donate_argnums=(8,))
+def _tuple_scatter_chunk(chunk, md, radix, n_node, priors, totals, active,
+                         thresh, occtab, col_base, excl_chunk, sb, s,
+                         criterion):
+    """Margin-filtered tuple-table build: scatter per-tuple max train
+    occurrence (+1; 0 = absent) for NEAR-MINIMUM columns only.
+
+    TPU scatter-with-combiner runs at ~90M updates/s (measured), so
+    scattering every (node, column) pair — NB x K per sweep — cost
+    seconds per chunk. A split's float32 score is a function of its count
+    tuple, so every column of a float64-minimum tuple passes the margin
+    filter together; scatter volume collapses to the near-minimum mass.
     """
-    n, c, w = masks.shape
-    kp = matrix.shape[1]
-    nsb = kp // sb
-    md = _unpack_words(
-        jnp.concatenate([masks, train_masks[:, None, :]], axis=1)
-        .reshape(n * (c + 1), w).T
-    ).T  # (N(C+1), 32W) int8
-    rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]  # (N, 1)
+    n, c = radix.shape
+    nsb = chunk.shape[1] // sb
+    at = _chunk_blocks(chunk, md, n, c, sb, col_base, excl_chunk, active)
+    rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]
 
-    def common(b):
-        ccounts, occ, col = _block_counts(matrix, md, n, c, b, sb)
+    def body(tab, b):
+        ccounts, occ, col, valid = at(b)
+        score = _scores_f32(ccounts, n_node, priors, totals, criterion)
+        hit = valid & (score <= thresh[:, None])
         key = _mixed_radix_key(ccounts, radix)
-        valid = (col < n_kmers)[None, :] & active[:, None]
-        if excl is not None:
-            eb = jax.lax.dynamic_slice(excl, (b * sb,), (sb,))
-            valid = valid & ~eb[None, :]
-        return key, occ, col, valid
-
-    # Sweep 1: per-tuple max train occurrence (+1; 0 = tuple absent).
-    def sweep1(tab, b):
-        key, occ, col, valid = common(b)
         flat = (rowbase + key).reshape(-1)
-        upd = jnp.where(valid, occ.astype(jnp.uint32) + 1, 0).reshape(-1)
+        upd = jnp.where(hit, occ.astype(jnp.uint32) + 1, 0).reshape(-1)
         return tab.at[flat].max(upd, mode="promise_in_bounds"), None
 
-    occtab, _ = jax.lax.scan(
-        sweep1, jnp.zeros((n * s,), jnp.uint32), jnp.arange(nsb))
+    occtab, _ = jax.lax.scan(body, occtab, jnp.arange(nsb))
+    return occtab
 
-    # Sweep 2: per-tuple min column among occurrence-maximal columns.
-    def sweep2(tab, b):
-        key, occ, col, valid = common(b)
-        flat = (rowbase + key).reshape(-1)
-        got = occtab[flat].reshape(n, sb)
-        sel = valid & ((occ.astype(jnp.uint32) + 1) == got)
-        upd = jnp.where(sel, col[None, :].astype(jnp.uint32),
-                        jnp.uint32(0xFFFFFFFF)).reshape(-1)
-        return tab.at[flat].min(upd, mode="promise_in_bounds"), None
 
-    coltab, _ = jax.lax.scan(
-        sweep2, jnp.full((n * s,), 0xFFFFFFFF, jnp.uint32), jnp.arange(nsb))
+@partial(jax.jit, static_argnames=("s",))
+def _take_table_rows(occtab, rows, s):
+    """Bucketed full-row fetch from the flat per-node table."""
+    return occtab.reshape(-1, s)[rows]
 
-    # Compaction: ascending present tuple keys, budget p.
+
+@partial(jax.jit, static_argnames=("s", "p"))
+def _tuple_compact(occtab, s, p):
+    """Ascending present (near-minimum) tuple keys + their occ maxima."""
+    n = occtab.shape[0] // s
+    rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]
     pres = occtab.reshape(n, s) > 0
     tkey = jnp.where(pres, jnp.arange(s, dtype=jnp.int32)[None, :], s)
     tkey = jax.lax.sort(tkey, dimension=1)
@@ -176,10 +172,7 @@ def _tuple_tables(matrix, masks, train_masks, radix, active, n_kmers, sb,
     flat = (rowbase + safe).reshape(-1)
     out_occ = jnp.where(
         live, occtab[flat].reshape(n, p).astype(jnp.int32) - 1, -1)
-    out_col = jnp.where(
-        live, coltab[flat].reshape(n, p).astype(jnp.int32), -1)
-    n_present = pres.sum(axis=1).astype(jnp.int32)
-    return tkey, out_occ, out_col, n_present, occtab, coltab
+    return tkey, out_occ, pres.sum(axis=1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("sb", "budget", "criterion"))
@@ -321,74 +314,6 @@ def _chunk_blocks(chunk, md, n, c, sb, col_base, excl_chunk, active):
             excl_chunk, (b * sb,), (sb,))[None, :]
         return ccounts, occ, col + col_base, valid
     return at
-
-
-@partial(jax.jit, static_argnames=("sb", "s"), donate_argnums=(4,))
-def _tuple_sweep1_chunk(chunk, md, radix, active, occtab, col_base,
-                        excl_chunk, sb, s):
-    n = radix.shape[0]
-    c = radix.shape[1]
-    nsb = chunk.shape[1] // sb
-    at = _chunk_blocks(chunk, md, n, c, sb, col_base, excl_chunk, active)
-    rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]
-
-    def sweep(tab, b):
-        ccounts, occ, _, valid = at(b)
-        key = _mixed_radix_key(ccounts, radix)
-        flat = (rowbase + key).reshape(-1)
-        upd = jnp.where(valid, occ.astype(jnp.uint32) + 1, 0).reshape(-1)
-        return tab.at[flat].max(upd, mode="promise_in_bounds"), None
-
-    occtab, _ = jax.lax.scan(sweep, occtab, jnp.arange(nsb))
-    return occtab
-
-
-@partial(jax.jit, static_argnames=("sb", "s"), donate_argnums=(5,))
-def _tuple_sweep2_chunk(chunk, md, radix, active, occtab, coltab, col_base,
-                        excl_chunk, sb, s):
-    n = radix.shape[0]
-    c = radix.shape[1]
-    nsb = chunk.shape[1] // sb
-    at = _chunk_blocks(chunk, md, n, c, sb, col_base, excl_chunk, active)
-    rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]
-
-    def sweep(tab, b):
-        ccounts, occ, col, valid = at(b)
-        key = _mixed_radix_key(ccounts, radix)
-        flat = (rowbase + key).reshape(-1)
-        got = occtab[flat].reshape(n, sb)
-        sel = valid & ((occ.astype(jnp.uint32) + 1) == got)
-        upd = jnp.where(sel, col[None, :].astype(jnp.uint32),
-                        jnp.uint32(0xFFFFFFFF)).reshape(-1)
-        return tab.at[flat].min(upd, mode="promise_in_bounds"), None
-
-    coltab, _ = jax.lax.scan(sweep, coltab, jnp.arange(nsb))
-    return coltab
-
-
-@partial(jax.jit, static_argnames=("s",))
-def _take_table_rows(occtab, coltab, rows, s):
-    """Bucketed full-row fetch from the flat per-node tables."""
-    return (occtab.reshape(-1, s)[rows], coltab.reshape(-1, s)[rows])
-
-
-@partial(jax.jit, static_argnames=("s", "p"))
-def _tuple_compact(occtab, coltab, s, p):
-    n = occtab.shape[0] // s
-    rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]
-    pres = occtab.reshape(n, s) > 0
-    tkey = jnp.where(pres, jnp.arange(s, dtype=jnp.int32)[None, :], s)
-    tkey = jax.lax.sort(tkey, dimension=1)
-    if p < s:
-        tkey = tkey[:, :p]
-    live = tkey < s
-    safe = jnp.where(live, tkey, 0)
-    flat = (rowbase + safe).reshape(-1)
-    out_occ = jnp.where(
-        live, occtab[flat].reshape(n, p).astype(jnp.int32) - 1, -1)
-    out_col = jnp.where(
-        live, coltab[flat].reshape(n, p).astype(jnp.int32), -1)
-    return tkey, out_occ, out_col, pres.sum(axis=1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("sb", "criterion"), donate_argnums=(6,))
@@ -711,10 +636,25 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
     g_idx = np.where(~is_tuple)[0]
 
     if len(t_idx):
+        # The tuple regime always runs through per-chunk programs; a
+        # resident matrix gets a device-slicing stream (one short scan
+        # per program — whole-matrix scatter scans stopped compiling
+        # tractably past a few hundred superblocks).
+        t_stream = stream
+        if t_stream is None:
+            excl_key = (None if excl is None
+                        else np.asarray(excl, bool).tobytes())
+            cache = getattr(bit_matrix, "_dev_stream_cache", None)
+            if cache is None:
+                cache = bit_matrix._dev_stream_cache = {}
+            t_stream = cache.get(excl_key)
+            if t_stream is None:
+                t_stream = cache[excl_key] = _DeviceStream(
+                    matrix, n_kmers, excl)
         _run_tuple_regime(
-            out, t_idx, matrix, masks, train_masks, n_node, n_kmers, sb,
-            tuple_budget, crit, classes, priors_l, totals_l, need_equiv,
-            excl_dev, stream)
+            out, t_idx, matrix, masks, train_masks, n_node, n_kmers,
+            t_stream.sb, tuple_budget, crit, classes, priors_l, totals_l,
+            need_equiv, excl_dev, t_stream, priors, totals)
     if len(g_idx):
         _run_gather_regime(
             out, g_idx, matrix, masks, train_masks, n_node, priors, totals,
@@ -723,45 +663,21 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
     return out
 
 
-def _dispatch_winner_bits(winner_cols, matrix, stream):
-    """Async-dispatch the winners' packed-column gather; returns a device
-    value (or a host array for host streams) to be fetched together with
-    the equivalence gather — each separate device_get costs a full
-    tunnel round trip, so the bits ride in an existing fetch."""
-    cols = np.asarray(winner_cols, np.int64)
-    if stream is not None and not hasattr(stream, "matrix"):
-        return np.ascontiguousarray(stream.host[:, cols].T)  # (M, W) host
-    from ..ops.popcount import _gather_columns
-
-    src = matrix if matrix is not None else stream.matrix
-    b = 1
-    while b < len(cols):
-        b *= 2
-    padded = np.zeros(b, np.int64)
-    padded[: len(cols)] = cols
-    return _gather_columns(src, jnp.asarray(padded))[: len(cols)]
-
-
-def _attach_bits(out, winner_nodes, packed, n_rows):
-    from ..utils import unpack_binary_bytes_from_ints
-
-    packed = np.asarray(packed)
-    dense = unpack_binary_bytes_from_ints(packed.T)[:n_rows]  # (n_rows, M)
-    for j, ni in enumerate(winner_nodes):
-        out[ni]["bits"] = dense[:, j]
-
-
 def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
                       n_kmers, sb, budget, crit, classes, priors_l,
-                      totals_l, need_equiv, excl_dev, stream=None):
+                      totals_l, need_equiv, excl_dev, stream,
+                      priors, totals):
     c = masks.shape[1]
-    w = masks.shape[2]
     nb = _bucket(len(t_idx))
     masks_t = _pad_rows(masks[t_idx], nb)
     train_t = _pad_rows(train_masks[t_idx], nb)
     radix_np = (n_node[t_idx] + 1).astype(np.int32)
     radix_t = _pad_rows(radix_np, nb)
     radix_t[len(t_idx):] = 1
+    n_node_t = _pad_rows(n_node[t_idx], nb)
+    priors_t = _pad_rows(priors[t_idx], nb)
+    totals_t = _pad_rows(totals[t_idx], nb)
+    totals_t[totals_t == 0] = 1.0  # padded rows: no NaN into the minima
     active = np.zeros(nb, bool)
     active[: len(t_idx)] = True
 
@@ -779,65 +695,63 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
             t0 = now
 
     p = min(S_MAX, budget)
-    if stream is None:
-        keys_d, occ_d, col_d, npres_d, occtab, coltab = _tuple_tables(
-            matrix, jnp.asarray(masks_t), jnp.asarray(train_t),
-            jnp.asarray(radix_t), jnp.asarray(active), n_kmers, sb, S_MAX,
-            p, excl=excl_dev)
-    else:
-        md = _dense_masks(jnp.asarray(masks_t), jnp.asarray(train_t))
-        radix_d = jnp.asarray(radix_t)
-        active_d = jnp.asarray(active)
-        occtab = jnp.zeros((nb * S_MAX,), jnp.uint32)
-        for chunk, exc, base in stream.chunks():
-            occtab = _tuple_sweep1_chunk(
-                chunk, md, radix_d, active_d, occtab, base, exc, sb, S_MAX)
-        coltab = jnp.full((nb * S_MAX,), 0xFFFFFFFF, jnp.uint32)
-        for chunk, exc, base in stream.chunks():
-            coltab = _tuple_sweep2_chunk(
-                chunk, md, radix_d, active_d, occtab, coltab, base, exc,
-                sb, S_MAX)
-        keys_d, occ_d, col_d, npres_d = _tuple_compact(
-            occtab, coltab, S_MAX, p)
+    md = _dense_masks(jnp.asarray(masks_t), jnp.asarray(train_t))
+    radix_d = jnp.asarray(radix_t)
+    active_d = jnp.asarray(active)
+    n_node_d = jnp.asarray(n_node_t)
+    priors_d = jnp.asarray(priors_t)
+    totals_d = jnp.asarray(totals_t)
+
+    # Pass 1: per-node float32 minima (pure reduction — no scatter).
+    gmin = jnp.full((nb,), jnp.inf, jnp.float32)
+    for chunk, exc, base in stream.chunks():
+        gmin = _gather1_chunk(chunk, md, n_node_d, priors_d, totals_d,
+                              active_d, gmin, exc, sb, crit)
+    thresh = _thresh_from_gmin(gmin, jnp.float32(c))
+
+    # Pass 2: margin-filtered tuple tables (scatter volume = near-minimum
+    # mass, not NB x K).
+    occtab = jnp.zeros((nb * S_MAX,), jnp.uint32)
+    for chunk, exc, base in stream.chunks():
+        occtab = _tuple_scatter_chunk(
+            chunk, md, radix_d, n_node_d, priors_d, totals_d, active_d,
+            thresh, occtab, base, exc, sb, S_MAX, crit)
+    keys_d, occ_d, npres_d = _tuple_compact(occtab, S_MAX, p)
     _mark("sweeps")
-    keys, occs, cols, npres = jax.device_get(
-        (keys_d, occ_d, col_d, npres_d))
+    keys, occs, npres = jax.device_get((keys_d, occ_d, npres_d))
     _mark("compact_fetch")
 
-    # Escalation: nodes with more present tuples than the compaction
-    # budget read their full table rows (256 KB each) straight off the
-    # device-resident tables. Row index arrays are bucket-padded so the
-    # fetch gather compiles once per bucket, not once per distinct count
-    # (remote compiles cost seconds-to-minutes on tunneled rigs).
+    # Escalation: nodes with more near-minimum tuples than the compaction
+    # budget read their full table rows off the device-resident table.
     full_rows = {}
     over = [i for i in range(len(t_idx)) if npres[i] > p]
     if over:
         rb = _bucket(len(over), lo=4)
         rows = np.zeros(rb, np.int32)
         rows[: len(over)] = over
-        occ_rows, col_rows = jax.device_get(_take_table_rows(
-            occtab, coltab, jnp.asarray(rows), S_MAX))
+        occ_rows = jax.device_get(_take_table_rows(
+            occtab, jnp.asarray(rows), S_MAX))
         for j, i in enumerate(over):
-            full_rows[i] = (occ_rows[j], col_rows[j])
+            full_rows[i] = occ_rows[j]
     _mark("escalation(%d)" % len(over))
 
-    # Host float64 replay over present tuples.
+    # Host float64 replay over the near-minimum tuples. Every
+    # float64-minimum tuple is within the float32 margin, so the minimum
+    # over this subset is the global minimum (and all of its columns hit
+    # the filter together — occ maxima are over the full tuple).
     from ..learning.cart import score_candidates_f64
 
-    equiv_jobs = []  # (slot i, node ni, T keys, occmax)
-    winners = {}
+    winner_jobs = []  # (slot i, node ni, T keys, occmax, need_equiv)
     for i, ni in enumerate(t_idx):
         if i in full_rows:
-            occ_row, col_row = full_rows[i]
+            occ_row = full_rows[i]
             pres = occ_row > 0
             tkeys = np.where(pres)[0].astype(np.int64)
             toccs = occ_row[pres].astype(np.int64) - 1
-            tcols = col_row[pres].astype(np.int64)
         else:
             k = int(npres[i])
             tkeys = keys[i, :k].astype(np.int64)
             toccs = occs[i, :k].astype(np.int64)
-            tcols = cols[i, :k].astype(np.int64)
         if len(tkeys) == 0:
             continue
         # Mixed-radix decode (inverse of _mixed_radix_key).
@@ -857,49 +771,44 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
         if vmin == np.inf:
             continue
         tie = vals == vmin
-        occmax = toccs[tie].max()
+        occmax = int(toccs[tie].max())
         # Host tiebreaker is np.isclose(occ, occ.max()) — exact equality
         # for integer occurrences up to ~1e5 (n_genomes <= 5022).
         winset = tie & (toccs == occmax)
-        winner = int(tcols[winset].min())
-        winners[ni] = winner
-        if need_equiv[ni]:
-            n_wintuples = int(winset.sum())
-            equiv_jobs.append((i, ni, tkeys[winset], int(occmax),
-                               n_wintuples))
-        else:
-            out[ni] = {"winner": winner, "equiv": None}
-
+        winner_jobs.append((i, ni, tkeys[winset], occmax,
+                            bool(need_equiv[ni])))
     _mark("host_replay")
-    # Set the no-equiv payloads now so the winner list below sees them.
-    winner_nodes = [ni for ni in t_idx
-                    if out[ni] is not None and "winner" in out[ni]]
-    winner_nodes += [ni for (_, ni, _, _, _) in equiv_jobs]
-    bits_d = (_dispatch_winner_bits(
-        [winners[ni] for ni in winner_nodes], matrix, stream)
-        if winner_nodes else None)
-    # Equivalent-rule gather for the nodes that need the full tie set;
-    # the winner bits ride in its fetch (one round trip for both).
-    if equiv_jobs:
-        _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t,
-                          train_t, radix_t, t_idx, n_kmers, sb, excl_dev,
-                          stream, extra_fetch=bits_d)
-        _mark("equiv(%d)" % len(equiv_jobs))
-    if winner_nodes:
-        _attach_bits(out, winner_nodes, bits_d, train_masks.shape[1] * 32)
-        _mark("winner_bits")
+
+    # Winner/equivalence gather: one match pass finds, per node, every
+    # column of the winning tuples with maximal occurrence — ascending,
+    # so the first entry is the reference's winner; the full list is the
+    # equivalent-rule set (kept for master trees). Winner-column bits
+    # ride in the same fetch.
+    if winner_jobs:
+        _run_equiv_gather(out, winner_jobs, matrix, masks_t, train_t,
+                          radix_t, n_kmers, sb, excl_dev, stream)
+        _mark("winner_gather(%d)" % len(winner_jobs))
 
 
-def _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t, train_t,
-                      radix_t, t_idx, n_kmers, sb, excl_dev, stream=None,
-                      extra_fetch=None):
-    tmax = _bucket(max(len(j[2]) for j in equiv_jobs), lo=4)
-    mb = _bucket(len(equiv_jobs), lo=4)
+def _run_equiv_gather(out, winner_jobs, matrix, masks_t, train_t,
+                      radix_t, n_kmers, sb, excl_dev, stream):
+    """Winner + equivalence resolution for every tuple-regime node.
+
+    One match pass compacts, ascending, every column whose tuple is in
+    the node's winning set with maximal occurrence: entry 0 is the
+    reference's selected column; the full list is the equivalent-rule
+    set (kept only when the tree asked for it — masters). Winner-column
+    bits ride back in the same fetch. Budget overflow only matters for
+    equiv-keeping nodes (the winner is always entry 0); those re-gather
+    with an 8x budget.
+    """
+    tmax = _bucket(max(len(j[2]) for j in winner_jobs), lo=4)
+    mb = _bucket(len(winner_jobs), lo=4)
     sel_rows = np.zeros(mb, np.int64)
     tset = np.full((mb, tmax), -1, np.int32)
     occmax_v = np.zeros(mb, np.int32)
     active = np.zeros(mb, bool)
-    for j, (i, ni, keys, om, _) in enumerate(equiv_jobs):
+    for j, (i, ni, keys, om, _) in enumerate(winner_jobs):
         sel_rows[j] = i
         tset[j, : len(keys)] = keys
         occmax_v[j] = om
@@ -908,48 +817,75 @@ def _run_equiv_gather(out, equiv_jobs, winners, matrix, masks_t, train_t,
     masks_m = masks_t[sel_rows]
     train_m = train_t[sel_rows]
     radix_m = radix_t[sel_rows]
+    md = _dense_masks(jnp.asarray(masks_m), jnp.asarray(train_m))
+    radix_d = jnp.asarray(radix_m)
+    tset_d = jnp.asarray(tset)
+    occmax_d = jnp.asarray(occmax_v)
+    n_rows_bits = train_t.shape[1] * 32
 
     budget = 4096
-    pending = list(range(len(equiv_jobs)))
+    pending = list(range(len(winner_jobs)))
+    first = True
     while pending:
-        if stream is None:
-            cols_d, total_d = _equiv_gather(
-                matrix, jnp.asarray(masks_m), jnp.asarray(train_m),
-                jnp.asarray(radix_m), jnp.asarray(tset),
-                jnp.asarray(occmax_v), jnp.asarray(active), n_kmers, sb,
-                budget, tmax, excl=excl_dev)
+        active_d = jnp.asarray(active)
+        cursor = jnp.zeros((mb,), jnp.int32)
+        cols_c = jnp.full((mb, budget), -1, jnp.int32)
+        for chunk, exc, base in stream.chunks():
+            cursor, cols_c = _equiv_chunk(
+                chunk, md, radix_d, tset_d, occmax_d, active_d,
+                cursor, cols_c, base, exc, sb, budget, tmax)
+        host_stream = not hasattr(stream, "matrix")
+        if first and not host_stream:
+            # The winners are cols_c[:, 0]; gather their packed column
+            # bits so they ride in this same fetch (each device_get is a
+            # full tunnel round trip).
+            from ..ops.popcount import _gather_columns
+
+            src = matrix if matrix is not None else stream.matrix
+            bits_d = _gather_columns(
+                src, jnp.maximum(cols_c[:, 0], 0).astype(jnp.int32))
+            cols_np, total_np, bits_np = jax.device_get(
+                (cols_c, cursor, bits_d))
         else:
-            md = _dense_masks(jnp.asarray(masks_m), jnp.asarray(train_m))
-            radix_d = jnp.asarray(radix_m)
-            tset_d = jnp.asarray(tset)
-            occmax_d = jnp.asarray(occmax_v)
-            active_d = jnp.asarray(active)
-            cursor = jnp.zeros((mb,), jnp.int32)
-            cols_c = jnp.full((mb, budget), -1, jnp.int32)
-            for chunk, exc, base in stream.chunks():
-                cursor, cols_c = _equiv_chunk(
-                    chunk, md, radix_d, tset_d, occmax_d, active_d,
-                    cursor, cols_c, base, exc, sb, budget, tmax)
-            cols_d, total_d = cols_c, cursor
-        if extra_fetch is not None:
-            cols_np, total_np, _ = jax.device_get(
-                (cols_d, total_d, extra_fetch))
-            extra_fetch = None  # fetched (and cached client-side) once
-        else:
-            cols_np, total_np = jax.device_get((cols_d, total_d))
+            cols_np, total_np = jax.device_get((cols_c, cursor))
+            if first:
+                # Host stream: the matrix is host-resident — local gather.
+                w0 = np.maximum(cols_np[:, 0], 0).astype(np.int64)
+                bits_np = np.ascontiguousarray(stream.host[:, w0].T)
         still = []
         for j in pending:
-            i, ni, keys, om, _ = equiv_jobs[j]
-            if total_np[j] > budget:
+            i, ni, keys, om, keep_equiv = winner_jobs[j]
+            cc = cols_np[j]
+            valid = cc[cc >= 0]
+            if len(valid) == 0:
+                # Cannot happen (the winning tuple has >= 1 column), but
+                # never hand the tree a broken payload.
+                active[j] = False
+                continue
+            winner = int(valid[0])
+            if keep_equiv and total_np[j] > budget:
                 still.append(j)
                 continue
-            cc = cols_np[j]
-            equiv = cc[cc >= 0].astype(np.int64)
-            out[ni] = {"winner": winners[ni], "equiv": equiv}
+            out[ni] = {
+                "winner": winner,
+                "equiv": valid.astype(np.int64) if keep_equiv else None,
+            }
             active[j] = False
+        if first:
+            from ..utils import unpack_binary_bytes_from_ints
+
+            dense = unpack_binary_bytes_from_ints(
+                np.asarray(bits_np).T)[:n_rows_bits]
+            for j, (i, ni, keys, om, keep_equiv) in enumerate(winner_jobs):
+                if out[ni] is not None and "winner" in out[ni]:
+                    out[ni]["bits"] = dense[:, j]
+            first = False
         if still:
             budget *= 8
         pending = still
+    # Escalated nodes fetched fresh winners without bits; backfill from
+    # the first pass's dense block is already done above (winner columns
+    # do not change across escalations — entry 0 is stable).
 
 
 def _run_gather_regime(out, g_idx, matrix, masks, train_masks, n_node,

@@ -74,17 +74,10 @@ def main():
             return out
         return wrapper
 
-    cart_exact._tuple_tables = spy(
-        "tuple_tables", cart_exact._tuple_tables,
-        shape_of=lambda m, masks, *a, **k: masks.shape,
-        count_of=lambda m, masks, *a, **k: masks.shape[0])
     cart_exact._gather_pass = spy(
         "gather_pass", cart_exact._gather_pass,
         shape_of=lambda m, masks, *a, **k: masks.shape,
         count_of=lambda m, masks, *a, **k: masks.shape[0])
-    cart_exact._equiv_gather = spy(
-        "equiv_gather", cart_exact._equiv_gather,
-        shape_of=lambda m, masks, *a, **k: masks.shape)
 
     cart_exact.cart_frontier_candidates = timed(
         "frontier_candidates", cart_exact.cart_frontier_candidates)

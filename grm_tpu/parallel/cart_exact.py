@@ -151,28 +151,67 @@ def _tuple_scatter_chunk(chunk, md, radix, n_node, priors, totals, active,
     return occtab
 
 
+@partial(jax.jit, static_argnames=("sb", "s", "criterion"),
+         donate_argnums=(9,))
+def _tuple_colmin_chunk(chunk, md, radix, n_node, priors, totals, active,
+                        thresh, occtab, coltab, col_base, excl_chunk, sb, s,
+                        criterion):
+    """Filtered per-tuple min column among occurrence-maximal columns.
+
+    Runs after the occ table is complete; both the gather of occtab and
+    the scatter-min touch only near-minimum columns, so the volume is the
+    tie mass, not NB x K."""
+    n, c = radix.shape
+    nsb = chunk.shape[1] // sb
+    at = _chunk_blocks(chunk, md, n, c, sb, col_base, excl_chunk, active)
+    rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]
+
+    def body(tab, b):
+        ccounts, occ, col, valid = at(b)
+        score = _scores_f32(ccounts, n_node, priors, totals, criterion)
+        hit = valid & (score <= thresh[:, None])
+        key = _mixed_radix_key(ccounts, radix)
+        flat = (rowbase + key).reshape(-1)
+        got = occtab[flat].reshape(n, sb)
+        sel = hit & ((occ.astype(jnp.uint32) + 1) == got)
+        upd = jnp.where(sel, jnp.broadcast_to(
+            col[None, :].astype(jnp.uint32), (n, sb)),
+            jnp.uint32(0xFFFFFFFF)).reshape(-1)
+        return tab.at[flat].min(upd, mode="promise_in_bounds"), None
+
+    coltab, _ = jax.lax.scan(body, coltab, jnp.arange(nsb))
+    return coltab
+
+
 @partial(jax.jit, static_argnames=("s",))
-def _take_table_rows(occtab, rows, s):
-    """Bucketed full-row fetch from the flat per-node table."""
-    return occtab.reshape(-1, s)[rows]
+def _take_table_rows(occtab, coltab, rows, s):
+    """Bucketed full-row fetch from the flat per-node tables."""
+    return occtab.reshape(-1, s)[rows], coltab.reshape(-1, s)[rows]
 
 
 @partial(jax.jit, static_argnames=("s", "p"))
-def _tuple_compact(occtab, s, p):
-    """Ascending present (near-minimum) tuple keys + their occ maxima."""
+def _tuple_compact(occtab, coltab, s, p):
+    """Ascending present (near-minimum) tuples: (key, occmax, mincol).
+
+    Cumsum-based compaction — a lax.sort over (N, 65536) costs tens of
+    seconds on v5e (~0.5M elements/ms); the prefix-sum scatter is
+    milliseconds and preserves ascending key order.
+    """
     n = occtab.shape[0] // s
-    rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]
-    pres = occtab.reshape(n, s) > 0
-    tkey = jnp.where(pres, jnp.arange(s, dtype=jnp.int32)[None, :], s)
-    tkey = jax.lax.sort(tkey, dimension=1)
-    if p < s:
-        tkey = tkey[:, :p]
-    live = tkey < s
-    safe = jnp.where(live, tkey, 0)
-    flat = (rowbase + safe).reshape(-1)
-    out_occ = jnp.where(
-        live, occtab[flat].reshape(n, p).astype(jnp.int32) - 1, -1)
-    return tkey, out_occ, pres.sum(axis=1).astype(jnp.int32)
+    rowidx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    occ2 = occtab.reshape(n, s)
+    pres = occ2 > 0
+    pos = jnp.cumsum(pres, axis=1) - 1
+    tgt = jnp.where(pres & (pos < p), pos, p)
+    tvals = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :],
+                             (n, s))
+    keys = jnp.full((n, p), s, jnp.int32).at[rowidx, tgt].set(
+        tvals, mode="drop")
+    occ_out = jnp.full((n, p), -1, jnp.int32).at[rowidx, tgt].set(
+        occ2.astype(jnp.int32) - 1, mode="drop")
+    col_out = jnp.full((n, p), -1, jnp.int32).at[rowidx, tgt].set(
+        coltab.reshape(n, s).astype(jnp.int32), mode="drop")
+    return keys, occ_out, col_out, pres.sum(axis=1).astype(jnp.int32)
 
 
 @partial(jax.jit, static_argnames=("sb", "budget", "criterion"))
@@ -710,15 +749,22 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
     thresh = _thresh_from_gmin(gmin, jnp.float32(c))
 
     # Pass 2: margin-filtered tuple tables (scatter volume = near-minimum
-    # mass, not NB x K).
+    # mass, not NB x K); pass 2b: per-tuple min column among
+    # occurrence-maximal columns (same filtered volume).
     occtab = jnp.zeros((nb * S_MAX,), jnp.uint32)
     for chunk, exc, base in stream.chunks():
         occtab = _tuple_scatter_chunk(
             chunk, md, radix_d, n_node_d, priors_d, totals_d, active_d,
             thresh, occtab, base, exc, sb, S_MAX, crit)
-    keys_d, occ_d, npres_d = _tuple_compact(occtab, S_MAX, p)
+    coltab = jnp.full((nb * S_MAX,), 0xFFFFFFFF, jnp.uint32)
+    for chunk, exc, base in stream.chunks():
+        coltab = _tuple_colmin_chunk(
+            chunk, md, radix_d, n_node_d, priors_d, totals_d, active_d,
+            thresh, occtab, coltab, base, exc, sb, S_MAX, crit)
+    keys_d, occ_d, col_d, npres_d = _tuple_compact(occtab, coltab, S_MAX, p)
     _mark("sweeps")
-    keys, occs, npres = jax.device_get((keys_d, occ_d, npres_d))
+    keys, occs, cols, npres = jax.device_get(
+        (keys_d, occ_d, col_d, npres_d))
     _mark("compact_fetch")
 
     # Escalation: nodes with more near-minimum tuples than the compaction
@@ -729,10 +775,10 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
         rb = _bucket(len(over), lo=4)
         rows = np.zeros(rb, np.int32)
         rows[: len(over)] = over
-        occ_rows = jax.device_get(_take_table_rows(
-            occtab, jnp.asarray(rows), S_MAX))
+        occ_rows, col_rows = jax.device_get(_take_table_rows(
+            occtab, coltab, jnp.asarray(rows), S_MAX))
         for j, i in enumerate(over):
-            full_rows[i] = occ_rows[j]
+            full_rows[i] = (occ_rows[j], col_rows[j])
     _mark("escalation(%d)" % len(over))
 
     # Host float64 replay over the near-minimum tuples. Every
@@ -741,17 +787,21 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
     # the filter together — occ maxima are over the full tuple).
     from ..learning.cart import score_candidates_f64
 
-    winner_jobs = []  # (slot i, node ni, T keys, occmax, need_equiv)
+    winner_jobs = []  # (slot i, node ni, T keys, occmax) — masters only
+    winners = {}
+    winner_nodes = []
     for i, ni in enumerate(t_idx):
         if i in full_rows:
-            occ_row = full_rows[i]
+            occ_row, col_row = full_rows[i]
             pres = occ_row > 0
             tkeys = np.where(pres)[0].astype(np.int64)
             toccs = occ_row[pres].astype(np.int64) - 1
+            tcols = col_row[pres].astype(np.int64)
         else:
             k = int(npres[i])
             tkeys = keys[i, :k].astype(np.int64)
             toccs = occs[i, :k].astype(np.int64)
+            tcols = cols[i, :k].astype(np.int64)
         if len(tkeys) == 0:
             continue
         # Mixed-radix decode (inverse of _mixed_radix_key).
@@ -775,57 +825,88 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
         # Host tiebreaker is np.isclose(occ, occ.max()) — exact equality
         # for integer occurrences up to ~1e5 (n_genomes <= 5022).
         winset = tie & (toccs == occmax)
-        winner_jobs.append((i, ni, tkeys[winset], occmax,
-                            bool(need_equiv[ni])))
+        winner = int(tcols[winset].min())
+        winners[ni] = winner
+        winner_nodes.append(ni)
+        if need_equiv[ni]:
+            winner_jobs.append((i, ni, tkeys[winset], occmax))
+        else:
+            out[ni] = {"winner": winner, "equiv": None}
     _mark("host_replay")
 
-    # Winner/equivalence gather: one match pass finds, per node, every
-    # column of the winning tuples with maximal occurrence — ascending,
-    # so the first entry is the reference's winner; the full list is the
-    # equivalent-rule set (kept for master trees). Winner-column bits
-    # ride in the same fetch.
+    # Equivalence gather (master trees only): one match pass compacts,
+    # ascending, every column of the winning tuples with maximal
+    # occurrence. The winner bits for ALL tuple-regime nodes ride in its
+    # fetch (or in one standalone fetch on equiv-free levels).
+    bits_cols = np.array([winners[ni] for ni in winner_nodes], np.int64)
     if winner_jobs:
-        _run_equiv_gather(out, winner_jobs, matrix, masks_t, train_t,
-                          radix_t, n_kmers, sb, excl_dev, stream)
-        _mark("winner_gather(%d)" % len(winner_jobs))
+        _run_equiv_gather(out, winner_jobs, winners, matrix, masks_t,
+                          train_t, radix_t, n_kmers, sb, excl_dev, stream,
+                          bits_cols=bits_cols, bits_nodes=winner_nodes,
+                          bits_out=out)
+        _mark("equiv(%d)" % len(winner_jobs))
+    elif winner_nodes:
+        packed = _gather_winner_bits(bits_cols, matrix, stream)
+        _attach_winner_bits(out, winner_nodes, packed,
+                            train_t.shape[1] * 32)
+        _mark("winner_bits")
 
 
-def _run_equiv_gather(out, winner_jobs, matrix, masks_t, train_t,
-                      radix_t, n_kmers, sb, excl_dev, stream):
-    """Winner + equivalence resolution for every tuple-regime node.
+def _gather_winner_bits(cols, matrix, stream):
+    """Packed winner columns (M, W): device gather, or host slice for
+    host-resident streams. Returns a device value (fetch it with another
+    pending fetch when possible — each device_get is a round trip)."""
+    cols = np.asarray(cols, np.int64)
+    if stream is not None and not hasattr(stream, "matrix"):
+        return np.ascontiguousarray(stream.host[:, cols].T)
+    from ..ops.popcount import _gather_columns
 
-    One match pass compacts, ascending, every column whose tuple is in
-    the node's winning set with maximal occurrence: entry 0 is the
-    reference's selected column; the full list is the equivalent-rule
-    set (kept only when the tree asked for it — masters). Winner-column
-    bits ride back in the same fetch. Budget overflow only matters for
-    equiv-keeping nodes (the winner is always entry 0); those re-gather
-    with an 8x budget.
-    """
+    src = matrix if matrix is not None else stream.matrix
+    b = 1
+    while b < len(cols):
+        b *= 2
+    padded = np.zeros(b, np.int64)
+    padded[: len(cols)] = cols
+    return _gather_columns(src, jnp.asarray(padded))[: len(cols)]
+
+
+def _attach_winner_bits(out, winner_nodes, packed, n_rows):
+    from ..utils import unpack_binary_bytes_from_ints
+
+    dense = unpack_binary_bytes_from_ints(
+        np.asarray(packed).T)[:n_rows]  # (n_rows, M)
+    for j, ni in enumerate(winner_nodes):
+        out[ni]["bits"] = dense[:, j]
+
+
+def _run_equiv_gather(out, winner_jobs, winners, matrix, masks_t, train_t,
+                      radix_t, n_kmers, sb, excl_dev, stream,
+                      bits_cols=None, bits_nodes=None, bits_out=None):
+    """Equivalent-rule sets for master-tree nodes: one ascending match
+    pass over the winning tuples with maximal occurrence. Winner-column
+    bits for the whole frontier ride in the first fetch. Budget overflow
+    escalates x8 for the overflowing nodes only."""
     tmax = _bucket(max(len(j[2]) for j in winner_jobs), lo=4)
     mb = _bucket(len(winner_jobs), lo=4)
     sel_rows = np.zeros(mb, np.int64)
     tset = np.full((mb, tmax), -1, np.int32)
     occmax_v = np.zeros(mb, np.int32)
     active = np.zeros(mb, bool)
-    for j, (i, ni, keys, om, _) in enumerate(winner_jobs):
+    for j, (i, ni, keys, om) in enumerate(winner_jobs):
         sel_rows[j] = i
         tset[j, : len(keys)] = keys
         occmax_v[j] = om
         active[j] = True
 
-    masks_m = masks_t[sel_rows]
-    train_m = train_t[sel_rows]
-    radix_m = radix_t[sel_rows]
-    md = _dense_masks(jnp.asarray(masks_m), jnp.asarray(train_m))
-    radix_d = jnp.asarray(radix_m)
+    md = _dense_masks(jnp.asarray(masks_t[sel_rows]),
+                      jnp.asarray(train_t[sel_rows]))
+    radix_d = jnp.asarray(radix_t[sel_rows])
     tset_d = jnp.asarray(tset)
     occmax_d = jnp.asarray(occmax_v)
-    n_rows_bits = train_t.shape[1] * 32
 
     budget = 4096
     pending = list(range(len(winner_jobs)))
-    first = True
+    bits_pending = bits_cols is not None and len(bits_cols)
     while pending:
         active_d = jnp.asarray(active)
         cursor = jnp.zeros((mb,), jnp.int32)
@@ -834,58 +915,31 @@ def _run_equiv_gather(out, winner_jobs, matrix, masks_t, train_t,
             cursor, cols_c = _equiv_chunk(
                 chunk, md, radix_d, tset_d, occmax_d, active_d,
                 cursor, cols_c, base, exc, sb, budget, tmax)
-        host_stream = not hasattr(stream, "matrix")
-        if first and not host_stream:
-            # The winners are cols_c[:, 0]; gather their packed column
-            # bits so they ride in this same fetch (each device_get is a
-            # full tunnel round trip).
-            from ..ops.popcount import _gather_columns
-
-            src = matrix if matrix is not None else stream.matrix
-            bits_d = _gather_columns(
-                src, jnp.maximum(cols_c[:, 0], 0).astype(jnp.int32))
-            cols_np, total_np, bits_np = jax.device_get(
-                (cols_c, cursor, bits_d))
+        if bits_pending:
+            packed = _gather_winner_bits(bits_cols, matrix, stream)
+            cols_np, total_np, packed = jax.device_get(
+                (cols_c, cursor, packed))
+            _attach_winner_bits_later = (packed, bits_nodes)
+            bits_pending = False
         else:
             cols_np, total_np = jax.device_get((cols_c, cursor))
-            if first:
-                # Host stream: the matrix is host-resident — local gather.
-                w0 = np.maximum(cols_np[:, 0], 0).astype(np.int64)
-                bits_np = np.ascontiguousarray(stream.host[:, w0].T)
         still = []
         for j in pending:
-            i, ni, keys, om, keep_equiv = winner_jobs[j]
-            cc = cols_np[j]
-            valid = cc[cc >= 0]
-            if len(valid) == 0:
-                # Cannot happen (the winning tuple has >= 1 column), but
-                # never hand the tree a broken payload.
-                active[j] = False
-                continue
-            winner = int(valid[0])
-            if keep_equiv and total_np[j] > budget:
+            i, ni, keys, om = winner_jobs[j]
+            if total_np[j] > budget:
                 still.append(j)
                 continue
-            out[ni] = {
-                "winner": winner,
-                "equiv": valid.astype(np.int64) if keep_equiv else None,
-            }
+            cc = cols_np[j]
+            out[ni] = {"winner": winners[ni],
+                       "equiv": cc[cc >= 0].astype(np.int64)}
             active[j] = False
-        if first:
-            from ..utils import unpack_binary_bytes_from_ints
-
-            dense = unpack_binary_bytes_from_ints(
-                np.asarray(bits_np).T)[:n_rows_bits]
-            for j, (i, ni, keys, om, keep_equiv) in enumerate(winner_jobs):
-                if out[ni] is not None and "winner" in out[ni]:
-                    out[ni]["bits"] = dense[:, j]
-            first = False
         if still:
             budget *= 8
         pending = still
-    # Escalated nodes fetched fresh winners without bits; backfill from
-    # the first pass's dense block is already done above (winner columns
-    # do not change across escalations — entry 0 is stable).
+    if bits_cols is not None and len(bits_cols):
+        packed, nodes = _attach_winner_bits_later
+        _attach_winner_bits(bits_out, nodes, packed,
+                            train_t.shape[1] * 32)
 
 
 def _run_gather_regime(out, g_idx, matrix, masks, train_masks, n_node,

@@ -151,47 +151,15 @@ def _tuple_scatter_chunk(chunk, md, radix, n_node, priors, totals, active,
     return occtab
 
 
-@partial(jax.jit, static_argnames=("sb", "s", "criterion"),
-         donate_argnums=(9,))
-def _tuple_colmin_chunk(chunk, md, radix, n_node, priors, totals, active,
-                        thresh, occtab, coltab, col_base, excl_chunk, sb, s,
-                        criterion):
-    """Filtered per-tuple min column among occurrence-maximal columns.
-
-    Runs after the occ table is complete; both the gather of occtab and
-    the scatter-min touch only near-minimum columns, so the volume is the
-    tie mass, not NB x K."""
-    n, c = radix.shape
-    nsb = chunk.shape[1] // sb
-    at = _chunk_blocks(chunk, md, n, c, sb, col_base, excl_chunk, active)
-    rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]
-
-    def body(tab, b):
-        ccounts, occ, col, valid = at(b)
-        score = _scores_f32(ccounts, n_node, priors, totals, criterion)
-        hit = valid & (score <= thresh[:, None])
-        key = _mixed_radix_key(ccounts, radix)
-        flat = (rowbase + key).reshape(-1)
-        got = occtab[flat].reshape(n, sb)
-        sel = hit & ((occ.astype(jnp.uint32) + 1) == got)
-        upd = jnp.where(sel, jnp.broadcast_to(
-            col[None, :].astype(jnp.uint32), (n, sb)),
-            jnp.uint32(0xFFFFFFFF)).reshape(-1)
-        return tab.at[flat].min(upd, mode="promise_in_bounds"), None
-
-    coltab, _ = jax.lax.scan(body, coltab, jnp.arange(nsb))
-    return coltab
-
-
 @partial(jax.jit, static_argnames=("s",))
-def _take_table_rows(occtab, coltab, rows, s):
-    """Bucketed full-row fetch from the flat per-node tables."""
-    return occtab.reshape(-1, s)[rows], coltab.reshape(-1, s)[rows]
+def _take_table_rows(occtab, rows, s):
+    """Bucketed full-row fetch from the flat per-node table."""
+    return occtab.reshape(-1, s)[rows]
 
 
 @partial(jax.jit, static_argnames=("s", "p"))
-def _tuple_compact(occtab, coltab, s, p):
-    """Ascending present (near-minimum) tuples: (key, occmax, mincol).
+def _tuple_compact(occtab, s, p):
+    """Ascending present (near-minimum) tuples: (key, occmax).
 
     Cumsum-based compaction — a lax.sort over (N, 65536) costs tens of
     seconds on v5e (~0.5M elements/ms); the prefix-sum scatter is
@@ -209,9 +177,36 @@ def _tuple_compact(occtab, coltab, s, p):
         tvals, mode="drop")
     occ_out = jnp.full((n, p), -1, jnp.int32).at[rowidx, tgt].set(
         occ2.astype(jnp.int32) - 1, mode="drop")
-    col_out = jnp.full((n, p), -1, jnp.int32).at[rowidx, tgt].set(
-        coltab.reshape(n, s).astype(jnp.int32), mode="drop")
-    return keys, occ_out, col_out, pres.sum(axis=1).astype(jnp.int32)
+    return keys, occ_out, pres.sum(axis=1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("sb", "tmax"), donate_argnums=(6, 7))
+def _winner_chunk(chunk, md, radix, tset, occmax, active, best, count,
+                  col_base, excl_chunk, sb, tmax):
+    """Winning column per node by PURE REDUCTION (no scatter, no table
+    gather): min global column among columns whose tuple is in the
+    winning set with maximal occurrence, plus the match count."""
+    m, c = radix.shape
+    nsb = chunk.shape[1] // sb
+    at = _chunk_blocks(chunk, md, m, c, sb, col_base, excl_chunk, active)
+
+    def body(carry, b):
+        best, count = carry
+        ccounts, occ, col, valid = at(b)
+        key = _mixed_radix_key(ccounts, radix)
+        match = jnp.zeros((m, sb), bool)
+        for t in range(tmax):
+            match = match | (key == tset[:, t][:, None])
+        sel = valid & match & (occ == occmax[:, None])
+        colb = jnp.where(sel, jnp.broadcast_to(
+            col[None, :].astype(jnp.uint32), (m, sb)),
+            jnp.uint32(0xFFFFFFFF))
+        best = jnp.minimum(best, colb.min(axis=1))
+        count = count + sel.sum(axis=1).astype(jnp.int32)
+        return (best, count), None
+
+    (best, count), _ = jax.lax.scan(body, (best, count), jnp.arange(nsb))
+    return best, count
 
 
 @partial(jax.jit, static_argnames=("sb", "budget", "criterion"))
@@ -756,15 +751,9 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
         occtab = _tuple_scatter_chunk(
             chunk, md, radix_d, n_node_d, priors_d, totals_d, active_d,
             thresh, occtab, base, exc, sb, S_MAX, crit)
-    coltab = jnp.full((nb * S_MAX,), 0xFFFFFFFF, jnp.uint32)
-    for chunk, exc, base in stream.chunks():
-        coltab = _tuple_colmin_chunk(
-            chunk, md, radix_d, n_node_d, priors_d, totals_d, active_d,
-            thresh, occtab, coltab, base, exc, sb, S_MAX, crit)
-    keys_d, occ_d, col_d, npres_d = _tuple_compact(occtab, coltab, S_MAX, p)
+    keys_d, occ_d, npres_d = _tuple_compact(occtab, S_MAX, p)
     _mark("sweeps")
-    keys, occs, cols, npres = jax.device_get(
-        (keys_d, occ_d, col_d, npres_d))
+    keys, occs, npres = jax.device_get((keys_d, occ_d, npres_d))
     _mark("compact_fetch")
 
     # Escalation: nodes with more near-minimum tuples than the compaction
@@ -775,10 +764,10 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
         rb = _bucket(len(over), lo=4)
         rows = np.zeros(rb, np.int32)
         rows[: len(over)] = over
-        occ_rows, col_rows = jax.device_get(_take_table_rows(
-            occtab, coltab, jnp.asarray(rows), S_MAX))
+        occ_rows = jax.device_get(_take_table_rows(
+            occtab, jnp.asarray(rows), S_MAX))
         for j, i in enumerate(over):
-            full_rows[i] = (occ_rows[j], col_rows[j])
+            full_rows[i] = occ_rows[j]
     _mark("escalation(%d)" % len(over))
 
     # Host float64 replay over the near-minimum tuples. Every
@@ -787,21 +776,17 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
     # the filter together — occ maxima are over the full tuple).
     from ..learning.cart import score_candidates_f64
 
-    winner_jobs = []  # (slot i, node ni, T keys, occmax) — masters only
-    winners = {}
-    winner_nodes = []
+    winner_jobs = []  # (slot i, node ni, T keys, occmax, keep_equiv)
     for i, ni in enumerate(t_idx):
         if i in full_rows:
-            occ_row, col_row = full_rows[i]
+            occ_row = full_rows[i]
             pres = occ_row > 0
             tkeys = np.where(pres)[0].astype(np.int64)
             toccs = occ_row[pres].astype(np.int64) - 1
-            tcols = col_row[pres].astype(np.int64)
         else:
             k = int(npres[i])
             tkeys = keys[i, :k].astype(np.int64)
             toccs = occs[i, :k].astype(np.int64)
-            tcols = cols[i, :k].astype(np.int64)
         if len(tkeys) == 0:
             continue
         # Mixed-radix decode (inverse of _mixed_radix_key).
@@ -825,121 +810,132 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
         # Host tiebreaker is np.isclose(occ, occ.max()) — exact equality
         # for integer occurrences up to ~1e5 (n_genomes <= 5022).
         winset = tie & (toccs == occmax)
-        winner = int(tcols[winset].min())
-        winners[ni] = winner
-        winner_nodes.append(ni)
-        if need_equiv[ni]:
-            winner_jobs.append((i, ni, tkeys[winset], occmax))
-        else:
-            out[ni] = {"winner": winner, "equiv": None}
+        winner_jobs.append((i, ni, tkeys[winset], occmax,
+                            bool(need_equiv[ni])))
     _mark("host_replay")
 
-    # Equivalence gather (master trees only): one match pass compacts,
-    # ascending, every column of the winning tuples with maximal
-    # occurrence. The winner bits for ALL tuple-regime nodes ride in its
-    # fetch (or in one standalone fetch on equiv-free levels).
-    bits_cols = np.array([winners[ni] for ni in winner_nodes], np.int64)
+    # Winner resolution: pure reductions for every node (min matching
+    # global column — the reference's selected rule); equivalence-set
+    # compaction only for master trees. One fetch serves both.
     if winner_jobs:
-        _run_equiv_gather(out, winner_jobs, winners, matrix, masks_t,
-                          train_t, radix_t, n_kmers, sb, excl_dev, stream,
-                          bits_cols=bits_cols, bits_nodes=winner_nodes,
-                          bits_out=out)
-        _mark("equiv(%d)" % len(winner_jobs))
-    elif winner_nodes:
-        packed = _gather_winner_bits(bits_cols, matrix, stream)
-        _attach_winner_bits(out, winner_nodes, packed,
-                            train_t.shape[1] * 32)
-        _mark("winner_bits")
+        _resolve_winners(out, winner_jobs, masks_t, train_t, radix_t,
+                         sb, stream)
+        _mark("winners(%d)" % len(winner_jobs))
 
 
-def _gather_winner_bits(cols, matrix, stream):
-    """Packed winner columns (M, W): device gather, or host slice for
-    host-resident streams. Returns a device value (fetch it with another
-    pending fetch when possible — each device_get is a round trip)."""
-    cols = np.asarray(cols, np.int64)
-    if stream is not None and not hasattr(stream, "matrix"):
-        return np.ascontiguousarray(stream.host[:, cols].T)
-    from ..ops.popcount import _gather_columns
+def _resolve_winners(out, winner_jobs, masks_t, train_t, radix_t, sb,
+                     stream):
+    """Winner (all nodes, reductions) + equivalence sets (masters,
+    compaction) in one device round trip.
 
-    src = matrix if matrix is not None else stream.matrix
-    b = 1
-    while b < len(cols):
-        b *= 2
-    padded = np.zeros(b, np.int64)
-    padded[: len(cols)] = cols
-    return _gather_columns(src, jnp.asarray(padded))[: len(cols)]
-
-
-def _attach_winner_bits(out, winner_nodes, packed, n_rows):
-    from ..utils import unpack_binary_bytes_from_ints
-
-    dense = unpack_binary_bytes_from_ints(
-        np.asarray(packed).T)[:n_rows]  # (n_rows, M)
-    for j, ni in enumerate(winner_nodes):
-        out[ni]["bits"] = dense[:, j]
-
-
-def _run_equiv_gather(out, winner_jobs, winners, matrix, masks_t, train_t,
-                      radix_t, n_kmers, sb, excl_dev, stream,
-                      bits_cols=None, bits_nodes=None, bits_out=None):
-    """Equivalent-rule sets for master-tree nodes: one ascending match
-    pass over the winning tuples with maximal occurrence. Winner-column
-    bits for the whole frontier ride in the first fetch. Budget overflow
-    escalates x8 for the overflowing nodes only."""
+    ``winner_jobs``: (slot, node, winning tuple keys, occmax, keep_equiv).
+    The winner is the minimum global column among columns whose tuple is
+    in the winning set with maximal occurrence — computed as a min
+    reduction (scatter-free; per-element scatters cost ~90M updates/s on
+    v5e and dominated earlier designs). Masters additionally compact the
+    full ascending match list (the equivalent-rule set), escalating the
+    budget x8 on overflow.
+    """
     tmax = _bucket(max(len(j[2]) for j in winner_jobs), lo=4)
     mb = _bucket(len(winner_jobs), lo=4)
     sel_rows = np.zeros(mb, np.int64)
     tset = np.full((mb, tmax), -1, np.int32)
     occmax_v = np.zeros(mb, np.int32)
     active = np.zeros(mb, bool)
-    for j, (i, ni, keys, om) in enumerate(winner_jobs):
+    for j, (i, ni, tk, om, _) in enumerate(winner_jobs):
         sel_rows[j] = i
-        tset[j, : len(keys)] = keys
+        tset[j, : len(tk)] = tk
         occmax_v[j] = om
         active[j] = True
-
     md = _dense_masks(jnp.asarray(masks_t[sel_rows]),
                       jnp.asarray(train_t[sel_rows]))
     radix_d = jnp.asarray(radix_t[sel_rows])
     tset_d = jnp.asarray(tset)
     occmax_d = jnp.asarray(occmax_v)
+    active_d = jnp.asarray(active)
 
+    best = jnp.full((mb,), 0xFFFFFFFF, jnp.uint32)
+    count = jnp.zeros((mb,), jnp.int32)
+    for chunk, exc, base in stream.chunks():
+        best, count = _winner_chunk(
+            chunk, md, radix_d, tset_d, occmax_d, active_d, best, count,
+            base, exc, sb, tmax)
+
+    # Masters: equivalence compaction on their own (smaller) bucket.
+    ejobs = [j for j, job in enumerate(winner_jobs) if job[4]]
+    e_cols_d = e_total_d = None
     budget = 4096
-    pending = list(range(len(winner_jobs)))
-    bits_pending = bits_cols is not None and len(bits_cols)
-    while pending:
-        active_d = jnp.asarray(active)
-        cursor = jnp.zeros((mb,), jnp.int32)
-        cols_c = jnp.full((mb, budget), -1, jnp.int32)
-        for chunk, exc, base in stream.chunks():
-            cursor, cols_c = _equiv_chunk(
-                chunk, md, radix_d, tset_d, occmax_d, active_d,
-                cursor, cols_c, base, exc, sb, budget, tmax)
-        if bits_pending:
-            packed = _gather_winner_bits(bits_cols, matrix, stream)
-            cols_np, total_np, packed = jax.device_get(
-                (cols_c, cursor, packed))
-            _attach_winner_bits_later = (packed, bits_nodes)
-            bits_pending = False
-        else:
-            cols_np, total_np = jax.device_get((cols_c, cursor))
-        still = []
-        for j in pending:
-            i, ni, keys, om = winner_jobs[j]
-            if total_np[j] > budget:
-                still.append(j)
+    if ejobs:
+        etmax = _bucket(max(len(winner_jobs[j][2]) for j in ejobs), lo=4)
+        eb = _bucket(len(ejobs), lo=4)
+        e_rows = np.zeros(eb, np.int64)
+        e_tset = np.full((eb, etmax), -1, np.int32)
+        e_occ = np.zeros(eb, np.int32)
+        e_act = np.zeros(eb, bool)
+        for k, j in enumerate(ejobs):
+            i, ni, tk, om, _ = winner_jobs[j]
+            e_rows[k] = i
+            e_tset[k, : len(tk)] = tk
+            e_occ[k] = om
+            e_act[k] = True
+        e_md = _dense_masks(jnp.asarray(masks_t[e_rows]),
+                            jnp.asarray(train_t[e_rows]))
+        e_radix = jnp.asarray(radix_t[e_rows])
+        e_tset_d = jnp.asarray(e_tset)
+        e_occ_d = jnp.asarray(e_occ)
+
+        def run_equiv(bud, act):
+            cursor = jnp.zeros((eb,), jnp.int32)
+            cols_c = jnp.full((eb, bud), -1, jnp.int32)
+            for chunk, exc, base in stream.chunks():
+                cursor, cols_c = _equiv_chunk(
+                    chunk, e_md, e_radix, e_tset_d, e_occ_d,
+                    jnp.asarray(act), cursor, cols_c, base, exc, sb,
+                    bud, etmax)
+            return cols_c, cursor
+
+        e_cols_d, e_total_d = run_equiv(budget, e_act)
+
+    # ONE fetch for winners + equivalence sets.
+    if ejobs:
+        best_np, count_np, e_cols, e_total = jax.device_get(
+            (best, count, e_cols_d, e_total_d))
+    else:
+        best_np, count_np = jax.device_get((best, count))
+
+    for j, (i, ni, tk, om, keep_equiv) in enumerate(winner_jobs):
+        if count_np[j] == 0:
+            # Cannot happen (a winning tuple has >= 1 column); never hand
+            # the tree a broken payload.
+            continue
+        out[ni] = {"winner": int(best_np[j]), "equiv": None}
+
+    if ejobs:
+        pending = []
+        for k, j in enumerate(ejobs):
+            i, ni, tk, om, _ = winner_jobs[j]
+            if e_total[k] > budget:
+                pending.append(k)
                 continue
-            cc = cols_np[j]
-            out[ni] = {"winner": winners[ni],
-                       "equiv": cc[cc >= 0].astype(np.int64)}
-            active[j] = False
-        if still:
+            cc = e_cols[k]
+            if out[ni] is not None:
+                out[ni]["equiv"] = cc[cc >= 0].astype(np.int64)
+        while pending:
             budget *= 8
-        pending = still
-    if bits_cols is not None and len(bits_cols):
-        packed, nodes = _attach_winner_bits_later
-        _attach_winner_bits(bits_out, nodes, packed,
-                            train_t.shape[1] * 32)
+            for k in range(eb):
+                e_act[k] = k in pending
+            e_cols_d, e_total_d = run_equiv(budget, e_act)
+            e_cols, e_total = jax.device_get((e_cols_d, e_total_d))
+            still = []
+            for k in pending:
+                i, ni, tk, om, _ = winner_jobs[ejobs[k]]
+                if e_total[k] > budget:
+                    still.append(k)
+                    continue
+                cc = e_cols[k]
+                if out[ni] is not None:
+                    out[ni]["equiv"] = cc[cc >= 0].astype(np.int64)
+            pending = still
 
 
 def _run_gather_regime(out, g_idx, matrix, masks, train_masks, n_node,

@@ -736,21 +736,28 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
     priors_d = jnp.asarray(priors_t)
     totals_d = jnp.asarray(totals_t)
 
+    sync = dbg == "2"
+
     # Pass 1: per-node float32 minima (pure reduction — no scatter).
     gmin = jnp.full((nb,), jnp.inf, jnp.float32)
     for chunk, exc, base in stream.chunks():
         gmin = _gather1_chunk(chunk, md, n_node_d, priors_d, totals_d,
                               active_d, gmin, exc, sb, crit)
+    if sync:
+        jax.device_get(gmin[:1])
+        _mark("pass1_sync")
     thresh = _thresh_from_gmin(gmin, jnp.float32(c))
 
     # Pass 2: margin-filtered tuple tables (scatter volume = near-minimum
-    # mass, not NB x K); pass 2b: per-tuple min column among
-    # occurrence-maximal columns (same filtered volume).
+    # mass, not NB x K).
     occtab = jnp.zeros((nb * S_MAX,), jnp.uint32)
     for chunk, exc, base in stream.chunks():
         occtab = _tuple_scatter_chunk(
             chunk, md, radix_d, n_node_d, priors_d, totals_d, active_d,
             thresh, occtab, base, exc, sb, S_MAX, crit)
+    if sync:
+        jax.device_get(occtab[:1])
+        _mark("pass2_sync")
     keys_d, occ_d, npres_d = _tuple_compact(occtab, S_MAX, p)
     _mark("sweeps")
     keys, occs, npres = jax.device_get((keys_d, occ_d, npres_d))

@@ -114,10 +114,10 @@ def main():
                               test_m["risk"][0],
                               len(model.decision_tree.rules)))
     for k in sorted(STATS):
+        extra = ("nodes=%d" % COUNTS[k + "_nodes"]
+                 if k + "_nodes" in COUNTS else "")
         print("  %-22s %8.2fs  calls=%-6d %s" % (
-            k, STATS[k], COUNTS[k],
-            "nodes=%d" % COUNTS["pass1_nodes"] if k == "pass1" else
-            "pairs=%d" % COUNTS["pass2_pairs"] if k == "pass2" else ""))
+            k, STATS[k], COUNTS[k], extra))
     print("  distinct jit input shapes: %d" % len(shapes_seen))
     for s in sorted(shapes_seen, key=str)[:40]:
         print("    %s" % (s,))

@@ -58,6 +58,8 @@ class FrontierRequest:
     train_idx: object = None     # the tree's training examples (tiebreaker)
     need_equiv: bool = True      # gather full equivalent-rule tie sets
                                  # (False for fold trees: no split_callback)
+    occ_tiebreak: bool = True    # reference max-occurrence tiebreaker; False
+                                 # = identity (first candidate wins)
 
 
 @dataclass
@@ -168,6 +170,8 @@ def service_frontier_request(request):
                 [request.train_idx] * len(request.node_sets),
                 excl=request.excl, mesh=request.mesh,
                 need_equiv=[request.need_equiv] * len(request.node_sets),
+                occ_tiebreak=[request.occ_tiebreak]
+                * len(request.node_sets),
             )
         ]
     if request.mesh is not None:
@@ -252,6 +256,12 @@ class DecisionTreeClassifier:
         need_equiv = split_callback is not None
         if split_callback is None:
             split_callback = lambda x, y: None
+        # The exact device engine replays the tiebreak itself, so it must
+        # know which semantics apply: the reference's max-occurrence rule
+        # (accepts_occurrences) or the identity default (first candidate).
+        # Arbitrary custom tiebreakers cannot be replayed device-side.
+        occ_tiebreak = getattr(tiebreaker, "accepts_occurrences", False)
+        custom_tiebreaker = tiebreaker is not None and not occ_tiebreak
         if tiebreaker is None:
             tiebreaker = lambda x: x
         if rule_blacklist is None:
@@ -355,9 +365,7 @@ class DecisionTreeClassifier:
             (cart.py:219-250): the winning rule + its equivalence set,
             WITHOUT the column fetch (the caller batches one fetch for the
             whole frontier). Returns (selected_rule_idx or None,
-            best_rules_idx, winner_column_bits or None — the exact engine
-            ships the winning column's dense bits with the payload so no
-            fetch is needed at all)."""
+            best_rules_idx)."""
             node_example_idx = node.class_examples_idx
 
             if (isinstance(device_result, tuple)
@@ -381,12 +389,11 @@ class DecisionTreeClassifier:
                         if equiv is not None
                         else np.array([selected_rule_idx])
                     )
-                    return (selected_rule_idx, best_rules_idx,
-                            payload.get("bits"))
+                    return selected_rule_idx, best_rules_idx
                 vals = _score_candidates(node_example_idx, payload["left"])
                 vmin = np.min(vals)
                 if vmin == np.inf:
-                    return None, None, None
+                    return None, None
                 tie_sel = vals == vmin
                 candidate_rules_idx = payload["cols"][tie_sel]
                 if getattr(tiebreaker, "accepts_occurrences", False):
@@ -397,23 +404,23 @@ class DecisionTreeClassifier:
                         occurrences=payload["occ"][tie_sel])
                 else:
                     best_rules_idx = tiebreaker(candidate_rules_idx)
-                return int(best_rules_idx[0]), best_rules_idx, None
+                return int(best_rules_idx[0]), best_rules_idx
             elif device_result is not None:
                 best, score = device_result
                 if best is None:
-                    return None, None, None
-                return best, np.array([best]), None
+                    return None, None
+                return best, np.array([best])
             else:
                 rules_criterion = score_rules(node_example_idx)
                 if len(rule_blacklist):
                     rules_criterion[rule_blacklist] = np.inf
                 if np.min(rules_criterion) == np.inf:
-                    return None, None, None
+                    return None, None
                 candidate_rules_idx = np.where(
                     rules_criterion == np.min(rules_criterion)
                 )[0]
                 best_rules_idx = tiebreaker(candidate_rules_idx)
-                return int(best_rules_idx[0]), best_rules_idx, None
+                return int(best_rules_idx[0]), best_rules_idx
 
         def _dispatch_examples(node, rule_preds):
             """Dispatch half: split the node's examples on the fetched
@@ -462,6 +469,14 @@ class DecisionTreeClassifier:
             self.engine in ("device", "device-argmax") and blacklist_ok
         )
         exact_engine = self.engine == "device"
+        if exact_engine and use_device and custom_tiebreaker:
+            raise ValueError(
+                "engine='device' replays the reference tiebreak semantics "
+                "(max occurrence, or the identity default) on the host; a "
+                "custom tiebreaker callable cannot be replayed exactly — "
+                "use engine='host' or mark the callable with "
+                "accepts_occurrences if it implements the reference rule."
+            )
         tree_train_idx = np.hstack(
             [example_idx[c] for c in classes]
         ) if classes else np.array([], np.int64)
@@ -496,6 +511,7 @@ class DecisionTreeClassifier:
                     exact=exact_engine,
                     train_idx=tree_train_idx,
                     need_equiv=need_equiv,
+                    occ_tiebreak=occ_tiebreak,
                 )
             # Phase 1: select every node's winning rule (host, no fetch).
             selections = []
@@ -505,14 +521,12 @@ class DecisionTreeClassifier:
                     None if device_results is None
                     else device_results[node_i],
                 ))
-            # Phase 2: ONE batched column fetch for the frontier nodes
-            # whose winning bits did not already ride back with the exact
-            # payload — per-node fetches each pay a device round trip (or,
-            # on the HDF5 path, a full gzip-chunk inflate per packed row).
+            # Phase 2: ONE batched column fetch for the whole frontier —
+            # per-node fetches each pay a device round trip (or, on the
+            # HDF5 path, a full gzip-chunk inflate per packed row).
             # Device-engine trees yield the fetch so the forest driver
             # batches it across ALL trees of the round.
-            sel_cols = [s for s, _, bits in selections
-                        if s is not None and bits is None]
+            sel_cols = [s for s, _ in selections if s is not None]
             if not sel_cols:
                 col_block = None
             elif use_device:
@@ -525,15 +539,11 @@ class DecisionTreeClassifier:
             # Phase 3: dispatch children.
             nodes_to_split = deque()
             for node_i, node in enumerate(splittable):
-                selected_rule_idx, equivalent_rule_idx, bits = (
-                    selections[node_i])
+                selected_rule_idx, equivalent_rule_idx = selections[node_i]
                 if selected_rule_idx is None:
                     continue
-                if bits is not None:
-                    rule_preds = bits
-                else:
-                    rule_preds = col_block[:, col_pos]
-                    col_pos += 1
+                rule_preds = col_block[:, col_pos]
+                col_pos += 1
                 left_idx, right_idx = _dispatch_examples(node, rule_preds)
 
                 node.rule = rules[selected_rule_idx]

@@ -95,10 +95,11 @@ def _gather_columns(matrix, cols):
 
     Same wide-slice trick as scm_grid._fetch_columns: single-column takes
     on the minor axis make XLA materialize a relaid-out matrix copy, while
-    (W, B) dynamic_slices lower to a cheap gather.
+    (W, B) dynamic_slices lower to a cheap gather. B is kept small: the
+    vmapped intermediate is (C, W, B) — B times the output size.
     """
     w, k = matrix.shape
-    b = min(1024, k)
+    b = min(256, k)
 
     def take_block(c):
         start = jnp.clip(c, 0, k - b).astype(jnp.int32)
@@ -369,15 +370,26 @@ class BitMatrix:
         if (cols < 0).any() or (cols >= self.n_columns).any():
             raise IndexError("column index out of range")
         n = len(cols)
-        bucket = 1
-        while bucket < n:
-            bucket *= 2
-        padded = np.zeros(bucket, np.int64)
-        padded[:n] = cols
-        packed = np.asarray(_gather_columns(self.data, jnp.asarray(padded)))
-        # (bucket, W) uint32 -> (32W, bucket) bits, MSB-first per word.
+        # Chunk big requests: the gather's vmapped intermediate is ~256x
+        # the output size, and whole-grid prefetches can ask for
+        # thousands of columns next to a resident matrix near the HBM
+        # budget. All chunks fetch in ONE device_get (one round trip).
+        chunk = 2048
+        parts = []
+        for lo in range(0, n, chunk):
+            sub = cols[lo:lo + chunk]
+            bucket = 1
+            while bucket < len(sub):
+                bucket *= 2
+            padded = np.zeros(bucket, np.int64)
+            padded[: len(sub)] = sub
+            parts.append(
+                _gather_columns(self.data, jnp.asarray(padded))[: len(sub)])
+        packed = np.concatenate(
+            [np.asarray(x) for x in jax.device_get(parts)], axis=0)
+        # (n, W) uint32 -> (32W, n) bits, MSB-first per word.
         from ..utils import unpack_binary_bytes_from_ints
 
-        dense = unpack_binary_bytes_from_ints(packed[:n].T)
+        dense = unpack_binary_bytes_from_ints(packed.T)
         return dense[: self.n_rows]
 

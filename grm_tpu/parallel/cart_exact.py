@@ -180,6 +180,21 @@ def _tuple_compact(occtab, s, p):
     return keys, occ_out, pres.sum(axis=1).astype(jnp.int32)
 
 
+def _tuple_match(key, tset, tmax):
+    """(M, B) bool: key matches any of the node's winning tuples.
+
+    Broadcast-compared in 32-wide slabs: an unrolled per-key Python loop
+    emits tmax HLOs (tie sets can escalate to thousands of tuples — the
+    compile-blowup class this module already hit once), while one full
+    (M, B, tmax) broadcast can transiently exceed memory."""
+    m, b = key.shape
+    match = jnp.zeros((m, b), bool)
+    for t0 in range(0, tmax, 32):
+        ts = tset[:, t0:t0 + 32]
+        match = match | (key[:, :, None] == ts[:, None, :]).any(axis=-1)
+    return match
+
+
 @partial(jax.jit, static_argnames=("sb", "tmax"), donate_argnums=(6, 7))
 def _winner_chunk(chunk, md, radix, tset, occmax, active, best, count,
                   col_base, excl_chunk, sb, tmax):
@@ -194,10 +209,9 @@ def _winner_chunk(chunk, md, radix, tset, occmax, active, best, count,
         best, count = carry
         ccounts, occ, col, valid = at(b)
         key = _mixed_radix_key(ccounts, radix)
-        match = jnp.zeros((m, sb), bool)
-        for t in range(tmax):
-            match = match | (key == tset[:, t][:, None])
-        sel = valid & match & (occ == occmax[:, None])
+        match = _tuple_match(key, tset, tmax)
+        occ_ok = (occmax[:, None] < 0) | (occ == occmax[:, None])
+        sel = valid & match & occ_ok
         colb = jnp.where(sel, jnp.broadcast_to(
             col[None, :].astype(jnp.uint32), (m, sb)),
             jnp.uint32(0xFFFFFFFF))
@@ -412,10 +426,9 @@ def _equiv_chunk(chunk, md, radix, tset, occmax, active, cursor, cols,
         cursor, cols = carry
         ccounts, occ, col, valid = at(b)
         key = _mixed_radix_key(ccounts, radix)
-        match = jnp.zeros_like(valid)
-        for t in range(tmax):
-            match = match | (key == tset[:, t][:, None])
-        sel = valid & match & (occ == occmax[:, None])
+        match = _tuple_match(key, tset, tmax)
+        occ_ok = (occmax[:, None] < 0) | (occ == occmax[:, None])
+        sel = valid & match & occ_ok
         pos = cursor[:, None] + jnp.cumsum(sel, axis=1) - 1
         tgt = jnp.where(sel & (pos < budget), pos, budget)
         sbw = col.shape[0]
@@ -526,6 +539,18 @@ class _DeviceStream:
                    jnp.int32(lo))
 
 
+def _cached_device_stream(bit_matrix, matrix, n_kmers, excl):
+    """Per-(matrix, blacklist) cached device-slicing stream."""
+    excl_key = None if excl is None else np.asarray(excl, bool).tobytes()
+    cache = getattr(bit_matrix, "_dev_stream_cache", None)
+    if cache is None:
+        cache = bit_matrix._dev_stream_cache = {}
+    stream = cache.get(excl_key)
+    if stream is None:
+        stream = cache[excl_key] = _DeviceStream(matrix, n_kmers, excl)
+    return stream
+
+
 def _bucket(x, lo=8):
     b = lo
     while b < x:
@@ -579,7 +604,7 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
                              total_n_examples_by_class, criterion,
                              train_example_idx, excl=None, mesh=None,
                              sb=8192, tuple_budget=4096, gather_budget=4096,
-                             need_equiv=None):
+                             need_equiv=None, occ_tiebreak=None):
     """Exact-selection data for a BFS frontier.
 
     ``node_example_sets``: per-node {class: example idx} dicts.
@@ -611,6 +636,8 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
     classes = sorted(totals_l[0]) if n else []
     if need_equiv is None:
         need_equiv = [True] * n
+    if occ_tiebreak is None:
+        occ_tiebreak = [True] * n
     train_masks = np.stack([
         build_packed_mask(idx, bit_matrix.n_rows, w)
         for idx in train_example_idx
@@ -630,15 +657,8 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
             # Big resident matrix: per-chunk programs (device-sliced) —
             # the whole-matrix programs' block scans stop compiling
             # tractably past a few hundred superblocks.
-            excl_key = (None if excl is None
-                        else np.asarray(excl, bool).tobytes())
-            cache = getattr(bit_matrix, "_dev_stream_cache", None)
-            if cache is None:
-                cache = bit_matrix._dev_stream_cache = {}
-            stream = cache.get(excl_key)
-            if stream is None:
-                stream = cache[excl_key] = _DeviceStream(
-                    matrix, n_kmers, excl)
+            stream = _cached_device_stream(bit_matrix, matrix, n_kmers,
+                                           excl)
             matrix = None
             sb = stream.sb
         elif excl is not None:
@@ -676,19 +696,12 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
         # tractably past a few hundred superblocks).
         t_stream = stream
         if t_stream is None:
-            excl_key = (None if excl is None
-                        else np.asarray(excl, bool).tobytes())
-            cache = getattr(bit_matrix, "_dev_stream_cache", None)
-            if cache is None:
-                cache = bit_matrix._dev_stream_cache = {}
-            t_stream = cache.get(excl_key)
-            if t_stream is None:
-                t_stream = cache[excl_key] = _DeviceStream(
-                    matrix, n_kmers, excl)
+            t_stream = _cached_device_stream(bit_matrix, matrix, n_kmers,
+                                             excl)
         _run_tuple_regime(
             out, t_idx, matrix, masks, train_masks, n_node, n_kmers,
             t_stream.sb, tuple_budget, crit, classes, priors_l, totals_l,
-            need_equiv, excl_dev, t_stream, priors, totals)
+            need_equiv, excl_dev, t_stream, priors, totals, occ_tiebreak)
     if len(g_idx):
         _run_gather_regime(
             out, g_idx, matrix, masks, train_masks, n_node, priors, totals,
@@ -700,7 +713,7 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
 def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
                       n_kmers, sb, budget, crit, classes, priors_l,
                       totals_l, need_equiv, excl_dev, stream,
-                      priors, totals):
+                      priors, totals, occ_tiebreak):
     c = masks.shape[1]
     nb = _bucket(len(t_idx))
     masks_t = _pad_rows(masks[t_idx], nb)
@@ -813,10 +826,18 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
         if vmin == np.inf:
             continue
         tie = vals == vmin
-        occmax = int(toccs[tie].max())
-        # Host tiebreaker is np.isclose(occ, occ.max()) — exact equality
-        # for integer occurrences up to ~1e5 (n_genomes <= 5022).
-        winset = tie & (toccs == occmax)
+        if occ_tiebreak[ni]:
+            # Reference tiebreak: np.isclose(occ, occ.max()) — exact
+            # equality for integer occurrences up to ~1e5 (n_genomes <=
+            # 5022).
+            occmax = int(toccs[tie].max())
+            winset = tie & (toccs == occmax)
+        else:
+            # Identity tiebreak (fit() default): first candidate wins —
+            # the minimum column over ALL minimum-score tuples; sentinel
+            # -1 disables the occurrence condition in the match programs.
+            occmax = -1
+            winset = tie
         winner_jobs.append((i, ni, tkeys[winset], occmax,
                             bool(need_equiv[ni])))
     _mark("host_replay")
@@ -956,8 +977,8 @@ def _run_gather_regime(out, g_idx, matrix, masks, train_masks, n_node,
         train_g = _pad_rows(train_masks[pending], nb)
         n_node_g = _pad_rows(n_node[pending], nb)
         priors_g = _pad_rows(priors[pending], nb)
-        totals_g = _pad_rows(np.maximum(totals[pending], 1.0), nb)
-        totals_g[totals_g == 0] = 1.0
+        totals_g = _pad_rows(totals[pending], nb)
+        totals_g[totals_g == 0] = 1.0  # padded/zero-total rows: no NaN
         active = np.zeros(nb, bool)
         active[: len(pending)] = True
 

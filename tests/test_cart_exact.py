@@ -321,3 +321,68 @@ def test_cart_exact_device_stream_matches_monolith(tmp_path, monkeypatch):
     streamed = _fingerprint(learn_CART(engine="device", **kwargs))
     assert streamed == mono
     assert used, "device stream did not engage"
+
+
+def test_cart_exact_identity_tiebreaker_matches_host(tmp_path):
+    """fit() without a tiebreaker uses the identity default (first
+    candidate wins, regardless of occurrences); the exact engine must
+    replay THAT, not hardcode the max-occurrence rule (review r4)."""
+    from grm_tpu.dataset import GrmDataset
+    from grm_tpu.learning.cart import DecisionTreeClassifier
+    from grm_tpu.learning.rules import (KmerRuleClassifications,
+                                        LazyKmerRuleList)
+
+    n_genomes = 24
+    labels = np.zeros(n_genomes, np.uint8)
+    labels[12:] = 1
+    rng = np.random.RandomState(4)
+    dense = (rng.rand(n_genomes, 60) > 0.5).astype(np.uint8)
+    # Root split on a noisy marker; at the depth-1 node, cols 20 and 40
+    # have IDENTICAL left-count tuples (both separate the node perfectly,
+    # exact impurity tie) but different full-set occurrences: identity
+    # tiebreak picks col 20 (lower), the reference occurrence rule picks
+    # col 40.
+    root = labels.copy()
+    root[[0, 23]] ^= 1  # noisy so children stay impure
+    dense[:, 5] = root
+    node = np.where(root == 1)[0]          # the depth-1 "present" child
+    off = np.where(root == 0)[0]
+    pattern = np.zeros(n_genomes, np.uint8)
+    pattern[node[labels[node] == 1]] = 1   # node's class-1 members
+    # Off-node padding makes both columns mediocre ROOT splits (so col 5
+    # wins the root) without touching their identical node tuples; the
+    # padding sizes differ, so their occurrences differ.
+    dense[:, 20] = pattern
+    dense[off[:6], 20] = 1                 # occ = 11 + 6
+    dense[:, 40] = pattern.copy()
+    dense[off, 40] = 1                     # occ = 11 + 12
+    ds = _write_ds(tmp_path, dense, labels, "idtb", n_folds=2, seed=2)
+    dataset = GrmDataset(ds)
+    rules = LazyKmerRuleList(dataset)
+    rc = KmerRuleClassifications(dataset)
+    lbl = dataset.phenotype.metadata
+    idx_all = np.arange(n_genomes)
+    example_idx = {c: idx_all[lbl == c] for c in range(2)}
+
+    def grown(engine):
+        clf = DecisionTreeClassifier(
+            criterion="gini", max_depth=2, min_samples_split=2,
+            class_importance={0: 1.0, 1: 1.0}, engine=engine)
+        clf.fit(rules, rc, {c: v.copy() for c, v in example_idx.items()})
+        return [(r.kmer_index, r.type) for r in clf.decision_tree.rules]
+
+    host = grown("host")
+    dev = grown("device")
+    assert host == dev
+    # The construction must actually discriminate: at least one of the
+    # engineered columns is selected somewhere in the tree.
+    assert any(k in (20, 40) for k, _ in host)
+
+    # Custom (non-reference) tiebreakers cannot be replayed device-side:
+    # loud error, not silent divergence.
+    clf = DecisionTreeClassifier(
+        criterion="gini", max_depth=2, min_samples_split=2,
+        class_importance={0: 1.0, 1: 1.0}, engine="device")
+    with pytest.raises(ValueError, match="tiebreaker"):
+        clf.fit(rules, rc, {c: v.copy() for c, v in example_idx.items()},
+                tiebreaker=lambda idx: idx[::-1])

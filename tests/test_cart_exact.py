@@ -386,3 +386,95 @@ def test_cart_exact_identity_tiebreaker_matches_host(tmp_path):
     with pytest.raises(ValueError, match="tiebreaker"):
         clf.fit(rules, rc, {c: v.copy() for c, v in example_idx.items()},
                 tiebreaker=lambda idx: idx[::-1])
+
+
+def test_engine_budget_escalations_match_default(tmp_path):
+    """Tiny compaction/equiv budgets must escalate transparently: payloads
+    identical to the default-budget run (tuple-table overflow rows, equiv
+    x8 re-gathers)."""
+    from grm_tpu.dataset import GrmDataset
+    from grm_tpu.parallel.cart_exact import cart_frontier_candidates
+
+    rng = np.random.RandomState(3)
+    n_genomes, n_kmers = 30, 400
+    dense = (rng.rand(n_genomes, n_kmers) > 0.5).astype(np.uint8)
+    labels = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
+    # many duplicated marker columns -> big tie/equivalence sets
+    # Two DISTINCT perfect-split tuples (labels and its complement), each
+    # duplicated 20x: the minimum-score tuple set has 2 entries (so a
+    # tuple_budget of 1 must escalate) and the equivalence set spans all
+    # 40 columns.
+    for c in range(40, 60):
+        dense[:, c] = labels
+    for c in range(60, 80):
+        dense[:, c] = 1 - labels
+    ds = _write_ds(tmp_path, dense, labels, "esc", seed=3)
+    dataset = GrmDataset(ds)
+    labels = dataset.phenotype.metadata  # from_tsv sorts genomes by label
+    bm = dataset.bit_matrix()
+    idx = np.arange(n_genomes)
+    node = {0: idx[labels == 0], 1: idx[labels == 1]}
+    priors = {0: 0.5, 1: 0.5}
+    totals = {0: float(len(node[0])), 1: float(len(node[1]))}
+    args = (bm, [node], priors, totals, "gini", [idx])
+
+    def norm(p):
+        return (p["winner"], None if p["equiv"] is None
+                else sorted(int(x) for x in p["equiv"]))
+
+    # from_tsv permutes k-mer columns: recover the planted columns'
+    # matrix indices by value.
+    X = dataset.get_matrix_columns(np.arange(n_kmers))
+    pos_cols = [c for c in range(n_kmers) if (X[:, c] == labels).all()]
+    neg_cols = [c for c in range(n_kmers) if (X[:, c] == 1 - labels).all()]
+    assert len(pos_cols) == 20 and len(neg_cols) == 20
+    # Both tuples tie at gini 0; the occurrence tiebreak keeps the group
+    # with more train-set presences (all 40 when the classes balance).
+    n1, n0 = int(labels.sum()), int((1 - labels).sum())
+    if n1 > n0:
+        expected = pos_cols
+    elif n0 > n1:
+        expected = neg_cols
+    else:
+        expected = sorted(pos_cols + neg_cols)
+
+    base = cart_frontier_candidates(*args)
+    tiny = cart_frontier_candidates(*args, tuple_budget=1)
+    assert norm(base[0]) == norm(tiny[0])
+    assert sorted(int(x) for x in base[0]["equiv"]) == expected
+    assert base[0]["winner"] == min(expected)
+
+
+def test_engine_gather_regime_budget_escalation(tmp_path):
+    """Nodes with a count lattice larger than S_MAX take the gather
+    regime; a tiny gather budget must escalate to identical payloads."""
+    from grm_tpu.dataset import GrmDataset
+    from grm_tpu.parallel.cart_exact import S_MAX, cart_frontier_candidates
+
+    rng = np.random.RandomState(9)
+    n_genomes, n_kmers = 600, 120
+    dense = (rng.rand(n_genomes, n_kmers) > 0.5).astype(np.uint8)
+    labels = (np.arange(n_genomes) >= 300).astype(np.uint8)
+    col = labels.copy()
+    col[rng.choice(n_genomes, 30, replace=False)] ^= 1
+    dense[:, 7] = col
+    dense[:, 8] = dense[:, 7]
+    ds = _write_ds(tmp_path, dense, labels, "gbig", seed=9)
+    dataset = GrmDataset(ds)
+    labels = dataset.phenotype.metadata  # genomes sorted by label
+    bm = dataset.bit_matrix()
+    idx = np.arange(n_genomes)
+    node = {0: idx[labels == 0], 1: idx[labels == 1]}
+    assert (len(node[0]) + 1) * (len(node[1]) + 1) > S_MAX  # gather regime
+    priors = {0: 0.5, 1: 0.5}
+    totals = {0: 300.0, 1: 300.0}
+    args = (bm, [node], priors, totals, "gini", [idx])
+
+    base = cart_frontier_candidates(*args)
+    tiny = cart_frontier_candidates(*args, gather_budget=2)
+    assert base[0] is not None and "cols" in base[0]
+    np.testing.assert_array_equal(base[0]["cols"], tiny[0]["cols"])
+    np.testing.assert_array_equal(base[0]["occ"], tiny[0]["occ"])
+    for cl in base[0]["left"]:
+        np.testing.assert_array_equal(base[0]["left"][cl],
+                                      tiny[0]["left"][cl])

@@ -2,7 +2,7 @@
 
 The headline metric is the full learn wall-clock at the published-median
 dataset scale (BASELINE.md: 342 genomes x 9.6M k-mers, 5-fold CV over the
-default 2 model-type x 8 p grid, max 10 rules; reference median 355 s of
+default 2 model-type x 10 p grid, max 10 rules; reference median 355 s of
 `kover learn` wall-clock, bin/kover/kover:554-575) — dataset open, HDF5
 matrix read, device upload, exact-engine CV, full train, predictions,
 bound, and report writes, gate to gate. The exact device engine selects
@@ -39,7 +39,10 @@ import time
 import numpy as np
 
 REFERENCE_MEDIAN_LEARN_SECONDS = 355.0  # BASELINE.md, page/results/summary.json
-P_GRID = [0.1, 0.316, 0.562, 1.0, 1.778, 3.162, 10.0, 999999.0]
+# The reference's full DEFAULT_P (src/kover.py:183-194): 10 values, so the
+# default CV workload is 2 model-types x 10 p x folds = 100 fits at 5 folds.
+P_GRID = [0.1, 0.178, 0.316, 0.562, 1.0, 1.778, 3.162, 5.623, 10.0,
+          999999.0]
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 sys.path.insert(0, REPO)
@@ -648,7 +651,7 @@ def main():
     cart_value = cart_median = None
     if os.environ.get("BENCH_CART_E2E", "1") != "0":
         try:
-            cart_runs = int(os.environ.get("BENCH_CART_RUNS", max(1, runs - 1)))
+            cart_runs = int(os.environ.get("BENCH_CART_RUNS", runs))
             cart_value, cart_median = bench_cart_e2e(
                 ds_path, n_kmers, cart_runs)
         except Exception as e:

@@ -25,7 +25,8 @@ from time import time
 import numpy as np
 
 # The reference's default p-value grid (bin/kover/kover:460, src/kover.py:183-194).
-DEFAULT_P = [0.1, 0.316, 0.562, 1.0, 1.778, 3.162, 10.0, 999999.0]
+DEFAULT_P = [0.1, 0.178, 0.316, 0.562, 1.0, 1.778, 3.162, 5.623, 10.0,
+             999999.0]
 
 
 def _default_engine():

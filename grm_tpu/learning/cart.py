@@ -380,7 +380,7 @@ class DecisionTreeClassifier:
                 #   reach the minimum; selection replays here.
                 payload = device_result[1]
                 if payload is None:
-                    return None, None, None
+                    return None, None
                 if "winner" in payload:
                     selected_rule_idx = int(payload["winner"])
                     equiv = payload.get("equiv")

@@ -289,51 +289,6 @@ def _gather_pass(matrix, masks, train_masks, n_node, priors, totals, active,
     return cols, cnts, occs, total, gmin
 
 
-@partial(jax.jit, static_argnames=("sb", "budget", "tmax"))
-def _equiv_gather(matrix, masks, train_masks, radix, tset, occmax, active,
-                  n_kmers, sb, budget, tmax, excl=None):
-    """All columns whose tuple is in the winning set with maximal
-    occurrence — the equivalent-rule tie set, ascending.
-
-    tset (M, tmax) int32 winning tuple keys (-1 pad); occmax (M,) int32.
-    Returns (cols (M, budget) int32 [-1 pad], total (M,)).
-    """
-    m, c, w = masks.shape
-    kp = matrix.shape[1]
-    nsb = kp // sb
-    md = _unpack_words(
-        jnp.concatenate([masks, train_masks[:, None, :]], axis=1)
-        .reshape(m * (c + 1), w).T
-    ).T
-    rowidx = jnp.arange(m, dtype=jnp.int32)[:, None]
-
-    def sweep(carry, b):
-        cursor, cols = carry
-        ccounts, occ, col = _block_counts(matrix, md, m, c, b, sb)
-        key = _mixed_radix_key(ccounts, radix)
-        valid = (col < n_kmers)[None, :] & active[:, None]
-        if excl is not None:
-            eb = jax.lax.dynamic_slice(excl, (b * sb,), (sb,))
-            valid = valid & ~eb[None, :]
-        match = jnp.zeros((m, sb), bool)
-        for t in range(tmax):
-            match = match | (key == tset[:, t][:, None])
-        sel = valid & match & (occ == occmax[:, None])
-        pos = cursor[:, None] + jnp.cumsum(sel, axis=1) - 1
-        tgt = jnp.where(sel & (pos < budget), pos, budget)
-        cols = cols.at[rowidx, tgt].set(
-            jnp.broadcast_to(col[None, :], (m, sb)), mode="drop")
-        cursor = cursor + sel.sum(axis=1).astype(jnp.int32)
-        return (cursor, cols), None
-
-    (total, cols), _ = jax.lax.scan(
-        sweep,
-        (jnp.zeros((m,), jnp.int32),
-         jnp.full((m, budget), -1, jnp.int32)),
-        jnp.arange(nsb))
-    return cols, total
-
-
 # -- streamed (out-of-core) chunk programs ----------------------------------
 #
 # For matrices past the HBM budget (host-resident StreamingBitMatrix) the

@@ -478,3 +478,29 @@ def test_engine_gather_regime_budget_escalation(tmp_path):
     for cl in base[0]["left"]:
         np.testing.assert_array_equal(base[0]["left"][cl],
                                       tiny[0]["left"][cl])
+
+
+def test_cart_exact_device_unsplittable_impure_node(tmp_path):
+    """A node that is impure (mixed labels) but unsplittable (every column
+    constant across its examples) must yield a leaf on BOTH engines, not
+    crash (regression: the device payload-None branch returned a 3-tuple
+    into 2-value unpacking). Reference: learners/cart.py:219-250 returns
+    no-split when min criterion is inf."""
+    rng = np.random.RandomState(11)
+    n_genomes, n_kmers = 24, 40
+    # All-zero matrix: every column constant within every node.
+    dense = np.zeros((n_genomes, n_kmers), np.uint8)
+    labels = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
+    if labels.min() == labels.max():  # keep the node impure
+        labels[0] = 1 - labels[0]
+    ds = _write_ds(tmp_path, dense, labels, "unsplit", seed=11)
+    kwargs = dict(
+        dataset_file=ds, split_name="sp", criterion=["gini"],
+        max_depth=[3], min_samples_split=[2],
+        class_importance=[{0: 1.0, 1: 1.0}],
+        parameter_selection="cv",
+    )
+    host = _fingerprint(learn_CART(engine="host", **kwargs))
+    dev = _fingerprint(learn_CART(engine="device", **kwargs))
+    assert host == dev
+    assert host["rules"] == []  # root stayed a leaf

@@ -145,9 +145,12 @@ def _write_metadata(f, genome_ids, phenotype_description, phenotype_metadata_pat
             phenotype_metadata_path, genome_ids, warning_callback, error_callback
         )
         f.attrs["classification_type"] = classification_type
-        # Sort genomes by label for optimal performance (create.py:190-194);
-        # stable sort for deterministic tie order.
-        sorter = np.argsort(labels, kind="stable")
+        # Sort genomes by label for optimal performance (create.py:190-194).
+        # The reference uses np.argsort's DEFAULT introsort, whose
+        # equal-label order is deterministic but not stable — matched
+        # exactly here so artifacts are byte-identical to the executed
+        # reference (tests/test_reference_oracle.py).
+        sorter = np.argsort(labels)
         genome_ids = genome_ids[sorter]
         labels = labels[sorter]
         phenotype = f.create_dataset(

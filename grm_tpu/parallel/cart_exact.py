@@ -157,27 +157,63 @@ def _take_table_rows(occtab, rows, s):
     return occtab.reshape(-1, s)[rows]
 
 
-@partial(jax.jit, static_argnames=("s", "p"))
-def _tuple_compact(occtab, s, p):
-    """Ascending present (near-minimum) tuples: (key, occmax).
+@partial(jax.jit, static_argnames=("sb", "t_budget", "criterion"),
+         donate_argnums=(8, 9, 10))
+def _distinct_chunk(chunk, md, radix, n_node, priors, totals, active,
+                    thresh, keys_tab, occ_tab, over, col_base, excl_chunk,
+                    sb, t_budget, criterion):
+    """Near-minimum DISTINCT tuple keys by pure reduction (no scatter).
 
-    Cumsum-based compaction — a lax.sort over (N, 65536) costs tens of
-    seconds on v5e (~0.5M elements/ms); the prefix-sum scatter is
-    milliseconds and preserves ascending key order.
+    The margin-filtered scatter-table pass cost O(nodes x columns) scatter
+    updates at ~90M/s on v5e (7-15 s/level at median scale) even though
+    non-hits scattered no-op values — a scatter processes every index
+    regardless. But the tuple regime's whole premise is that near-minimum
+    mass collapses to FEW distinct tuples (millions of tied columns share
+    one count tuple), so the set we actually need — distinct near-min keys
+    with their per-key max train occurrence — is tiny. This pass extracts
+    up to ``t_budget`` of them per node with iterated min/max REDUCTIONS
+    (the op class this rig measures fastest) and merges across blocks in
+    (N, 2T) registers. Nodes with more distinct near-min tuples than the
+    budget set ``over`` and escalate to the scatter-table path.
+
+    keys_tab (N, T) int32 ascending distinct keys (S_MAX pad); occ_tab
+    (N, T) int32 per-key max occurrence (-1 pad); over (N,) bool.
     """
-    n = occtab.shape[0] // s
-    rowidx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    occ2 = occtab.reshape(n, s)
-    pres = occ2 > 0
-    pos = jnp.cumsum(pres, axis=1) - 1
-    tgt = jnp.where(pres & (pos < p), pos, p)
-    tvals = jnp.broadcast_to(jnp.arange(s, dtype=jnp.int32)[None, :],
-                             (n, s))
-    keys = jnp.full((n, p), s, jnp.int32).at[rowidx, tgt].set(
-        tvals, mode="drop")
-    occ_out = jnp.full((n, p), -1, jnp.int32).at[rowidx, tgt].set(
-        occ2.astype(jnp.int32) - 1, mode="drop")
-    return keys, occ_out, pres.sum(axis=1).astype(jnp.int32)
+    n, c = radix.shape
+    nsb = chunk.shape[1] // sb
+    at = _chunk_blocks(chunk, md, n, c, sb, col_base, excl_chunk, active)
+    sent = jnp.int32(S_MAX)  # keys are mixed-radix < S_MAX
+
+    def extract(keys, occs, width):
+        """T smallest distinct keys of (n, width) + per-key occ maxima."""
+        cur = keys
+        out_k, out_o = [], []
+        for _ in range(t_budget):
+            m = cur.min(axis=1)
+            o = jnp.where(keys == m[:, None], occs, -1).max(axis=1)
+            out_k.append(m)
+            out_o.append(o)
+            cur = jnp.where(keys == m[:, None], sent, cur)
+        rem = (cur != sent).any(axis=1)
+        return jnp.stack(out_k, 1), jnp.stack(out_o, 1), rem
+
+    def body(carry, b):
+        keys_tab, occ_tab, over = carry
+        ccounts, occ, col, valid = at(b)
+        score = _scores_f32(ccounts, n_node, priors, totals, criterion)
+        hit = valid & (score <= thresh[:, None])
+        key = jnp.where(hit, _mixed_radix_key(ccounts, radix), sent)
+        occm = jnp.where(hit, occ, -1)
+        bkeys, boccs, brem = extract(key, occm, sb)
+        mkeys, moccs, mrem = extract(
+            jnp.concatenate([keys_tab, bkeys], axis=1),
+            jnp.concatenate([occ_tab, boccs], axis=1), 2 * t_budget)
+        over = over | brem | mrem
+        return (mkeys, moccs, over), None
+
+    (keys_tab, occ_tab, over), _ = jax.lax.scan(
+        body, (keys_tab, occ_tab, over), jnp.arange(nsb))
+    return keys_tab, occ_tab, over
 
 
 def _tuple_match(key, tset, tmax):
@@ -696,7 +732,6 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
                   % (label, now - t0, len(t_idx)), flush=True)
             t0 = now
 
-    p = min(S_MAX, budget)
     md = _dense_masks(jnp.asarray(masks_t), jnp.asarray(train_t))
     radix_d = jnp.asarray(radix_t)
     active_d = jnp.asarray(active)
@@ -716,31 +751,50 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
         _mark("pass1_sync")
     thresh = _thresh_from_gmin(gmin, jnp.float32(c))
 
-    # Pass 2: margin-filtered tuple tables (scatter volume = near-minimum
-    # mass, not NB x K).
-    occtab = jnp.zeros((nb * S_MAX,), jnp.uint32)
+    # Pass 2: near-minimum DISTINCT tuple extraction — pure reductions
+    # (the old margin-filtered scatter table cost O(nodes x columns)
+    # scatter updates, 7-15 s/level; this is reduction-only like pass 1).
+    t_budget = max(1, min(budget, int(_os.environ.get(
+        "GRM_TUPLE_DISTINCT_BUDGET", 16))))
+    keys_tab = jnp.full((nb, t_budget), S_MAX, jnp.int32)
+    occ_tab = jnp.full((nb, t_budget), -1, jnp.int32)
+    over_d = jnp.zeros((nb,), bool)
     for chunk, exc, base in stream.chunks():
-        occtab = _tuple_scatter_chunk(
+        keys_tab, occ_tab, over_d = _distinct_chunk(
             chunk, md, radix_d, n_node_d, priors_d, totals_d, active_d,
-            thresh, occtab, base, exc, sb, S_MAX, crit)
+            thresh, keys_tab, occ_tab, over_d, base, exc, sb, t_budget,
+            crit)
     if sync:
-        jax.device_get(occtab[:1])
+        jax.device_get(over_d[:1])
         _mark("pass2_sync")
-    keys_d, occ_d, npres_d = _tuple_compact(occtab, S_MAX, p)
-    _mark("sweeps")
-    keys, occs, npres = jax.device_get((keys_d, occ_d, npres_d))
-    _mark("compact_fetch")
+    keys, occs, over_np = jax.device_get((keys_tab, occ_tab, over_d))
+    _mark("extract_fetch")
 
-    # Escalation: nodes with more near-minimum tuples than the compaction
-    # budget read their full table rows off the device-resident table.
+    # Escalation: nodes with more distinct near-min tuples than the
+    # budget run the scatter-table path on their own (small) bucket.
     full_rows = {}
-    over = [i for i in range(len(t_idx)) if npres[i] > p]
+    over = [i for i in range(len(t_idx)) if over_np[i]]
     if over:
-        rb = _bucket(len(over), lo=4)
-        rows = np.zeros(rb, np.int32)
-        rows[: len(over)] = over
+        ob = _bucket(len(over), lo=4)
+        sel = np.zeros(ob, np.int64)
+        sel[: len(over)] = over
+        o_act = np.zeros(ob, bool)
+        o_act[: len(over)] = True
+        o_md = _dense_masks(jnp.asarray(masks_t[sel]),
+                            jnp.asarray(train_t[sel]))
+        o_radix = jnp.asarray(radix_t[sel])
+        o_nn = jnp.asarray(n_node_t[sel])
+        o_pr = jnp.asarray(priors_t[sel])
+        o_to = jnp.asarray(totals_t[sel])
+        o_thresh = thresh[jnp.asarray(sel)]
+        occtab = jnp.zeros((ob * S_MAX,), jnp.uint32)
+        for chunk, exc, base in stream.chunks():
+            occtab = _tuple_scatter_chunk(
+                chunk, o_md, o_radix, o_nn, o_pr, o_to,
+                jnp.asarray(o_act), o_thresh, occtab, base, exc, sb,
+                S_MAX, crit)
         occ_rows = jax.device_get(_take_table_rows(
-            occtab, jnp.asarray(rows), S_MAX))
+            occtab, jnp.arange(ob, dtype=np.int32), S_MAX))
         for j, i in enumerate(over):
             full_rows[i] = occ_rows[j]
     _mark("escalation(%d)" % len(over))
@@ -759,9 +813,9 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
             tkeys = np.where(pres)[0].astype(np.int64)
             toccs = occ_row[pres].astype(np.int64) - 1
         else:
-            k = int(npres[i])
-            tkeys = keys[i, :k].astype(np.int64)
-            toccs = occs[i, :k].astype(np.int64)
+            pres = keys[i] < S_MAX
+            tkeys = keys[i][pres].astype(np.int64)
+            toccs = occs[i][pres].astype(np.int64)
         if len(tkeys) == 0:
             continue
         # Mixed-radix decode (inverse of _mixed_radix_key).

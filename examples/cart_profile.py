@@ -89,6 +89,16 @@ def main():
     cart_experiment.prune_tree = cart_mod.prune_tree
     cart_experiment._predictions = timed(
         "cv_predictions", cart_experiment._predictions)
+    from grm_tpu.parallel import cart_forest as _cf
+    _cf.grow_trees_batched = timed("grow_trees_batched",
+                                   _cf.grow_trees_batched)
+    cart_experiment.grow_trees_batched = _cf.grow_trees_batched
+    cart_experiment._ColumnCache.__init__ = timed(
+        "column_cache_prefetch", cart_experiment._ColumnCache.__init__)
+    artifact.GrmDataset.bit_matrix = timed(
+        "artifact_bit_matrix", artifact.GrmDataset.bit_matrix)
+    cart_experiment._learn_pruned_tree_cv = timed(
+        "learn_pruned_tree_cv", cart_experiment._learn_pruned_tree_cv)
     # cart_forest imports service_frontier_request at module import time
     from grm_tpu.parallel import cart_forest
     cart_forest.service_frontier_request = cart_mod.service_frontier_request

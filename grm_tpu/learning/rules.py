@@ -22,6 +22,16 @@ __all__ = ["LazyKmerRuleList", "KmerRuleClassifications"]
 
 from .models import KmerRule
 
+# Process-wide caches for lazy sequence lookups (see
+# LazyKmerRuleList._read_blocked): sequences keyed by (path, kmer_idx)
+# — the HP grid's 16 rule lists resolve the SAME winners, so the cache
+# must outlive any one list — and chunk blocks under a byte-budget LRU
+# (~31 MB/block at the artifact writer's 1M-entry chunking).
+_SEQ_CACHE = {}
+_BLOCK_CACHE = {}
+_BLOCK_CACHE_BUDGET = 512 << 20
+_block_cache_bytes = 0
+
 
 class LazyKmerRuleList:
     """Virtual list of 2K rules: first half presence, second half absence.
@@ -30,19 +40,50 @@ class LazyKmerRuleList:
     :class:`KmerRule` with the k-mer sequence looked up lazily.
     """
 
+    # Whole-chunk reads: a single-element fancy read of a gzip-chunked
+    # HDF5 dataset inflates the WHOLE chunk anyway (1M-entry chunks at
+    # bench scale ~ 31 MB of S31 per k-mer looked up; measured 55 s of a
+    # 114 s CART e2e in per-winner lookups). Reading chunk-aligned blocks
+    # once and serving from a small process-wide cache (shared across the
+    # HP grid's per-combo rule lists) makes repeat winners free.
+
     def __init__(self, dataset):
         self._dataset = dataset
         self._n_kmers = dataset.kmer_count
         self.n_rules = self._n_kmers * 2
-        self._seq_cache = {}
+
+    def _read_blocked(self, f, name, idx):
+        global _block_cache_bytes
+        ds = f[name]
+        chunk = ds.chunks[0] if ds.chunks else ds.shape[0]
+        lo = (int(idx) // chunk) * chunk
+        key = (str(self._dataset.path), name, lo)
+        blk = _BLOCK_CACHE.get(key)
+        if blk is None:
+            blk = ds[lo: lo + chunk]
+            _block_cache_bytes += blk.nbytes
+            while _BLOCK_CACHE and _block_cache_bytes > _BLOCK_CACHE_BUDGET:
+                old = _BLOCK_CACHE.pop(next(iter(_BLOCK_CACHE)))
+                _block_cache_bytes -= old.nbytes
+            _BLOCK_CACHE[key] = blk
+        else:
+            # refresh recency (dicts preserve insertion order -> the
+            # first key is always the least recently used)
+            _BLOCK_CACHE.pop(key)
+            _BLOCK_CACHE[key] = blk
+        return blk[int(idx) - lo]
 
     def _sequence(self, kmer_idx):
-        if kmer_idx not in self._seq_cache:
+        key = (str(self._dataset.path), int(kmer_idx))
+        seq = _SEQ_CACHE.get(key)
+        if seq is None:
             with self._dataset.open() as f:
-                kmer_by_col = f["kmer_by_matrix_column"][kmer_idx]
-                seq = f["kmer_sequences"][kmer_by_col]
-            self._seq_cache[kmer_idx] = seq.decode() if isinstance(seq, bytes) else str(seq)
-        return self._seq_cache[kmer_idx]
+                kmer_by_col = self._read_blocked(
+                    f, "kmer_by_matrix_column", kmer_idx)
+                raw = self._read_blocked(f, "kmer_sequences", kmer_by_col)
+            seq = raw.decode() if isinstance(raw, bytes) else str(raw)
+            _SEQ_CACHE[key] = seq
+        return seq
 
     def __getitem__(self, idx):
         idx = int(idx)

@@ -157,11 +157,14 @@ def _take_table_rows(occtab, rows, s):
     return occtab.reshape(-1, s)[rows]
 
 
+_COL_SENT = np.int32(0x7FFFFFFF)
+
+
 @partial(jax.jit, static_argnames=("sb", "t_budget", "criterion"),
-         donate_argnums=(8, 9, 10))
+         donate_argnums=(8, 9, 10, 11, 12))
 def _distinct_chunk(chunk, md, radix, n_node, priors, totals, active,
-                    thresh, keys_tab, occ_tab, over, col_base, excl_chunk,
-                    sb, t_budget, criterion):
+                    thresh, keys_tab, occ_tab, cocc_tab, cany_tab, over,
+                    col_base, excl_chunk, sb, t_budget, criterion):
     """Near-minimum DISTINCT tuple keys by pure reduction (no scatter).
 
     The margin-filtered scatter-table pass cost O(nodes x columns) scatter
@@ -170,50 +173,75 @@ def _distinct_chunk(chunk, md, radix, n_node, priors, totals, active,
     regardless. But the tuple regime's whole premise is that near-minimum
     mass collapses to FEW distinct tuples (millions of tied columns share
     one count tuple), so the set we actually need — distinct near-min keys
-    with their per-key max train occurrence — is tiny. This pass extracts
-    up to ``t_budget`` of them per node with iterated min/max REDUCTIONS
-    (the op class this rig measures fastest) and merges across blocks in
-    (N, 2T) registers. Nodes with more distinct near-min tuples than the
-    budget set ``over`` and escalate to the scatter-table path.
+    with their per-key max train occurrence and winning columns — is tiny.
+    This pass extracts up to ``t_budget`` of them per node with iterated
+    min/max REDUCTIONS (the op class this rig measures fastest) and merges
+    across blocks in (N, 2T) registers. Nodes with more distinct near-min
+    tuples than the budget set ``over`` and escalate to the scatter-table
+    path.
+
+    Per distinct key the pass carries everything the host selection needs,
+    so no separate winner pass over the matrix is required afterwards:
+
+    - ``occ_tab``  — max train occurrence over the key's columns;
+    - ``cocc_tab`` — min GLOBAL column among columns at that max
+      occurrence (the reference's occurrence-tiebreak winner);
+    - ``cany_tab`` — min column over ALL the key's columns (the identity
+      tiebreak of a bare ``fit()``).
 
     keys_tab (N, T) int32 ascending distinct keys (S_MAX pad); occ_tab
-    (N, T) int32 per-key max occurrence (-1 pad); over (N,) bool.
+    (N, T) int32 (-1 pad); cocc_tab/cany_tab (N, T) int32 (_COL_SENT
+    pad); over (N,) bool.
     """
     n, c = radix.shape
     nsb = chunk.shape[1] // sb
     at = _chunk_blocks(chunk, md, n, c, sb, col_base, excl_chunk, active)
     sent = jnp.int32(S_MAX)  # keys are mixed-radix < S_MAX
+    csent = jnp.int32(_COL_SENT)
 
-    def extract(keys, occs, width):
-        """T smallest distinct keys of (n, width) + per-key occ maxima."""
+    def extract(keys, occs, coccs, canys):
+        """T smallest distinct keys + per-key (occmax, mincol@occmax,
+        mincol). ``coccs`` entries are only valid at their row's occ
+        value; ``canys`` always."""
         cur = keys
-        out_k, out_o = [], []
+        out_k, out_o, out_co, out_ca = [], [], [], []
         for _ in range(t_budget):
             m = cur.min(axis=1)
-            o = jnp.where(keys == m[:, None], occs, -1).max(axis=1)
+            sel = keys == m[:, None]
+            o = jnp.where(sel, occs, -1).max(axis=1)
+            co = jnp.where(sel & (occs == o[:, None]), coccs,
+                           csent).min(axis=1)
+            ca = jnp.where(sel, canys, csent).min(axis=1)
             out_k.append(m)
             out_o.append(o)
-            cur = jnp.where(keys == m[:, None], sent, cur)
+            out_co.append(co)
+            out_ca.append(ca)
+            cur = jnp.where(sel, sent, cur)
         rem = (cur != sent).any(axis=1)
-        return jnp.stack(out_k, 1), jnp.stack(out_o, 1), rem
+        return (jnp.stack(out_k, 1), jnp.stack(out_o, 1),
+                jnp.stack(out_co, 1), jnp.stack(out_ca, 1), rem)
 
     def body(carry, b):
-        keys_tab, occ_tab, over = carry
+        keys_tab, occ_tab, cocc_tab, cany_tab, over = carry
         ccounts, occ, col, valid = at(b)
         score = _scores_f32(ccounts, n_node, priors, totals, criterion)
         hit = valid & (score <= thresh[:, None])
         key = jnp.where(hit, _mixed_radix_key(ccounts, radix), sent)
         occm = jnp.where(hit, occ, -1)
-        bkeys, boccs, brem = extract(key, occm, sb)
-        mkeys, moccs, mrem = extract(
+        colm = jnp.broadcast_to(col[None, :], (n, sb))
+        bkeys, boccs, bcocc, bcany, brem = extract(key, occm, colm, colm)
+        mkeys, moccs, mcocc, mcany, mrem = extract(
             jnp.concatenate([keys_tab, bkeys], axis=1),
-            jnp.concatenate([occ_tab, boccs], axis=1), 2 * t_budget)
+            jnp.concatenate([occ_tab, boccs], axis=1),
+            jnp.concatenate([cocc_tab, bcocc], axis=1),
+            jnp.concatenate([cany_tab, bcany], axis=1))
         over = over | brem | mrem
-        return (mkeys, moccs, over), None
+        return (mkeys, moccs, mcocc, mcany, over), None
 
-    (keys_tab, occ_tab, over), _ = jax.lax.scan(
-        body, (keys_tab, occ_tab, over), jnp.arange(nsb))
-    return keys_tab, occ_tab, over
+    carry, _ = jax.lax.scan(
+        body, (keys_tab, occ_tab, cocc_tab, cany_tab, over),
+        jnp.arange(nsb))
+    return carry
 
 
 def _tuple_match(key, tset, tmax):
@@ -758,16 +786,19 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
         "GRM_TUPLE_DISTINCT_BUDGET", 16))))
     keys_tab = jnp.full((nb, t_budget), S_MAX, jnp.int32)
     occ_tab = jnp.full((nb, t_budget), -1, jnp.int32)
+    cocc_tab = jnp.full((nb, t_budget), _COL_SENT, jnp.int32)
+    cany_tab = jnp.full((nb, t_budget), _COL_SENT, jnp.int32)
     over_d = jnp.zeros((nb,), bool)
     for chunk, exc, base in stream.chunks():
-        keys_tab, occ_tab, over_d = _distinct_chunk(
+        keys_tab, occ_tab, cocc_tab, cany_tab, over_d = _distinct_chunk(
             chunk, md, radix_d, n_node_d, priors_d, totals_d, active_d,
-            thresh, keys_tab, occ_tab, over_d, base, exc, sb, t_budget,
-            crit)
+            thresh, keys_tab, occ_tab, cocc_tab, cany_tab, over_d, base,
+            exc, sb, t_budget, crit)
     if sync:
         jax.device_get(over_d[:1])
         _mark("pass2_sync")
-    keys, occs, over_np = jax.device_get((keys_tab, occ_tab, over_d))
+    keys, occs, coccs, canys, over_np = jax.device_get(
+        (keys_tab, occ_tab, cocc_tab, cany_tab, over_d))
     _mark("extract_fetch")
 
     # Escalation: nodes with more distinct near-min tuples than the
@@ -805,9 +836,12 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
     # the filter together — occ maxima are over the full tuple).
     from ..learning.cart import score_candidates_f64
 
-    winner_jobs = []  # (slot i, node ni, T keys, occmax, keep_equiv)
+    winner_jobs = []  # escalated: (slot i, node ni, T keys, occmax, equiv?)
+    equiv_jobs = []   # tuple-path masters: (slot i, node ni, keys, occmax)
     for i, ni in enumerate(t_idx):
-        if i in full_rows:
+        esc = i in full_rows
+        tcocc = tcany = None
+        if esc:
             occ_row = full_rows[i]
             pres = occ_row > 0
             tkeys = np.where(pres)[0].astype(np.int64)
@@ -816,6 +850,8 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
             pres = keys[i] < S_MAX
             tkeys = keys[i][pres].astype(np.int64)
             toccs = occs[i][pres].astype(np.int64)
+            tcocc = coccs[i][pres].astype(np.int64)
+            tcany = canys[i][pres].astype(np.int64)
         if len(tkeys) == 0:
             continue
         # Mixed-radix decode (inverse of _mixed_radix_key).
@@ -847,31 +883,50 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
             # -1 disables the occurrence condition in the match programs.
             occmax = -1
             winset = tie
-        winner_jobs.append((i, ni, tkeys[winset], occmax,
-                            bool(need_equiv[ni])))
+        if esc:
+            # Scatter-table rows carry no column info; winner + equiv
+            # resolve in a dedicated reduction pass.
+            winner_jobs.append((i, ni, tkeys[winset], occmax,
+                                bool(need_equiv[ni])))
+            continue
+        # The extraction pass already carried each key's winning column,
+        # so the winner is pure host math — no device pass:
+        # min col at max occurrence over the winning tuples (reference
+        # experiment_cart.py:82-94 then best_rules_idx[0]).
+        if occ_tiebreak[ni]:
+            wincol = int(tcocc[winset].min())
+        else:
+            wincol = int(tcany[winset].min())
+        out[ni] = {"winner": wincol, "equiv": None}
+        if need_equiv[ni]:
+            equiv_jobs.append((i, ni, tkeys[winset], occmax))
     _mark("host_replay")
 
-    # Winner resolution: pure reductions for every node (min matching
-    # global column — the reference's selected rule); equivalence-set
-    # compaction only for master trees. One fetch serves both.
+    # Escalated nodes: winner by min-reduction match (+ equiv for their
+    # masters) in a dedicated pass. Tuple-path masters only compact their
+    # equivalence sets — fold trees need no device pass at all here.
     if winner_jobs:
         _resolve_winners(out, winner_jobs, masks_t, train_t, radix_t,
                          sb, stream)
         _mark("winners(%d)" % len(winner_jobs))
+    if equiv_jobs:
+        _resolve_equiv(out, equiv_jobs, masks_t, train_t, radix_t, sb,
+                       stream)
+        _mark("equiv(%d)" % len(equiv_jobs))
 
 
 def _resolve_winners(out, winner_jobs, masks_t, train_t, radix_t, sb,
                      stream):
-    """Winner (all nodes, reductions) + equivalence sets (masters,
-    compaction) in one device round trip.
+    """Escalated-node winners by min-reduction match.
 
     ``winner_jobs``: (slot, node, winning tuple keys, occmax, keep_equiv).
     The winner is the minimum global column among columns whose tuple is
     in the winning set with maximal occurrence — computed as a min
     reduction (scatter-free; per-element scatters cost ~90M updates/s on
-    v5e and dominated earlier designs). Masters additionally compact the
-    full ascending match list (the equivalent-rule set), escalating the
-    budget x8 on overflow.
+    v5e and dominated earlier designs). Only nodes escalated to the
+    scatter-table path reach here (the extraction pass carries winning
+    columns for everyone else); their masters' equivalence sets follow
+    via :func:`_resolve_equiv`.
     """
     tmax = _bucket(max(len(j[2]) for j in winner_jobs), lo=4)
     mb = _bucket(len(winner_jobs), lo=4)
@@ -897,48 +952,7 @@ def _resolve_winners(out, winner_jobs, masks_t, train_t, radix_t, sb,
         best, count = _winner_chunk(
             chunk, md, radix_d, tset_d, occmax_d, active_d, best, count,
             base, exc, sb, tmax)
-
-    # Masters: equivalence compaction on their own (smaller) bucket.
-    ejobs = [j for j, job in enumerate(winner_jobs) if job[4]]
-    e_cols_d = e_total_d = None
-    budget = 4096
-    if ejobs:
-        etmax = _bucket(max(len(winner_jobs[j][2]) for j in ejobs), lo=4)
-        eb = _bucket(len(ejobs), lo=4)
-        e_rows = np.zeros(eb, np.int64)
-        e_tset = np.full((eb, etmax), -1, np.int32)
-        e_occ = np.zeros(eb, np.int32)
-        e_act = np.zeros(eb, bool)
-        for k, j in enumerate(ejobs):
-            i, ni, tk, om, _ = winner_jobs[j]
-            e_rows[k] = i
-            e_tset[k, : len(tk)] = tk
-            e_occ[k] = om
-            e_act[k] = True
-        e_md = _dense_masks(jnp.asarray(masks_t[e_rows]),
-                            jnp.asarray(train_t[e_rows]))
-        e_radix = jnp.asarray(radix_t[e_rows])
-        e_tset_d = jnp.asarray(e_tset)
-        e_occ_d = jnp.asarray(e_occ)
-
-        def run_equiv(bud, act):
-            cursor = jnp.zeros((eb,), jnp.int32)
-            cols_c = jnp.full((eb, bud), -1, jnp.int32)
-            for chunk, exc, base in stream.chunks():
-                cursor, cols_c = _equiv_chunk(
-                    chunk, e_md, e_radix, e_tset_d, e_occ_d,
-                    jnp.asarray(act), cursor, cols_c, base, exc, sb,
-                    bud, etmax)
-            return cols_c, cursor
-
-        e_cols_d, e_total_d = run_equiv(budget, e_act)
-
-    # ONE fetch for winners + equivalence sets.
-    if ejobs:
-        best_np, count_np, e_cols, e_total = jax.device_get(
-            (best, count, e_cols_d, e_total_d))
-    else:
-        best_np, count_np = jax.device_get((best, count))
+    best_np, count_np = jax.device_get((best, count))
 
     for j, (i, ni, tk, om, keep_equiv) in enumerate(winner_jobs):
         if count_np[j] == 0:
@@ -947,32 +961,75 @@ def _resolve_winners(out, winner_jobs, masks_t, train_t, radix_t, sb,
             continue
         out[ni] = {"winner": int(best_np[j]), "equiv": None}
 
+    ejobs = [(i, ni, tk, om) for (i, ni, tk, om, keep) in winner_jobs
+             if keep]
     if ejobs:
-        pending = []
-        for k, j in enumerate(ejobs):
-            i, ni, tk, om, _ = winner_jobs[j]
+        _resolve_equiv(out, ejobs, masks_t, train_t, radix_t, sb, stream)
+
+
+def _resolve_equiv(out, equiv_jobs, masks_t, train_t, radix_t, sb, stream):
+    """Equivalence-set compaction for master trees.
+
+    ``equiv_jobs``: (slot, node, winning tuple keys, occmax). Compacts the
+    full ascending list of columns matching the winning tuples at max
+    occurrence (the reference's equivalent-rule set), escalating the
+    budget x8 on overflow. Fold trees never reach here.
+    """
+    budget = 4096
+    etmax = _bucket(max(len(tk) for _, _, tk, _ in equiv_jobs), lo=4)
+    eb = _bucket(len(equiv_jobs), lo=4)
+    e_rows = np.zeros(eb, np.int64)
+    e_tset = np.full((eb, etmax), -1, np.int32)
+    e_occ = np.zeros(eb, np.int32)
+    e_act = np.zeros(eb, bool)
+    for k, (i, ni, tk, om) in enumerate(equiv_jobs):
+        e_rows[k] = i
+        e_tset[k, : len(tk)] = tk
+        e_occ[k] = om
+        e_act[k] = True
+    e_md = _dense_masks(jnp.asarray(masks_t[e_rows]),
+                        jnp.asarray(train_t[e_rows]))
+    e_radix = jnp.asarray(radix_t[e_rows])
+    e_tset_d = jnp.asarray(e_tset)
+    e_occ_d = jnp.asarray(e_occ)
+
+    def run_equiv(bud, act):
+        cursor = jnp.zeros((eb,), jnp.int32)
+        cols_c = jnp.full((eb, bud), -1, jnp.int32)
+        for chunk, exc, base in stream.chunks():
+            cursor, cols_c = _equiv_chunk(
+                chunk, e_md, e_radix, e_tset_d, e_occ_d,
+                jnp.asarray(act), cursor, cols_c, base, exc, sb,
+                bud, etmax)
+        return cols_c, cursor
+
+    e_cols_d, e_total_d = run_equiv(budget, e_act)
+    e_cols, e_total = jax.device_get((e_cols_d, e_total_d))
+
+    pending = []
+    for k, (i, ni, tk, om) in enumerate(equiv_jobs):
+        if e_total[k] > budget:
+            pending.append(k)
+            continue
+        cc = e_cols[k]
+        if out[ni] is not None:
+            out[ni]["equiv"] = cc[cc >= 0].astype(np.int64)
+    while pending:
+        budget *= 8
+        for k in range(eb):
+            e_act[k] = k in pending
+        e_cols_d, e_total_d = run_equiv(budget, e_act)
+        e_cols, e_total = jax.device_get((e_cols_d, e_total_d))
+        still = []
+        for k in pending:
+            i, ni, tk, om = equiv_jobs[k]
             if e_total[k] > budget:
-                pending.append(k)
+                still.append(k)
                 continue
             cc = e_cols[k]
             if out[ni] is not None:
                 out[ni]["equiv"] = cc[cc >= 0].astype(np.int64)
-        while pending:
-            budget *= 8
-            for k in range(eb):
-                e_act[k] = k in pending
-            e_cols_d, e_total_d = run_equiv(budget, e_act)
-            e_cols, e_total = jax.device_get((e_cols_d, e_total_d))
-            still = []
-            for k in pending:
-                i, ni, tk, om, _ = winner_jobs[ejobs[k]]
-                if e_total[k] > budget:
-                    still.append(k)
-                    continue
-                cc = e_cols[k]
-                if out[ni] is not None:
-                    out[ni]["equiv"] = cc[cc >= 0].astype(np.int64)
-            pending = still
+        pending = still
 
 
 def _run_gather_regime(out, g_idx, matrix, masks, train_masks, n_node,

@@ -60,6 +60,27 @@ class FrontierRequest:
                                  # (False for fold trees: no split_callback)
     occ_tiebreak: bool = True    # reference max-occurrence tiebreaker; False
                                  # = identity (first candidate wins)
+    defer_equiv: bool = False    # exact engine: return winning-tuple specs
+                                 # instead of compacting equivalence sets
+                                 # now (resolved once for the chosen master
+                                 # via cart_exact.resolve_equiv_specs)
+
+
+@dataclass
+class DeferredEquiv:
+    """Placeholder equivalence set injected by split callbacks when the
+    exact engine defers compaction: carries the winning tuple keys +
+    occmax needed to resolve the real column set later (only the
+    finally-selected master's sets are consumed —
+    experiment_cart.py:636-638)."""
+
+    keys: object   # (T,) int64 winning tuple keys
+    occmax: int    # max train occurrence (-1 = identity tiebreak)
+
+    def __iter__(self):  # defensive: never silently iterate as indices
+        raise TypeError(
+            "DeferredEquiv must be resolved via "
+            "cart_exact.resolve_equiv_specs before use")
 
 
 @dataclass
@@ -172,6 +193,8 @@ def service_frontier_request(request):
                 need_equiv=[request.need_equiv] * len(request.node_sets),
                 occ_tiebreak=[request.occ_tiebreak]
                 * len(request.node_sets),
+                defer_equiv=[request.defer_equiv]
+                * len(request.node_sets),
             )
         ]
     if request.mesh is not None:
@@ -193,7 +216,7 @@ def service_frontier_request(request):
 
 class DecisionTreeClassifier:
     def __init__(self, criterion, max_depth, min_samples_split, class_importance,
-                 engine="host", mesh=None):
+                 engine="host", mesh=None, defer_equiv=False):
         supported_criteria = ["gini", "cross-entropy"]
         if criterion not in supported_criteria:
             raise ValueError(
@@ -221,6 +244,10 @@ class DecisionTreeClassifier:
         # frontier scoring shards the k-mer columns over the mesh
         # (cart_frontier_splits_sharded).
         self.mesh = mesh
+        # Defer equivalence-set compaction (exact engine only): split
+        # callbacks receive DeferredEquiv specs; the experiment resolves
+        # the chosen master's sets once at the end.
+        self.defer_equiv = bool(defer_equiv) and engine == "device"
         self.decision_tree = None
 
     def fit(self, rules, rule_classifications, example_idx, rule_blacklist=None,
@@ -383,6 +410,10 @@ class DecisionTreeClassifier:
                     return None, None
                 if "winner" in payload:
                     selected_rule_idx = int(payload["winner"])
+                    spec = payload.get("equiv_spec")
+                    if spec is not None:
+                        return selected_rule_idx, DeferredEquiv(
+                            np.asarray(spec[0], np.int64), int(spec[1]))
                     equiv = payload.get("equiv")
                     best_rules_idx = (
                         np.asarray(equiv, dtype=np.int64)
@@ -512,6 +543,7 @@ class DecisionTreeClassifier:
                     train_idx=tree_train_idx,
                     need_equiv=need_equiv,
                     occ_tiebreak=occ_tiebreak,
+                    defer_equiv=self.defer_equiv,
                 )
             # Phase 1: select every node's winning rule (host, no fetch).
             selections = []

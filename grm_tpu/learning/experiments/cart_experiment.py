@@ -233,6 +233,7 @@ def _bound_grow(hps, dataset, split_name, rule_blacklist, engine="host",
         class_importance=hps["class_importance"],
         engine=engine,
         mesh=mesh,
+        defer_equiv=True,
     )
     jobs = [(master, dict(
         rules=rules,
@@ -301,7 +302,7 @@ def _cv_grow(hps, dataset, split_name, rule_blacklist, engine="host",
     rules = LazyKmerRuleList(dataset)
     rule_classifications = KmerRuleClassifications(dataset)
 
-    def _make_predictor():
+    def _make_predictor(defer_equiv=False):
         return DecisionTreeClassifier(
             criterion=hps["criterion"],
             max_depth=hps["max_depth"],
@@ -309,10 +310,11 @@ def _cv_grow(hps, dataset, split_name, rule_blacklist, engine="host",
             class_importance=hps["class_importance"],
             engine=engine,
             mesh=mesh,
+            defer_equiv=defer_equiv,
         )
 
     fold_predictors = [_make_predictor() for _ in split.folds]
-    master_predictor = _make_predictor()
+    master_predictor = _make_predictor(defer_equiv=True)
 
     jobs = []
     for i, fold in enumerate(split.folds):
@@ -519,6 +521,42 @@ def train_tree(dataset, split_name, criterion, class_importance, max_depth,
     return best_score, best_hps, best_master_tree
 
 
+def _resolve_deferred_equiv(dataset, split_name, tree, rule_blacklist, mesh):
+    """Replace DeferredEquiv specs on the chosen master's rules with the
+    real equivalence column sets (one batched device pass)."""
+    from ..cart import DeferredEquiv
+
+    def _internal(node):
+        if node is None or node.rule is None:
+            return []
+        return ([node] + _internal(node.left_child)
+                + _internal(node.right_child))
+
+    nodes = [nd for nd in _internal(tree)
+             if isinstance(nd.rule.equivalent_rules_idx, DeferredEquiv)]
+    if not nodes:
+        return
+    from ...parallel.cart_exact import resolve_equiv_specs
+
+    excl = None
+    if rule_blacklist is not None and len(rule_blacklist):
+        n_kmers = dataset.kmer_count
+        bl = set(int(r) for r in rule_blacklist)
+        pres = {r for r in bl if r < n_kmers}
+        if (bl - pres) <= {r + n_kmers for r in pres}:
+            excl = np.zeros(n_kmers, bool)
+            excl[sorted(pres)] = True
+    train_idx = dataset.get_split(split_name).train_genome_idx
+    specs = [(nd.rule.equivalent_rules_idx.keys,
+              nd.rule.equivalent_rules_idx.occmax) for nd in nodes]
+    sets = resolve_equiv_specs(
+        dataset.bit_matrix(), [nd.class_examples_idx for nd in nodes],
+        [train_idx] * len(nodes), specs, excl=excl, mesh=mesh)
+    for nd, eq in zip(nodes, sets):
+        nd.rule.equivalent_rules_idx = eq
+
+
+
 def _find_rule_blacklist(dataset, kmer_blacklist_file, warning_callback):
     """(experiment_cart.py:490-518) — presence rules only."""
     rule_blacklist = []
@@ -691,6 +729,12 @@ def learn_CART(dataset_file, split_name, criterion, max_depth, min_samples_split
 
     best_model = CARTModel(class_tags=list(phenotype_tags))
     best_model.decision_tree = best_master_tree
+
+    # Resolve the chosen master's DEFERRED equivalence sets in one batched
+    # pass (the HP search skipped per-level compaction for every master;
+    # only this tree's sets are consumed — experiment_cart.py:636-638).
+    _resolve_deferred_equiv(dataset, split_name, best_master_tree,
+                            rule_blacklist, mesh)
 
     model_rules = best_master_tree.rules
     model_equivalent_rules = {}

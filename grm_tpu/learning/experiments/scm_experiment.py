@@ -529,7 +529,7 @@ def _full_train_device_exact(dataset, split_name, model_type, p, max_rules,
 
     rc = KmerRuleClassifications(dataset)
     if rule_idx:
-        from ..scm import _compute_rule_importances
+        from ..scm import rule_importances as _compute_rule_importances
 
         importances = _compute_rule_importances(rc, rule_idx,
                                                 training_example_idx)
@@ -693,7 +693,7 @@ def _full_train_device(dataset, split_name, model_type, p, max_rules,
 
     rc = KmerRuleClassifications(dataset)
     if rule_idx:
-        from ..scm import _compute_rule_importances
+        from ..scm import rule_importances as _compute_rule_importances
 
         importances = _compute_rule_importances(rc, rule_idx, tr)
     else:

@@ -1,11 +1,13 @@
 """Set Covering Machine learner (Marchand & Shawe-Taylor 2003).
 
-Greedy rule selection with decision semantics bit-identical to the reference
-(``learning/learners/scm.py``): utility = negative-cover − p·positive-errors
-scanned blockwise in float64 with np.allclose/np.isclose tie accumulation
-(scm.py:262-286), zero-coverage rules skipped (scm.py:108-114), user
-tiebreaker hook, disjunction = conjunction on inverted labels with inverted
-rules (scm.py:69-73, 180-184).
+Greedy rule selection with decision semantics bit-identical to the
+reference (``learning/learners/scm.py``): utility = negative-cover −
+p·positive-errors scanned blockwise in float64 with np.allclose/np.isclose
+tie accumulation (scm.py:262-286), zero-coverage rules skipped
+(scm.py:108-114), user tiebreaker hook, disjunction = conjunction on
+inverted labels with inverted rules (scm.py:69-73, 180-184). The blockwise
+scan's op order and tolerances are parity-forced; everything around it is
+this framework's own structure.
 
 The per-iteration count computation is where the TPU earns its keep: both
 ``sum_rows`` sweeps (negatives and positives) run as a single multi-mask
@@ -27,61 +29,70 @@ from .models import (
     disjunction,
 )
 
-__all__ = ["SetCoveringMachine", "BaseSetCoveringMachine", "UTIL_BLOCK_SIZE"]
+__all__ = ["SetCoveringMachine", "UTIL_BLOCK_SIZE", "rule_importances"]
 
+# Utility scan block width — part of the parity contract: np.allclose ties
+# accumulate ACROSS blocks, so a different blocking can change tie sets
+# (reference scm.py:29).
 UTIL_BLOCK_SIZE = 1000000
 
 
-def _compute_rule_importances(rule_classifications, model_rules_idx, training_example_idx):
-    """Fraction of the model's negative predictions each rule accounts for
-    (reference scm.py:32-36)."""
-    model_rule_classifications = rule_classifications.get_columns(model_rules_idx)[
-        training_example_idx
-    ]
-    model_neg_prediction_idx = np.where(
-        np.prod(model_rule_classifications, axis=1) == 0
-    )[0]
-    return (
-        float(len(model_neg_prediction_idx))
-        - model_rule_classifications[model_neg_prediction_idx].sum(axis=0)
-    ) / len(model_neg_prediction_idx)
+def rule_importances(rule_classifications, model_rules_idx,
+                     training_example_idx):
+    """Per-rule share of the model's negative predictions (reference
+    scm.py:32-36): of the training examples the conjunction rejects, the
+    fraction each rule is responsible for rejecting."""
+    votes = rule_classifications.get_columns(model_rules_idx)[
+        training_example_idx]
+    rejected = np.where(np.prod(votes, axis=1) == 0)[0]
+    return (float(len(rejected)) - votes[rejected].sum(axis=0)) / len(rejected)
 
 
-class BaseSetCoveringMachine:
-    def __init__(self, model_type, max_rules):
+class SetCoveringMachine:
+    """Greedy set cover over k-mer presence/absence rules.
+
+    ``model_type`` is "conjunction" or "disjunction"; a disjunction is
+    learned as a conjunction over swapped labels, and each selected rule
+    is inverted as it enters the model (De Morgan — reference
+    scm.py:69-73, 180-184).
+    """
+
+    def __init__(self, model_type=conjunction, p=1.0, max_rules=10):
         if model_type == conjunction:
-            self._add_rule_to_model = self._append_conjunction_model
-            self.model_type = conjunction
+            self.model = ConjunctionModel()
         elif model_type == disjunction:
-            self._add_rule_to_model = self._append_disjunction_model
-            self.model_type = disjunction
+            self.model = DisjunctionModel()
         else:
             raise ValueError("Unsupported model type.")
+        self.model_type = model_type
+        self.p = p
         self.max_rules = max_rules
-        self._flags = {}
+        self.rule_importances = []
 
     def fit(self, rules, rule_classifications, positive_example_idx,
             negative_example_idx, rule_blacklist=(), tiebreaker=None,
-            iteration_callback=None, iteration_rule_importances=False, **kwargs):
-        utility_args = {
-            key[9:]: value for key, value in kwargs.items() if key[:9] == "utility__"
-        }
+            iteration_callback=None, iteration_rule_importances=False):
+        """Grow the model one rule per iteration until every negative is
+        covered or ``max_rules`` is reached.
 
+        ``iteration_callback`` receives, per added rule, a dict with the
+        keys the experiment drivers consume: ``iteration_number``,
+        ``selected_rule``, ``equivalent_rules_idx`` and (when
+        ``iteration_rule_importances``) ``rule_importances``.
+        """
         if len(positive_example_idx) == 0 or len(negative_example_idx) == 0:
             raise ValueError(
                 "There must be positive and negative examples to train the SCM."
             )
-
-        if self.model_type == disjunction:
-            positive_example_idx, negative_example_idx = (
-                negative_example_idx,
-                positive_example_idx,
-            )
-
         if rule_classifications.shape[1] != len(rules):
             raise ValueError(
                 "The number of rules must match between rule_classifications and rules."
             )
+
+        remaining_pos = positive_example_idx
+        remaining_neg = negative_example_idx
+        if self.model_type == disjunction:
+            remaining_pos, remaining_neg = remaining_neg, remaining_pos
 
         rule_blacklist = np.asarray(rule_blacklist, dtype=np.int64)
         if len(rule_blacklist) > 0:
@@ -89,111 +100,70 @@ class BaseSetCoveringMachine:
             if len(rule_blacklist) == rule_classifications.shape[1]:
                 raise ValueError("The blacklist cannot include all the rules.")
 
-        training_example_idx = np.hstack((positive_example_idx, negative_example_idx))
-        model_rules_idx = []
-        model_rule_importances = []
-        while len(negative_example_idx) > 0 and len(self.model) < self.max_rules:
-            iteration_info = {"iteration_number": len(self.model) + 1}
+        train_idx = np.hstack((remaining_pos, remaining_neg))
+        selected_rules_idx = []
+        importances = []
 
-            (best_utility, best_utility_idx, best_utility_pos_error_counts,
-             best_utility_neg_cover_counts) = self._get_best_utility_rules(
-                rule_classifications=rule_classifications,
-                positive_example_idx=positive_example_idx,
-                negative_example_idx=negative_example_idx,
-                rule_blacklist=rule_blacklist,
-                **utility_args,
-            )
-            iteration_info["utility_max"] = best_utility
-            iteration_info["utility_argmax"] = best_utility_idx
+        while len(remaining_neg) > 0 and len(self.model) < self.max_rules:
+            utility, candidates, pos_errors, neg_cover = (
+                self._get_best_utility_rules(
+                    rule_classifications=rule_classifications,
+                    positive_example_idx=remaining_pos,
+                    negative_example_idx=remaining_neg,
+                    rule_blacklist=rule_blacklist,
+                ))
 
-            # Skip rules covering no negatives and erring on no positives
-            # (scm.py:108-114).
-            best_utility_idx = iteration_info["utility_argmax"][
-                np.logical_or(
-                    best_utility_neg_cover_counts != 0,
-                    best_utility_pos_error_counts != 0,
-                )
-            ]
-            if len(best_utility_idx) == 0:
+            # A rule that covers no negatives and errs on no positives
+            # would make the greedy step vacuous (scm.py:108-114).
+            candidates = candidates[(neg_cover != 0) | (pos_errors != 0)]
+            if len(candidates) == 0:
                 logging.debug(
                     "The max-utility rule covers no negatives and makes no "
-                    "positive errors; stopping."
-                )
+                    "positive errors; stopping.")
                 break
 
-            if len(best_utility_idx) == 1:
-                best_rule_idx = best_utility_idx[0]
-                iteration_info["equivalent_rules_idx"] = np.array([best_rule_idx])
+            if len(candidates) == 1:
+                tie_set = np.array([candidates[0]])
             else:
-                best_rule_idx = tiebreaker(best_utility_idx)
-                iteration_info["equivalent_rules_idx"] = best_rule_idx
-                best_rule_idx = best_rule_idx[0]
+                tie_set = tiebreaker(candidates)
+            winner_idx = tie_set[0]
 
-            iteration_info["selected_rule"] = self._add_rule_to_model(
-                rules[best_rule_idx]
-            )
-            model_rules_idx.append(best_rule_idx)
+            rule = rules[winner_idx]
+            if self.model_type == disjunction:
+                rule = rule.inverse()
+            self.model.add(rule)
+            selected_rules_idx.append(winner_idx)
 
-            best_rule_classifications = rule_classifications.get_columns(
-                int(best_rule_idx)
-            )
-            negative_example_idx = negative_example_idx[
-                best_rule_classifications[negative_example_idx] != 0
-            ]
-            positive_example_idx = positive_example_idx[
-                best_rule_classifications[positive_example_idx] != 0
-            ]
+            # Drop covered negatives and misclassified positives: both are
+            # the examples the winning rule votes 0 on.
+            winner_votes = rule_classifications.get_columns(int(winner_idx))
+            remaining_neg = remaining_neg[winner_votes[remaining_neg] != 0]
+            remaining_pos = remaining_pos[winner_votes[remaining_pos] != 0]
 
+            info = {
+                "iteration_number": len(self.model),
+                "selected_rule": rule,
+                "equivalent_rules_idx": tie_set,
+            }
             if iteration_rule_importances:
-                model_rule_importances = _compute_rule_importances(
-                    rule_classifications, model_rules_idx, training_example_idx
-                )
-                iteration_info["rule_importances"] = model_rule_importances
-
+                importances = rule_importances(
+                    rule_classifications, selected_rules_idx, train_idx)
+                info["rule_importances"] = importances
             if iteration_callback is not None:
-                iteration_callback(iteration_info)
+                iteration_callback(info)
 
-        if len(model_rules_idx) > 0:
-            if iteration_rule_importances:
-                self.rule_importances = model_rule_importances
-            else:
-                self.rule_importances = _compute_rule_importances(
-                    rule_classifications, model_rules_idx, training_example_idx
-                )
+        if selected_rules_idx:
+            self.rule_importances = (
+                importances if iteration_rule_importances
+                else rule_importances(rule_classifications,
+                                      selected_rules_idx, train_idx))
         else:
             self.rule_importances = []
 
     def predict(self, X):
-        return self._predict(X)
-
-    def _append_conjunction_model(self, new_rule):
-        self.model.add(new_rule)
-        return new_rule
-
-    def _append_disjunction_model(self, new_rule):
-        new_rule = new_rule.inverse()
-        self.model.add(new_rule)
-        return new_rule
-
-    def _is_fitted(self):
-        return len(self.model) > 0
-
-    def _predict(self, X):
-        if not self._is_fitted():
+        if len(self.model) == 0:
             raise RuntimeError("A model must be fitted prior to calling predict.")
         return self.model.predict(X)
-
-
-class SetCoveringMachine(BaseSetCoveringMachine):
-    def __init__(self, model_type=conjunction, p=1.0, max_rules=10):
-        super().__init__(model_type=model_type, max_rules=max_rules)
-        if model_type == conjunction:
-            self.model = ConjunctionModel()
-        elif model_type == disjunction:
-            self.model = DisjunctionModel()
-        else:
-            raise ValueError("Unsupported model type.")
-        self.p = p
 
     def _get_best_utility_rules(self, rule_classifications, positive_example_idx,
                                 negative_example_idx, rule_blacklist=()):
@@ -221,7 +191,8 @@ class SetCoveringMachine(BaseSetCoveringMachine):
             positive_error_counts[n_kmers:] = counts[1]
 
         # Blockwise float64 utility max with reference tie accumulation
-        # (scm.py:258-286).
+        # (scm.py:258-286) — op order and tolerances are the parity
+        # contract here, including the allclose/isclose asymmetry.
         best_utility = -np.inf
         best_utility_idx = np.array([])
         best_utility_pos_error_count = np.array([])

@@ -1,55 +1,76 @@
-"""Decision-tree node structures with Breiman quantities.
+"""Decision-tree node structures with Breiman-style node statistics.
 
-Mirrors the reference ``learning/common/tree.py``: per-node Breiman (1984)
-probabilities (p_j_t, p_t, p_j|t, r_t, R_t), preorder iteration, leaf/rule
-harvesting, and probabilistic prediction where each example walks down the
-tree (left on rule TRUE) and receives the leaf's class proportions. The
-prediction here is vectorized by index partitioning instead of a Python loop
-per example; class ties resolve to the lowest class index (np.argmax), same
-as the reference.
+Covers the role of the reference's ``learning/common/tree.py`` with this
+framework's own structure: nodes carry the class-weighted probability
+estimates from Breiman et al. (1984, *Classification and Regression
+Trees*) that the pruning machinery consumes, preorder iteration, leaf/rule
+harvesting, and probabilistic prediction. Prediction is vectorized by
+partitioning example indices down the tree (one ``classify`` per node over
+its examples) instead of a per-example Python walk; class ties resolve to
+the lowest class index (np.argmax), matching the reference semantics.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["BreimanInfo", "TreeNode", "ProbabilisticTreeNode"]
+__all__ = ["NodeStats", "BreimanInfo", "TreeNode", "ProbabilisticTreeNode"]
 
 
-class BreimanInfo:
-    def __init__(self, node_n_examples_by_class, class_priors, total_n_examples_by_class):
-        classes = sorted(class_priors)
-        # Eq. 2.2: P(example in class j AND falls into node t)
+class NodeStats:
+    """Altered-prior probability estimates for one node.
+
+    Built from the node's per-class example counts: with resubstitution
+    estimates, the probability that a class-``j`` example lands in this
+    node is the class prior scaled by the fraction of the class's training
+    examples the node holds. From those joint probabilities follow the
+    node mass (``p_t``), the within-node class posteriors
+    (``p_j_given_t``), and the node's misclassification contribution
+    (``r_t``, ``R_t``) that weakest-link pruning minimizes. Notation is
+    Breiman's book notation, kept because the pruning literature (and the
+    reference's reports) speak it.
+    """
+
+    __slots__ = ("p_j_t", "p_t", "p_j_given_t", "r_t", "R_t")
+
+    def __init__(self, *, node_counts, priors, class_totals):
+        classes = sorted(priors)
         self.p_j_t = {
-            c: class_priors[c] * node_n_examples_by_class[c] / total_n_examples_by_class[c]
-            for c in classes
+            j: priors[j] * node_counts[j] / class_totals[j] for j in classes
         }
-        # Eq. 2.3: P(any example falls into node t)
         self.p_t = sum(self.p_j_t.values())
-        # Eq. 2.4: P(class j | node t)
-        self.p_j_given_t = {c: self.p_j_t[c] / self.p_t for c in classes}
-        # Def. 2.10: misclassification probability given node t
+        self.p_j_given_t = {j: self.p_j_t[j] / self.p_t for j in classes}
         self.r_t = 1.0 - max(self.p_j_given_t.values())
-        # Node contribution to overall tree misclassification
         self.R_t = self.r_t * self.p_t
 
 
+# The pruning-layer name this framework has always exposed.
+BreimanInfo = NodeStats
+
+
 class TreeNode:
-    def __init__(self, depth, class_examples_idx, total_n_examples_by_class,
-                 class_priors, rule=None, parent=None, left_child=None,
-                 right_child=None, criterion_value=-1):
+    """One node of a binary k-mer decision tree.
+
+    Splits send rule-TRUE examples left. ``class_examples_idx`` maps each
+    class to the training-example indices the node holds; the node's
+    statistics are derived from it at construction.
+    """
+
+    def __init__(self, class_examples_idx, class_priors,
+                 total_n_examples_by_class, depth=0, criterion_value=None,
+                 rule=None, parent=None, left_child=None, right_child=None):
+        self.class_examples_idx = class_examples_idx
+        self.depth = depth
+        self.criterion_value = criterion_value
         self.rule = rule
         self.parent = parent
         self.left_child = left_child
         self.right_child = right_child
-        self.class_examples_idx = class_examples_idx
-        self.depth = depth
-        self.criterion_value = criterion_value
-        n_examples_by_class = {c: len(idx) for c, idx in class_examples_idx.items()}
-        self.breiman_info = BreimanInfo(
-            node_n_examples_by_class=n_examples_by_class,
-            class_priors=class_priors,
-            total_n_examples_by_class=total_n_examples_by_class,
+        self.breiman_info = NodeStats(
+            node_counts={c: len(idx)
+                         for c, idx in class_examples_idx.items()},
+            priors=class_priors,
+            class_totals=total_n_examples_by_class,
         )
 
     @property
@@ -71,7 +92,7 @@ class TreeNode:
 
     @property
     def class_prediction(self):
-        """Class with max p_j|t; ties -> lowest class index (tree.py:103-108)."""
+        """Class with max posterior; ties -> lowest class index."""
         classes = sorted(self.breiman_info.p_j_given_t)
         values = [self.breiman_info.p_j_given_t[c] for c in classes]
         return classes[int(np.argmax(values))]
@@ -118,6 +139,8 @@ class TreeNode:
         return len(self.rules) + len(self.leaves)
 
     def __str__(self, depth=0):
+        # Right branch above, left below — the reference's report layout,
+        # kept so report.txt trees render identically.
         if self.is_leaf:
             return "\n" + ("    " * depth) + str(self.class_prediction)
         out = self.right_child.__str__(depth=depth + 1)

@@ -50,7 +50,7 @@ import jax.numpy as jnp
 
 from .scm_grid import _unpack_words
 
-__all__ = ["cart_frontier_candidates"]
+__all__ = ["cart_frontier_candidates", "resolve_equiv_specs"]
 
 _F32_EPS = 1.2e-7
 S_MAX = 1 << 16
@@ -623,7 +623,8 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
                              total_n_examples_by_class, criterion,
                              train_example_idx, excl=None, mesh=None,
                              sb=8192, tuple_budget=4096, gather_budget=4096,
-                             need_equiv=None, occ_tiebreak=None):
+                             need_equiv=None, occ_tiebreak=None,
+                             defer_equiv=None):
     """Exact-selection data for a BFS frontier.
 
     ``node_example_sets``: per-node {class: example idx} dicts.
@@ -632,12 +633,19 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
     ``train_example_idx``: per-node training-set index arrays (the
     occurrence-tiebreaker population). ``need_equiv``: per-node bools —
     False skips the equivalent-rule gather (fold trees).
+    ``defer_equiv``: per-node bools — True returns the winning-tuple spec
+    (``equiv_spec``) instead of compacting the equivalence set now; only
+    the finally-selected master's sets are ever consumed, so the HP
+    search defers them and resolves once at the end via
+    :func:`resolve_equiv_specs`.
 
     Returns a list per node: ``None`` when no valid split exists (exactly
     when the host's float64 minimum is +inf), else one of
 
     - ``{"winner": col, "equiv": ndarray | None}`` — tuple regime; the
       float64 selection already replayed (bit-identical to the host);
+      with deferral the dict carries ``equiv_spec`` = (winning tuple
+      keys, occmax) instead of ``equiv``;
     - ``{"cols", "left", "occ"}`` — gather regime; candidates provably
       cover the float64 minimum tie set, selection replays in the tree.
     """
@@ -657,6 +665,8 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
         need_equiv = [True] * n
     if occ_tiebreak is None:
         occ_tiebreak = [True] * n
+    if defer_equiv is None:
+        defer_equiv = [False] * n
     train_masks = np.stack([
         build_packed_mask(idx, bit_matrix.n_rows, w)
         for idx in train_example_idx
@@ -720,7 +730,8 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
         _run_tuple_regime(
             out, t_idx, matrix, masks, train_masks, n_node, n_kmers,
             t_stream.sb, tuple_budget, crit, classes, priors_l, totals_l,
-            need_equiv, excl_dev, t_stream, priors, totals, occ_tiebreak)
+            need_equiv, excl_dev, t_stream, priors, totals, occ_tiebreak,
+            defer_equiv)
     if len(g_idx):
         _run_gather_regime(
             out, g_idx, matrix, masks, train_masks, n_node, priors, totals,
@@ -732,7 +743,7 @@ def cart_frontier_candidates(bit_matrix, node_example_sets, altered_priors,
 def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
                       n_kmers, sb, budget, crit, classes, priors_l,
                       totals_l, need_equiv, excl_dev, stream,
-                      priors, totals, occ_tiebreak):
+                      priors, totals, occ_tiebreak, defer_equiv):
     c = masks.shape[1]
     nb = _bucket(len(t_idx))
     masks_t = _pad_rows(masks[t_idx], nb)
@@ -838,6 +849,7 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
 
     winner_jobs = []  # escalated: (slot i, node ni, T keys, occmax, equiv?)
     equiv_jobs = []   # tuple-path masters: (slot i, node ni, keys, occmax)
+    esc_specs = {}    # escalated masters with deferral: ni -> spec
     for i, ni in enumerate(t_idx):
         esc = i in full_rows
         tcocc = tcany = None
@@ -887,7 +899,10 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
             # Scatter-table rows carry no column info; winner + equiv
             # resolve in a dedicated reduction pass.
             winner_jobs.append((i, ni, tkeys[winset], occmax,
-                                bool(need_equiv[ni])))
+                                bool(need_equiv[ni])
+                                and not defer_equiv[ni]))
+            if need_equiv[ni] and defer_equiv[ni]:
+                esc_specs[ni] = (tkeys[winset].copy(), occmax)
             continue
         # The extraction pass already carried each key's winning column,
         # so the winner is pure host math — no device pass:
@@ -899,7 +914,10 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
             wincol = int(tcany[winset].min())
         out[ni] = {"winner": wincol, "equiv": None}
         if need_equiv[ni]:
-            equiv_jobs.append((i, ni, tkeys[winset], occmax))
+            if defer_equiv[ni]:
+                out[ni]["equiv_spec"] = (tkeys[winset].copy(), occmax)
+            else:
+                equiv_jobs.append((i, ni, tkeys[winset], occmax))
     _mark("host_replay")
 
     # Escalated nodes: winner by min-reduction match (+ equiv for their
@@ -908,6 +926,9 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
     if winner_jobs:
         _resolve_winners(out, winner_jobs, masks_t, train_t, radix_t,
                          sb, stream)
+        for ni, spec in esc_specs.items():
+            if out[ni] is not None:
+                out[ni]["equiv_spec"] = spec
         _mark("winners(%d)" % len(winner_jobs))
     if equiv_jobs:
         _resolve_equiv(out, equiv_jobs, masks_t, train_t, radix_t, sb,
@@ -1102,3 +1123,60 @@ def _run_gather_regime(out, g_idx, matrix, masks, train_masks, n_node,
             }
         pending = np.asarray(overflow, dtype=np.int64)
         budget *= 8
+
+
+def resolve_equiv_specs(bit_matrix, node_example_sets, train_example_idx,
+                        specs, excl=None, mesh=None, sb=8192):
+    """Resolve deferred equivalence specs for the finally-selected master.
+
+    The HP search grows dozens of master trees but only the winning one's
+    equivalence sets are ever consumed (experiment_cart.py:636-638), so
+    with ``defer_equiv`` the per-level compaction passes are skipped and
+    this single batched pass runs once at the end.
+
+    ``node_example_sets``: per-node {class: idx}; ``train_example_idx``:
+    per-node training-set index arrays; ``specs``: per-node (winning
+    tuple keys, occmax) as returned in ``equiv_spec`` payloads.
+    Returns a list of ascending int64 rule-column arrays.
+    """
+    from .cart_device import _frontier_masks
+    from .scm_device import build_packed_mask
+
+    n = len(node_example_sets)
+    if n == 0:
+        return []
+    classes = sorted(node_example_sets[0])
+    dummy = {cl: 1.0 for cl in classes}
+    masks, n_node, _, _ = _frontier_masks(
+        bit_matrix, node_example_sets, dummy, dummy)
+    w = masks.shape[2]
+    train_masks = np.stack([
+        build_packed_mask(idx, bit_matrix.n_rows, w)
+        for idx in train_example_idx
+    ])
+    n_kmers = bit_matrix.n_columns
+
+    if hasattr(bit_matrix, "data"):
+        matrix, sb = _place_matrix(bit_matrix, mesh, sb)
+        stream = _cached_device_stream(bit_matrix, matrix, n_kmers, excl)
+    else:
+        excl_key = None if excl is None else np.asarray(excl, bool).tobytes()
+        cache = getattr(bit_matrix, "_host_stream_cache", None)
+        if cache is None:
+            cache = bit_matrix._host_stream_cache = {}
+        stream = cache.get(excl_key)
+        if stream is None:
+            stream = cache[excl_key] = _HostStream(
+                bit_matrix.host, n_kmers, excl)
+    sb = stream.sb
+
+    nb = _bucket(n)
+    masks_t = _pad_rows(masks, nb)
+    train_t = _pad_rows(train_masks, nb)
+    radix_t = _pad_rows((n_node + 1).astype(np.int32), nb)
+    radix_t[n:] = 1
+    out = [{"winner": None, "equiv": None} for _ in range(n)]
+    jobs = [(i, i, np.asarray(spec[0], np.int64), int(spec[1]))
+            for i, spec in enumerate(specs)]
+    _resolve_equiv(out, jobs, masks_t, train_t, radix_t, sb, stream)
+    return [out[i]["equiv"] for i in range(n)]

@@ -111,8 +111,9 @@ def grow_trees_batched(jobs):
 
         for key, members in groups.items():
             head = requests[members[0]]
-            node_sets, priors, totals, trains, equivs, occs, spans = (
-                [], [], [], [], [], [], [])
+            node_sets, priors, totals, trains, equivs, occs = (
+                [], [], [], [], [], [])
+            defers, spans = [], []
             for t in members:
                 req = requests[t]
                 lo = len(node_sets)
@@ -124,17 +125,19 @@ def grow_trees_batched(jobs):
                 trains.extend([req.train_idx] * len(req.node_sets))
                 equivs.extend([req.need_equiv] * len(req.node_sets))
                 occs.extend([req.occ_tiebreak] * len(req.node_sets))
+                defers.extend([req.defer_equiv] * len(req.node_sets))
                 spans.append((t, lo, len(node_sets)))
             if len(members) == 1:
                 scored = service_frontier_request(head)
             else:
                 scored = _service_batched(head, node_sets, priors, totals,
-                                          trains, equivs, occs)
+                                          trains, equivs, occs, defers)
             for t, lo, hi in spans:
                 results[t] = scored[lo:hi]
 
 
-def _service_batched(head, node_sets, priors, totals, trains, equivs, occs):
+def _service_batched(head, node_sets, priors, totals, trains, equivs, occs,
+                     defers):
     """One device call over the concatenated frontier with per-node priors."""
     if head.exact:
         from .cart_exact import cart_frontier_candidates
@@ -143,7 +146,7 @@ def _service_batched(head, node_sets, priors, totals, trains, equivs, occs):
             ("exact", d) for d in cart_frontier_candidates(
                 head.bit_matrix, node_sets, priors, totals, head.criterion,
                 trains, excl=head.excl, mesh=head.mesh, need_equiv=equivs,
-                occ_tiebreak=occs,
+                occ_tiebreak=occs, defer_equiv=defers,
             )
         ]
     if head.mesh is not None:

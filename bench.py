@@ -28,7 +28,8 @@ median-of-runs (tunnel-variance context for the min-of-runs headline).
 Environment knobs: BENCH_GENOMES, BENCH_KMERS, BENCH_FOLDS,
 BENCH_MAX_RULES, BENCH_RUNS, BENCH_INGEST, BENCH_READS, BENCH_CORE,
 BENCH_CART, BENCH_CART_E2E, BENCH_CART_RUNS, BENCH_HOST_ITER,
-BENCH_DEVICE_INGEST.
+BENCH_DEVICE_INGEST, BENCH_LARGEST (+_GENOMES/_KMERS/_RUNS: the
+isoniazid-scale 5022 x 11.7M gate-to-gate row).
 """
 
 import json
@@ -423,6 +424,25 @@ def bench_learn_e2e(ds_path, n_kmers, max_rules, runs):
     return min(walls), sorted(walls)[len(walls) // 2], result_summary
 
 
+def bench_learn_e2e_largest(runs):
+    """Gate-to-gate `learn scm` at the LARGEST published dataset scale
+    (BASELINE.md headline row: isoniazid/M. tuberculosis, 5022 genomes x
+    1.17e7 k-mers, 11262 s published learn wall-clock) — the scale that
+    exercises the HBM-budget machinery end to end, not just the CV core
+    (VERDICT r4 missing #3). The 7.4 GB artifact builds once into
+    .bench_cache/ and is reused across rounds. Skipped with
+    BENCH_LARGEST=0."""
+    n_genomes = int(os.environ.get("BENCH_LARGEST_GENOMES", 5022))
+    n_kmers = int(os.environ.get("BENCH_LARGEST_KMERS", 11_700_000))
+    ds_path = build_cache_artifact(n_genomes, n_kmers, 5)
+    value, value_median, summary = bench_learn_e2e(
+        ds_path, n_kmers, int(os.environ.get("BENCH_MAX_RULES", 10)), runs)
+    log("largest-dataset e2e (%dx%d): min %.1fs median %.1fs (%s); "
+        "published wall-clock 11262 s"
+        % (n_genomes, n_kmers, value, value_median, summary))
+    return value, value_median
+
+
 def bench_cart_e2e(ds_path, n_kmers, runs):
     """CART end-to-end: full `grm learn tree` gate-to-gate at median scale
     with the GUI-default grid — gini, 16 class-importance combos
@@ -657,6 +677,14 @@ def main():
         except Exception as e:
             log("cart e2e bench skipped (%s)" % str(e)[:160])
 
+    largest_value = largest_median = None
+    if os.environ.get("BENCH_LARGEST", "1") != "0":
+        try:
+            largest_value, largest_median = bench_learn_e2e_largest(
+                int(os.environ.get("BENCH_LARGEST_RUNS", 2)))
+        except Exception as e:
+            log("largest-dataset e2e bench skipped (%s)" % str(e)[:160])
+
     if (os.environ.get("BENCH_HOST_ITER", "1") != "0"
             or os.environ.get("BENCH_CORE", "1") != "0"):
         from grm_tpu.dataset import GrmDataset
@@ -688,6 +716,13 @@ def main():
         record["cart_learn_e2e_median_of_runs_s"] = round(cart_median, 3)
         record["cart_vs_scm_reference_median"] = round(
             REFERENCE_MEDIAN_LEARN_SECONDS / cart_value, 1)
+    if largest_value is not None:
+        record["scm_learn_e2e_wall_clock_largest_dataset"] = round(
+            largest_value, 3)
+        record["largest_dataset_median_of_runs_s"] = round(largest_median, 3)
+        # published isoniazid/M. tuberculosis learn wall-clock
+        record["largest_vs_published_11262s"] = round(
+            11262.0 / largest_value, 1)
     if ingest_mbp_per_s is not None:
         record["ingest_mbp_per_s"] = round(ingest_mbp_per_s, 2)
     print(json.dumps(record))

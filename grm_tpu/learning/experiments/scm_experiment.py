@@ -387,7 +387,8 @@ def _make_exact_engine(bm, n_kmers, rule_blacklist):
 
 def _cross_validation_device_exact(dataset, split_name, model_types, p_values,
                                    max_rules, progress_callback,
-                                   rule_blacklist=(), mesh=None):
+                                   rule_blacklist=(), mesh=None,
+                                   collect_full_train=False):
     """Device-engine CV with EXACT reference selection semantics.
 
     The :class:`~grm_tpu.parallel.scm_exact.ExactScmEngine` keeps every
@@ -444,9 +445,40 @@ def _cross_validation_device_exact(dataset, split_name, model_types, p_values,
                 "risk_lookup": lookup,
             })
 
+    # Speculative full-train fits, one per HP, ride the SAME fused batch:
+    # the tunnel round trips per greedy iteration are the e2e bottleneck
+    # (1-6 s per device_get regardless of size), so paying ~20 extra fit
+    # lanes per iteration is far cheaper than a second 11-round-trip
+    # run_fits for the chosen HP afterwards. A greedy run to length L is a
+    # prefix of the run to max_rules, so the winner's full-train model is
+    # the first best_hp["max_rules"] rules of its speculative fit.
+    n_cv = len(fits)
+    if collect_full_train:
+        tr = split.train_genome_idx
+        full_lookup = _make_risk_lookup(
+            split.unique_risk_by_kmer, split.unique_risk_by_anti_kmer,
+            n_kmers)
+        zero = np.zeros(n_words, np.uint32)
+        for model_type, p in hp_list:
+            pos = tr[labels[tr] == 1]
+            neg = tr[labels[tr] == 0]
+            if model_type == "disjunction":
+                pos, neg = neg, pos
+            fits.append({
+                "pos_mask": build_packed_mask(pos, n_genomes, n_words),
+                "neg_mask": build_packed_mask(neg, n_genomes, n_words),
+                "test_pos_mask": zero, "test_neg_mask": zero,
+                "p": p, "model_type": model_type,
+                "risk_lookup": full_lookup,
+            })
+
     progress_callback("Cross-validation", 0.0)
     engine = _make_exact_engine(bm, n_kmers, rule_blacklist)
-    _, _, errors, n_test = engine.run_fits(fits, max_rules)
+    if collect_full_train:
+        rules_arr, _, errors, n_test, ties = engine.run_fits(
+            fits, max_rules, collect_ties=True)
+    else:
+        _, _, errors, n_test = engine.run_fits(fits, max_rules)
     progress_callback("Cross-validation", 1.0)
 
     n_folds = len(folds)
@@ -458,15 +490,29 @@ def _cross_validation_device_exact(dataset, split_name, model_types, p_values,
         score_by_len = np.mean(fold_risks, axis=0)
         best_len = int(np.argmin(score_by_len))
         scores_by_hp.append((best_len, score_by_len[best_len]))
-    return _hp_selection_loop(hp_list, scores_by_hp)
+    best_hp_score, best_hp = _hp_selection_loop(hp_list, scores_by_hp)
+    if not collect_full_train:
+        return best_hp_score, best_hp
+    full_train = {}
+    for i, (model_type, p) in enumerate(hp_list):
+        fi = n_cv + i
+        full_train[(model_type, float(p))] = (
+            [int(r) for r in rules_arr[fi] if r >= 0], ties[fi])
+    return best_hp_score, best_hp, full_train
 
 
 def _full_train_device_exact(dataset, split_name, model_type, p, max_rules,
                              max_equiv_rules, rule_blacklist,
-                             random_generator, progress_callback, mesh=None):
+                             random_generator, progress_callback, mesh=None,
+                             precomputed=None):
     """Final training on device with exact tie sets — bit-identical to
     :func:`_full_train` (reference experiment_scm.py:251-346) including the
-    equivalent-rule subsampling RNG contract."""
+    equivalent-rule subsampling RNG contract.
+
+    ``precomputed``: optional (rule_idx, ties) from the CV batch's
+    speculative full-train fit for this HP — a greedy run to max_rules
+    whose first ``max_rules`` selections equal this call's (greedy
+    prefixes are stable), so the device pass is skipped entirely."""
     from ...parallel.scm_device import build_packed_mask
     from ...parallel.scm_exact import ExactScmEngine, _make_risk_lookup
 
@@ -487,29 +533,34 @@ def _full_train_device_exact(dataset, split_name, model_type, p, max_rules,
         pos, neg = neg, pos
     training_example_idx = np.hstack((pos, neg))
 
-    n_words = bm.n_words
-    zero = np.zeros(n_words, np.uint32)
-    fit = {
-        "pos_mask": build_packed_mask(pos, n_genomes, n_words),
-        "neg_mask": build_packed_mask(neg, n_genomes, n_words),
-        "test_pos_mask": zero, "test_neg_mask": zero,
-        "p": p, "model_type": model_type,
-        "risk_lookup": _make_risk_lookup(
-            split.unique_risk_by_kmer, split.unique_risk_by_anti_kmer,
-            n_kmers),
-    }
-
     progress_callback("Training", 0)
-    engine = _make_exact_engine(bm, n_kmers, rule_blacklist)
-    rules_arr, _, _, _, ties = engine.run_fits([fit], max_rules,
-                                               collect_ties=True)
-    rule_idx = [int(r) for r in rules_arr[0] if r >= 0]
+    if precomputed is not None:
+        full_rules, full_ties = precomputed
+        rule_idx = full_rules[:max_rules]
+        ties_list = full_ties[:max_rules]
+    else:
+        n_words = bm.n_words
+        zero = np.zeros(n_words, np.uint32)
+        fit = {
+            "pos_mask": build_packed_mask(pos, n_genomes, n_words),
+            "neg_mask": build_packed_mask(neg, n_genomes, n_words),
+            "test_pos_mask": zero, "test_neg_mask": zero,
+            "p": p, "model_type": model_type,
+            "risk_lookup": _make_risk_lookup(
+                split.unique_risk_by_kmer, split.unique_risk_by_anti_kmer,
+                n_kmers),
+        }
+        engine = _make_exact_engine(bm, n_kmers, rule_blacklist)
+        rules_arr, _, _, _, ties = engine.run_fits([fit], max_rules,
+                                                   collect_ties=True)
+        rule_idx = [int(r) for r in rules_arr[0] if r >= 0]
+        ties_list = ties[0]
     progress_callback("Training", 1.0)
 
     # Equivalent-rule capture with the reference RNG contract
     # (experiment_scm.py:269-282 via the _full_train iteration callback).
     model_equivalent_rules = []
-    for equiv in ties[0]:
+    for equiv in ties_list:
         equiv = np.asarray(equiv)
         if len(equiv) > max_equiv_rules:
             random_idx = random_generator.choice(len(equiv), max_equiv_rules,
@@ -827,10 +878,12 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
             )
         if engine == "device" and (mesh is None
                                    or mesh.shape.get("rows", 1) == 1):
-            best_hp_score, best_hp = _cross_validation_device_exact(
-                dataset, split_name, model_type, p, max_rules,
-                progress_callback, rule_blacklist=rule_blacklist, mesh=mesh,
-            )
+            best_hp_score, best_hp, full_train_by_hp = (
+                _cross_validation_device_exact(
+                    dataset, split_name, model_type, p, max_rules,
+                    progress_callback, rule_blacklist=rule_blacklist,
+                    mesh=mesh, collect_full_train=True,
+                ))
         elif engine in ("device", "device-argmax"):
             best_hp_score, best_hp = _cross_validation_device(
                 dataset, split_name, model_type, p, max_rules, progress_callback,
@@ -858,10 +911,15 @@ def learn_SCM(dataset_file, split_name, model_type, p, kmer_blacklist_file=None,
         rule_importances = best_rule_importances
     elif engine == "device" and (mesh is None
                                  or mesh.shape.get("rows", 1) == 1):
+        precomputed = None
+        if parameter_selection == "cv":
+            precomputed = full_train_by_hp.get(
+                (best_hp["model_type"], float(best_hp["p"])))
         model, rule_importances, equivalent_rules = _full_train_device_exact(
             dataset, split_name, best_hp["model_type"], best_hp["p"],
             best_hp["max_rules"], max_equiv_rules, rule_blacklist,
             random_generator, progress_callback, mesh=mesh,
+            precomputed=precomputed,
         )
     elif engine in ("device", "device-argmax"):
         model, rule_importances, equivalent_rules = _full_train_device(

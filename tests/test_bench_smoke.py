@@ -21,6 +21,9 @@ def test_bench_emits_json_line():
         BENCH_READS="0",
         BENCH_DEVICE_INGEST="0",  # device-scale sorts are not a CPU smoke
         BENCH_CART="0",
+        BENCH_LARGEST_GENOMES="48",   # largest-dataset row at smoke scale
+        BENCH_LARGEST_KMERS="120000",
+        BENCH_LARGEST_RUNS="1",
         BENCH_RUNS="2",
         PYTHONPATH=REPO + os.pathsep + env.get("PYTHONPATH", ""),
     )

@@ -279,4 +279,40 @@ def test_exact_engine_streams_past_hbm_budget(tmp_path, monkeypatch):
 
     assert streamed == host
     assert streamed == resident
-    assert len(streamed_runs) >= 2  # CV + full train both streamed
+    # ONE streamed engine run serves CV AND full train: the speculative
+    # per-HP full-train fits ride the CV batch (round-trip economy).
+    assert len(streamed_runs) == 1
+
+
+def test_scm_e2e_round_trip_budget(tmp_path, monkeypatch):
+    """The e2e learn is fetch-count-bound on this rig (1-6 s per
+    device_get through the tunnel regardless of size, CLAUDE.md), so the
+    device-exact path must stay under 15 round trips for a full
+    cv-selected learn: one fused dispatch+fetch per greedy iteration
+    serving the CV grid AND the speculative per-HP full-train fits."""
+    import jax
+
+    ds = _tied_dataset(tmp_path, seed=11, name="rtb")
+    split_with_proportion(ds, "sp", train_prop=0.7, random_seed=11,
+                          n_folds=3)
+    kwargs = dict(
+        dataset_file=ds, split_name="sp",
+        model_type=["conjunction", "disjunction"], p=[0.5, 1.0, 2.0],
+        max_rules=10, max_equiv_rules=100, parameter_selection="cv",
+        random_seed=5,
+    )
+    host = _model_fingerprint(learn_SCM(engine="host", **kwargs))
+
+    fetches = []
+    orig = jax.device_get
+
+    def counting_get(x):
+        fetches.append(1)
+        return orig(x)
+
+    monkeypatch.setattr(jax, "device_get", counting_get)
+    dev = _model_fingerprint(learn_SCM(engine="device", **kwargs))
+    monkeypatch.undo()
+
+    assert dev == host
+    assert len(fetches) < 15, "device round trips regressed: %d" % len(fetches)

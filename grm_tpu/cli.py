@@ -729,8 +729,10 @@ def _cmd_collect_amr(argv):
                     "per-dataset TSVs (full / phenotype metadata / id-name / "
                     "description).",
     )
-    parser.add_argument("--amr-metadata", required=True,
-                        help="Path to PATRIC_genomes_AMR.txt")
+    parser.add_argument("--amr-metadata",
+                        help="Path to PATRIC_genomes_AMR.txt (default: the "
+                             "persisted amr_database setting — "
+                             "`grm settings set amr_database <path>`)")
     parser.add_argument("--species", default="All")
     parser.add_argument("--antibiotic", default="All")
     parser.add_argument("--drop-intermediate", action="store_true")
@@ -743,8 +745,19 @@ def _cmd_collect_amr(argv):
     args = parser.parse_args(argv)
 
     from .collect.amr import AmrDatabase
+    from .settings import get_setting, set_setting
 
-    db = AmrDatabase.load(args.amr_metadata)
+    amr_path = args.amr_metadata or get_setting("amr_database")
+    if not amr_path:
+        print("Error: no --amr-metadata given and no amr_database setting "
+              "persisted (grm settings set amr_database <path>).")
+        sys.exit(1)
+    if args.amr_metadata:
+        # Persist the last-used database path, like the GUI's path
+        # selector (src/app.py:213-223).
+        set_setting("amr_database", str(args.amr_metadata))
+
+    db = AmrDatabase.load(amr_path)
     if args.list_datasets:
         listing = db.dataset_list(min_group_count=50)
         for _, row in listing.iterrows():
@@ -858,6 +871,46 @@ def _cmd_results_serve(argv):
 
 
 # ---------------------------------------------------------------------------
+# settings commands (the GUI settings page's persistence,
+# src/app.py:62-64, 213-223)
+# ---------------------------------------------------------------------------
+def _cmd_settings_show(argv):
+    import json as _json
+
+    from .settings import load_settings, settings_path
+
+    argparse.ArgumentParser(
+        prog="grm settings show",
+        description="Print the persisted settings.").parse_args(argv)
+    print("# %s" % settings_path())
+    print(_json.dumps(load_settings(), indent=2))
+
+
+def _cmd_settings_get(argv):
+    from .settings import get_setting
+
+    parser = argparse.ArgumentParser(prog="grm settings get")
+    parser.add_argument("key", help="e.g. amr_database, amr_date")
+    args = parser.parse_args(argv)
+    value = get_setting(args.key)
+    if value is None:
+        print("Error: unknown setting %r" % args.key)
+        sys.exit(1)
+    print(value)
+
+
+def _cmd_settings_set(argv):
+    from .settings import set_setting, settings_path
+
+    parser = argparse.ArgumentParser(prog="grm settings set")
+    parser.add_argument("key")
+    parser.add_argument("value")
+    args = parser.parse_args(argv)
+    set_setting(args.key, args.value)
+    print("Saved %s=%s to %s" % (args.key, args.value, settings_path()))
+
+
+# ---------------------------------------------------------------------------
 # dispatcher
 # ---------------------------------------------------------------------------
 _COMMANDS = {
@@ -872,6 +925,9 @@ _COMMANDS = {
     ("collect", "genomes"): _cmd_collect_genomes,
     ("results", "site"): _cmd_results_site,
     ("results", "serve"): _cmd_results_serve,
+    ("settings", "show"): _cmd_settings_show,
+    ("settings", "get"): _cmd_settings_get,
+    ("settings", "set"): _cmd_settings_set,
 }
 
 
@@ -880,6 +936,7 @@ _COMMANDS = {
 _JAX_FREE = {
     ("collect", "amr"), ("collect", "genomes"),
     ("results", "site"), ("results", "serve"),
+    ("settings", "show"), ("settings", "get"), ("settings", "set"),
 }
 
 

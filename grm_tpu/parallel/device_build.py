@@ -280,8 +280,11 @@ def build_matrix_device_batched(codes_list, k, genome_ids=None, k_budget=None,
         k_budget = sum(max(len(c) - k + 1, 0) for c in codes_list)
     k_budget = int(k_budget)
 
-    # Phase 1: per-batch builds (device-resident results).
-    batches = []  # (matrix, union_words, n_kmers, w_off, bucket)
+    # Phase 1: per-batch builds, fully asynchronous — no per-batch
+    # device_get (1-6 s each through this rig's tunnel regardless of
+    # size), so batch N+1's host padding + H2D overlap batch N's sort.
+    # Budget-overflow checks ride the single merge-time fetch below.
+    batches = []  # (matrix, union_words, n_dev scalar, w_off, bucket)
     for lo in range(0, G, genome_batch):
         sub = codes_list[lo : lo + genome_batch]
         bb = batch_budget
@@ -292,18 +295,24 @@ def build_matrix_device_batched(codes_list, k, genome_ids=None, k_budget=None,
         bucket = 1 << 10
         while bucket < bb:
             bucket *= 2
-        dm = build_matrix_device(sub, k, k_budget=bucket)
-        batches.append((dm.matrix, dm.union_words, dm.n_kmers, lo // 32,
-                        bucket))
+        b_matrix, b_union, b_n = _build_codes(sub, k, bucket)
+        batches.append((b_matrix, b_union, b_n, lo // 32, bucket))
 
-    # Phase 2: one multi-way union merge over the concatenated batch unions.
+    # Phase 2: one multi-way union merge over the concatenated batch unions
+    # (per-batch validity from the DEVICE count scalars — still no sync).
     words = jnp.concatenate([b[1] for b in batches], axis=0)
     valids = jnp.concatenate([
         jnp.arange(b[4]) < b[2] for b in batches
     ])
     dest, union, n_dev = _merge_ranks(words, valids, nw=nw,
                                       k_budget=k_budget)
-    n_kmers = int(jax.device_get(n_dev))
+    counts = jax.device_get([n_dev] + [b[2] for b in batches])
+    n_kmers = int(counts[0])
+    for (_, _, _, lo32, bucket), b_n in zip(batches, counts[1:]):
+        if int(b_n) > bucket:
+            raise ValueError(
+                "batch at word-row %d overflowed its %d-kmer budget (%d)"
+                % (lo32, bucket, int(b_n)))
     if n_kmers > k_budget:
         raise ValueError(
             "k_budget=%d too small: union has %d k-mers" % (k_budget, n_kmers)
@@ -327,6 +336,23 @@ def build_matrix_device_batched(codes_list, k, genome_ids=None, k_budget=None,
     return DeviceMatrix(final[:, :k_budget], union, n_kmers, k, genome_ids)
 
 
+def _build_codes(codes_list, k, k_budget, filter_singleton=False):
+    """Pad + upload one genome batch and dispatch its build; returns
+    (matrix, union_words, n_kmers) with the count still a DEVICE scalar
+    (no sync — callers batch the fetch)."""
+    G = len(codes_list)
+    L = max(max(len(c) for c in codes_list), k)
+    # Bucket to limit recompiles.
+    bucket = 1 << 12
+    L = -(-L // bucket) * bucket
+    codes = np.full((G, L), 4, dtype=np.int8)
+    for i, c in enumerate(codes_list):
+        codes[i, : len(c)] = c
+    return _build(
+        jnp.asarray(codes), k, G, int(k_budget), bool(filter_singleton)
+    )
+
+
 def build_matrix_device(codes_list, k, genome_ids=None, k_budget=None,
                         filter_singleton=False):
     """Build the packed presence matrix on device from per-genome codes.
@@ -340,18 +366,11 @@ def build_matrix_device(codes_list, k, genome_ids=None, k_budget=None,
         raise ValueError("At least one genome is required.")
     if genome_ids is None:
         genome_ids = ["g%d" % i for i in range(G)]
-    L = max(max(len(c) for c in codes_list), k)
-    # Bucket to limit recompiles.
-    bucket = 1 << 12
-    L = -(-L // bucket) * bucket
-    codes = np.full((G, L), 4, dtype=np.int8)
-    for i, c in enumerate(codes_list):
-        codes[i, : len(c)] = c
     if k_budget is None:
-        k_budget = G * L
-    matrix, union_words, n_kmers = _build(
-        jnp.asarray(codes), k, G, int(k_budget), bool(filter_singleton)
-    )
+        L = max(max(len(c) for c in codes_list), k)
+        k_budget = G * (-(-L // (1 << 12)) * (1 << 12))
+    matrix, union_words, n_kmers = _build_codes(
+        codes_list, k, int(k_budget), filter_singleton)
     n_kmers = int(jax.device_get(n_kmers))
     if n_kmers > k_budget:
         raise ValueError(

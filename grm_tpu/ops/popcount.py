@@ -295,8 +295,18 @@ class BitMatrix:
 
     @classmethod
     def from_u64(cls, m64, n_rows, **kw):
+        import os as _os
+
+        # The device de-interleave's XLA temps pad to ~1.6x the matrix, so
+        # near-HBM-scale matrices (the 7.4 GB isoniazid artifact OOMed at
+        # load) de-interleave on the host instead — a strided numpy copy,
+        # seconds even at that scale — and upload the u32 form directly
+        # (peak HBM ~1x matrix bytes).
+        device_max = int(_os.environ.get(
+            "GRM_DEVICE_DEINTERLEAVE_MAX_BYTES", 2 << 30))
         if (kw.get("columns_sharding") is None
                 and isinstance(m64, np.ndarray)
+                and m64.nbytes <= device_max
                 and m64.dtype == np.uint64
                 and m64.dtype.byteorder in ("=", "<") and np.little_endian):
             # Upload the raw uint32 view (zero host work — the strided host

@@ -189,11 +189,11 @@ def _pass2(matrix, neg, pos, ps, pair_f, pair_sb, thresh, n_kmers, sb, cmax,
 
 
 @partial(jax.jit,
-         static_argnames=("sb", "hit_m", "cmax"),
+         static_argnames=("sb", "hit_m", "cmax", "fc"),
          donate_argnums=(1, 2, 3))
 def _fused_step(matrix, pos, neg, conj, tpos, tneg, ps, is_disj,
                 chosen, use_abs, valid, active, n_kmers, sb, hit_m, cmax,
-                excl=None):
+                excl=None, fc=None):
     """Apply the previous selection AND gather the next iteration's
     candidates in ONE program — a single host round trip per greedy
     iteration (the tunnel's dispatch latency, not compute, dominates the
@@ -260,8 +260,16 @@ def _fused_step(matrix, pos, neg, conj, tpos, tneg, ps, is_disj,
     rowsF = jnp.arange(f)
     neg_inf = jnp.float32(-jnp.inf)
 
+    # Fit-axis chunking for the candidate gather: each vmapped lane
+    # materializes a (32W, sb) int8 unpack (~84 MB at 5022 genomes x
+    # sb=16384), so a full-width vmap over the 128-fit bucket asks the
+    # compiler for ~10 GB of temps — the remote compile helper dies
+    # (HTTP 500, exit 1) rather than compile it. fc lanes per scan step
+    # bound the temp; small shapes keep fc=F (no behavior change).
+    fcw = f if fc is None else min(fc, f)
+
     def gather_j(_, j):
-        sbi = jnp.where(hits[:, j] < nsb, hits[:, j], 0)
+        sbi_all = jnp.where(hits[:, j] < nsb, hits[:, j], 0)
         live = hits[:, j] < nsb
 
         def one(fi, s):
@@ -298,7 +306,20 @@ def _fused_step(matrix, pos, neg, conj, tpos, tneg, ps, is_disj,
                     jnp.where(v, jnp.concatenate([cp, cp])[jj], -1),
                     m.sum().astype(jnp.int32))
 
-        cols_j, cn_j, cp_j, cc_j = jax.vmap(one)(rowsF, sbi)
+        if fcw >= f:
+            cols_j, cn_j, cp_j, cc_j = jax.vmap(one)(rowsF, sbi_all)
+        else:
+            def chunk_body(_, ci):
+                fis = ci * fcw + jnp.arange(fcw)
+                s_c = jax.lax.dynamic_slice(sbi_all, (ci * fcw,), (fcw,))
+                return None, jax.vmap(one)(fis, s_c)
+
+            _, (cols_c, cn_c, cp_c, cc_c) = jax.lax.scan(
+                chunk_body, None, jnp.arange(f // fcw))
+            cols_j = cols_c.reshape(f, -1)
+            cn_j = cn_c.reshape(f, -1)
+            cp_j = cp_c.reshape(f, -1)
+            cc_j = cc_c.reshape(f)
         cols_j = jnp.where(live[:, None], cols_j, -1)
         cc_j = jnp.where(live, cc_j, 0)
         return None, (cols_j, cn_j, cp_j, cc_j)
@@ -463,6 +484,18 @@ class ExactScmEngine:
             raise ValueError("exact engine expects a uint32-packed matrix")
         kp = matrix.shape[1]
         sb = min(sb, max(256, kp))
+        if not self.streamed:
+            # Keep the fused program's per-iteration scan under ~1200
+            # superblocks: the remote compile service crashes (HTTP 500,
+            # tpu_compile_helper exit 1) on the ~1430-block scan an
+            # 11.7M-column matrix produces at sb=8192, and ~1280-block
+            # scatter-in-scan programs have faulted the TPU worker before
+            # (CLAUDE.md). The median 9.6M scale (1171 blocks) compiles
+            # fine and keeps its cached executables; wider superblocks
+            # trade block-temp size for scan length past that.
+            max_blocks = int(os.environ.get("GRM_FUSED_MAX_BLOCKS", 1200))
+            while kp // sb > max_blocks:
+                sb *= 2
         self.n_kmers = int(n_kmers)
         self.sb = sb
         self.hit_budget = int(hit_budget)
@@ -627,6 +660,20 @@ class ExactScmEngine:
 
     # -- the greedy loop -----------------------------------------------------
 
+    def _gather_lanes(self, f):
+        """Fit-lane width for the fused step's candidate gather: each lane
+        costs ~40 * W * sb temp bytes (the (32W, sb) int8 unpack dominates);
+        the full F-wide vmap at 5022-genome scale asked the compiler for
+        ~10 GB and crashed the remote compile helper. Halve (keeping a
+        divisor of the padded fit count) until under budget."""
+        per_fit = 40 * int(self.matrix.shape[0]) * self.sb
+        budget = int(os.environ.get("GRM_GATHER_TEMP_BYTES", 1 << 31))
+        max_lanes = max(1, budget // max(per_fit, 1))
+        fc = f
+        while fc > max_lanes and fc % 2 == 0:
+            fc //= 2
+        return fc
+
     def run_fits(self, fits, max_rules, collect_ties=False):
         """Greedy SCM for every fit, exact reference selection semantics.
 
@@ -691,7 +738,7 @@ class ExactScmEngine:
                 is_disj_d, jnp.asarray(chosen), jnp.asarray(use_abs),
                 jnp.asarray(valid), jnp.asarray(active),
                 self.n_kmers, self.sb, hit_m, self.cand_budget,
-                excl=self.excl,
+                excl=self.excl, fc=self._gather_lanes(f),
             )
             err, n_neg_new, n_pos_new, gmax_np, hcount, cols, cn, cp, \
                 ccount = jax.device_get(

@@ -681,7 +681,7 @@ def main():
     if os.environ.get("BENCH_LARGEST", "1") != "0":
         try:
             largest_value, largest_median = bench_learn_e2e_largest(
-                int(os.environ.get("BENCH_LARGEST_RUNS", 2)))
+                int(os.environ.get("BENCH_LARGEST_RUNS", 1)))
         except Exception as e:
             log("largest-dataset e2e bench skipped (%s)" % str(e)[:160])
 

@@ -188,24 +188,11 @@ def _pass2(matrix, neg, pos, ps, pair_f, pair_sb, thresh, n_kmers, sb, cmax,
     return jax.vmap(one)(pair_f, pair_sb)
 
 
-@partial(jax.jit,
-         static_argnames=("sb", "hit_m", "cmax", "fc"),
-         donate_argnums=(1, 2, 3))
-def _fused_step(matrix, pos, neg, conj, tpos, tneg, ps, is_disj,
-                chosen, use_abs, valid, active, n_kmers, sb, hit_m, cmax,
-                excl=None, fc=None):
-    """Apply the previous selection AND gather the next iteration's
-    candidates in ONE program — a single host round trip per greedy
-    iteration (the tunnel's dispatch latency, not compute, dominates the
-    e2e learn wall-clock otherwise).
-
-    Returns (pos, neg, conj) [device state], plus (err, n_neg, n_pos,
-    gmax, hit_count, cand_cols, cand_cn, cand_cp, cand_count, sbmax) —
-    the small arrays are fetched together; ``sbmax`` is only pulled on
-    budget overflow (the slow-path fallback needs it).
-    """
+def _apply_and_stats(matrix, pos, neg, conj, tpos, tneg, is_disj, chosen,
+                     use_abs, valid):
+    """Apply the chosen rules (no-op rows where valid is False) and compute
+    the post-apply test errors + remaining example counts."""
     w32 = pos.shape[1]
-    # -- apply the chosen rules (no-op rows where valid is False) --------
     packed = _fetch_columns(matrix, chosen)[:, :w32]
     bits = jnp.where(use_abs[:, None], ~packed, packed)
     act = valid[:, None]
@@ -219,22 +206,25 @@ def _fused_step(matrix, pos, neg, conj, tpos, tneg, ps, is_disj,
     conj_err = (n_tpos - pos_pred1) + neg_pred1
     disj_err = pos_pred1 + (n_tneg - neg_pred1)
     err = jnp.where(is_disj, disj_err, conj_err)
-    n_neg_now = _popcount_rows(neg)
-    n_pos_now = _popcount_rows(pos)
+    return (pos, neg, conj, err, _popcount_rows(neg), _popcount_rows(pos))
 
-    # -- pass 1 on the updated state -------------------------------------
+
+def _probe_state(matrix, pos, neg, ps, active, n_neg_now, n_kmers, sb,
+                 hit_m, cmax, fc, excl):
+    """Pass 1 + thresholds + hit superblocks + candidate gather for the
+    current state (the per-iteration probe the host replays from)."""
     sbmax, gmax = _pass1(matrix, neg, pos, ps, n_kmers, sb, excl=excl)
 
-    # -- thresholds on device (same margins as ExactScmEngine._thresholds;
-    #    float32 evaluation of the margin only wiggles it by ulps, and the
-    #    margin carries 2x headroom) ------------------------------------
+    # Thresholds on device (same margins as ExactScmEngine._thresholds;
+    # float32 evaluation of the margin only wiggles it by ulps, and the
+    # margin carries 2x headroom).
     radius = _ATOL + _RTOL * jnp.abs(gmax)
     scale = n_neg_now.astype(jnp.float32) + 4.0 * jnp.abs(gmax) + 1.0
     fslack = 4.0 * _F32_EPS * scale
     thresh = gmax - 8.0 * radius - 4.0 * fslack - _ATOL
     thresh = jnp.where(active & (n_neg_now > 0), thresh, jnp.inf)
 
-    # -- top hit superblocks per fit -------------------------------------
+    # Top hit superblocks per fit.
     f, nsb = sbmax.shape
     hit = sbmax >= thresh[:, None]
     key = jnp.where(hit, jnp.arange(nsb, dtype=jnp.int32)[None, :],
@@ -250,7 +240,7 @@ def _fused_step(matrix, pos, neg, conj, tpos, tneg, ps, is_disj,
         hits = hits[:, :hit_m]
     hit_count = hit.sum(axis=1).astype(jnp.int32)
 
-    # -- candidate gather over the (F, hit_m) speculative pairs ----------
+    # Candidate gather over the (F, hit_m) speculative pairs.
     w = matrix.shape[0]
     masks_dense = _unpack_words(
         jnp.concatenate([neg, pos], axis=0).T
@@ -327,9 +317,119 @@ def _fused_step(matrix, pos, neg, conj, tpos, tneg, ps, is_disj,
     _, (cols, cn, cp, ccount) = jax.lax.scan(
         gather_j, None, jnp.arange(hit_m)
     )  # leading axis hit_m -> (hit_m, F, cmax) etc.
+    return gmax, hit_count, cols, cn, cp, ccount, sbmax
 
+
+@partial(jax.jit,
+         static_argnames=("sb", "hit_m", "cmax", "fc"),
+         donate_argnums=(1, 2, 3))
+def _fused_step(matrix, pos, neg, conj, tpos, tneg, ps, is_disj,
+                chosen, use_abs, valid, active, n_kmers, sb, hit_m, cmax,
+                excl=None, fc=None):
+    """Apply the previous selection AND gather the next iteration's
+    candidates in ONE program — a single host round trip per greedy
+    iteration (the tunnel's dispatch latency, not compute, dominates the
+    e2e learn wall-clock otherwise).
+
+    Returns (pos, neg, conj) [device state], plus (err, n_neg, n_pos,
+    gmax, hit_count, cand_cols, cand_cn, cand_cp, cand_count, sbmax) —
+    the small arrays are fetched together; ``sbmax`` is only pulled on
+    budget overflow (the slow-path fallback needs it).
+    """
+    pos, neg, conj, err, n_neg_now, n_pos_now = _apply_and_stats(
+        matrix, pos, neg, conj, tpos, tneg, is_disj, chosen, use_abs,
+        valid)
+    gmax, hit_count, cols, cn, cp, ccount, sbmax = _probe_state(
+        matrix, pos, neg, ps, active, n_neg_now, n_kmers, sb, hit_m, cmax,
+        fc, excl)
     return (pos, neg, conj, err, n_neg_now, n_pos_now, gmax, hit_count,
             cols, cn, cp, ccount, sbmax)
+
+
+def _device_guess(cols, cn, cp, nn, np_, ps, is_disj, risk_tabs, tab_id,
+                  has_tab, n_kmers):
+    """Approximate the host's exact selection over the gathered pools —
+    f32 utility max, risk-index tiebreak (min for conjunctions, max for
+    disjunctions — risks ride as unique-risk INDICES, whose order equals
+    the risk order), lowest rule index. The HOST always verifies against
+    its exact float64 replay, so a wrong guess costs one extra round
+    trip, never correctness. Returns (guess rule idx, guess_valid)."""
+    hit_m, f, cmax = cols.shape
+    r = jnp.transpose(cols, (1, 0, 2)).reshape(f, hit_m * cmax)
+    cnv = jnp.transpose(cn, (1, 0, 2)).reshape(f, hit_m * cmax)
+    cpv = jnp.transpose(cp, (1, 0, 2)).reshape(f, hit_m * cmax)
+    valid = r >= 0
+    pres = r < n_kmers
+    ncov = jnp.where(pres, nn[:, None] - cnv, cnv)
+    perr = jnp.where(pres, np_[:, None] - cpv, cpv)
+    u = ncov.astype(jnp.float32) - ps[:, None] * perr.astype(jnp.float32)
+    ok = valid & ((ncov != 0) | (perr != 0))
+    u = jnp.where(ok, u, -jnp.inf)
+    m = u.max(axis=1)
+    sel = ok & (u == m[:, None])
+
+    big = jnp.int32(0x7FFFFFFF)
+    r_safe = jnp.where(valid, r, 0)
+    riskv = jax.vmap(lambda tid, rr: risk_tabs[tid][rr])(tab_id, r_safe)
+    rk_min = jnp.where(sel, riskv, big).min(axis=1)
+    rk_max = jnp.where(sel, riskv, -1).max(axis=1)
+    rstar = jnp.where(is_disj, rk_max, rk_min)
+    sel2 = sel & (riskv == rstar[:, None])
+    g = jnp.where(sel2, r, big).min(axis=1)
+    g_valid = jnp.isfinite(m) & (g < big) & has_tab
+    return g, g_valid
+
+
+@partial(jax.jit,
+         static_argnames=("sb", "hit_m", "cmax", "fc"),
+         donate_argnums=(1, 2, 3, 4, 5, 6))
+def _spec_step(matrix, pos1, neg1, conj1, pos2, neg2, conj2, use_prev,
+               tpos, tneg, ps, is_disj, chosenA, use_absA, validA, active,
+               risk_tabs, tab_id, has_tab, n_kmers, sb, hit_m, cmax,
+               excl=None, fc=None):
+    """Speculative DOUBLE greedy iteration in one round trip.
+
+    Applies the host-verified selection to the per-fit base state
+    (``use_prev`` picks the pre-speculation checkpoint on a miss), probes
+    the result (pools P1), lets the device GUESS the winner, commits the
+    guess, and probes again (pools P2). The host replays P1 exactly: on a
+    guess hit it already holds the next iteration's pools — two greedy
+    iterations per tunnel round trip; on a miss the returned checkpoint
+    state makes the next dispatch a correction. Selection stays
+    bit-identical by construction (the guess only decides WHICH
+    precomputed results are usable, never what is selected).
+    """
+    base_pos = jnp.where(use_prev[:, None], pos1, pos2)
+    base_neg = jnp.where(use_prev[:, None], neg1, neg2)
+    base_conj = jnp.where(use_prev[:, None], conj1, conj2)
+
+    s1_pos, s1_neg, s1_conj, err1, nn1, np1 = _apply_and_stats(
+        matrix, base_pos, base_neg, base_conj, tpos, tneg, is_disj,
+        chosenA, use_absA, validA)
+    act1 = active & (nn1 > 0)
+    gmax1, hc1, cols1, cn1, cp1, cc1, sbmax1 = _probe_state(
+        matrix, s1_pos, s1_neg, ps, act1, nn1, n_kmers, sb, hit_m, cmax,
+        fc, excl)
+
+    guess, g_valid = _device_guess(
+        cols1, cn1, cp1, nn1, np1, ps, is_disj, risk_tabs, tab_id,
+        has_tab, n_kmers)
+    g_valid = g_valid & act1
+    g_col = jnp.where(g_valid, guess % n_kmers, 0).astype(jnp.int32)
+    g_abs = g_valid & (guess >= n_kmers)
+
+    s2_pos, s2_neg, s2_conj, err2, nn2, np2 = _apply_and_stats(
+        matrix, s1_pos, s1_neg, s1_conj, tpos, tneg, is_disj,
+        g_col, g_abs, g_valid)
+    act2 = g_valid & (nn2 > 0)
+    gmax2, hc2, cols2, cn2, cp2, cc2, sbmax2 = _probe_state(
+        matrix, s2_pos, s2_neg, ps, act2, nn2, n_kmers, sb, hit_m, cmax,
+        fc, excl)
+
+    return (s1_pos, s1_neg, s1_conj, s2_pos, s2_neg, s2_conj,
+            err1, nn1, np1, gmax1, hc1, cols1, cn1, cp1, cc1, sbmax1,
+            guess, g_valid,
+            err2, nn2, np2, gmax2, hc2, cols2, cn2, cp2, cc2, sbmax2)
 
 
 @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -438,7 +538,13 @@ def _pad_fit_arrays(f_true, pos_np, neg_np, tpos, tneg, ps_np, is_disj_np):
 
 
 def _make_risk_lookup(by_kmer, by_anti, n_kmers):
-    """rule_risks[idx] over the virtual hstack(by_kmer, by_anti) table."""
+    """rule_risks[idx] over the virtual hstack(by_kmer, by_anti) table.
+
+    The raw index tables ride as attributes so the speculative engine can
+    place them on device (the guess's tiebreak input); opaque callables
+    without them simply never speculate successfully."""
+    by_kmer = np.asarray(by_kmer)
+    by_anti = np.asarray(by_anti)
 
     def lookup(idx):
         out = np.empty(len(idx), dtype=np.float64)
@@ -447,6 +553,8 @@ def _make_risk_lookup(by_kmer, by_anti, n_kmers):
         out[~pres] = by_anti[idx[~pres] - n_kmers]
         return out
 
+    lookup.by_kmer = by_kmer
+    lookup.by_anti = by_anti
     return lookup
 
 
@@ -595,7 +703,9 @@ class ExactScmEngine:
                                        hits_m), flush=True)
 
         def run_pairs_chunk(pf, psb, cmax):
-            # Bucket-pad the pair count to limit recompiles.
+            # Bucket-pad the pair count to limit recompiles. Returns
+            # DEVICE arrays (no sync — run_pairs drains all chunks with
+            # one fetch).
             n = len(pf)
             bucket = 16
             while bucket < n:
@@ -603,26 +713,37 @@ class ExactScmEngine:
             pf_p = np.zeros(bucket, np.int32)
             psb_p = np.zeros(bucket, np.int32)
             pf_p[:n], psb_p[:n] = pf, psb
-            ridx, cn, cp, count = _pass2(
+            return _pass2(
                 matrix, neg_dev, pos_dev, ps_dev,
                 jnp.asarray(pf_p), jnp.asarray(psb_p), thresh_dev,
                 self.n_kmers, sb, cmax, excl=self.excl,
             )
-            return (np.asarray(ridx)[:n], np.asarray(cn)[:n],
-                    np.asarray(cp)[:n], np.asarray(count)[:n])
 
         def run_pairs(pf, psb, cmax):
             # Chunked: the vmapped per-pair matrix slices materialize
             # (P, 32W, sb) int8 unpacks — a giant pathological tie set
-            # must not turn into one giant dispatch.
-            chunk = 64
-            if len(pf) <= chunk:
-                return run_pairs_chunk(pf, psb, cmax)
-            parts = [run_pairs_chunk(pf[lo:lo + chunk], psb[lo:lo + chunk],
-                                     cmax)
-                     for lo in range(0, len(pf), chunk)]
-            return tuple(np.concatenate([p[i] for p in parts])
-                         for i in range(4))
+            # must not turn into one giant dispatch. ALL chunks dispatch
+            # asynchronously and ONE device_get drains them: genuine
+            # near-max tie mass can span thousands of (fit, superblock)
+            # pairs, and per-chunk fetches turned that into a 60-round-trip
+            # storm at 1-6 s each through this rig's tunnel.
+            # Per-pair temp ~128*W*sb bytes (the padded u32 slice stack —
+            # measured 25 MB/pair at W=12, sb=16384); chunks are bucket
+            # sizes (16*4^k) because _pass2 pads the pair count up to one.
+            per_pair = 128 * int(matrix.shape[0]) * sb
+            budget = int(os.environ.get("GRM_GATHER_TEMP_BYTES", 1 << 31))
+            chunk = 16
+            while chunk * 4 * per_pair <= budget and chunk < 1024:
+                chunk *= 4
+            spans = list(range(0, len(pf), chunk))
+            devs = [run_pairs_chunk(pf[lo:lo + chunk], psb[lo:lo + chunk],
+                                    cmax)
+                    for lo in spans]
+            host = jax.device_get(devs)
+            lens = [len(pf[lo:lo + chunk]) for lo in spans]
+            return tuple(np.concatenate(
+                [np.asarray(part[i])[:n] for part, n in zip(host, lens)])
+                for i in range(4))
 
         def collect(pf, ridx, cn, cp):
             for i in range(len(pf)):
@@ -674,6 +795,236 @@ class ExactScmEngine:
             fc //= 2
         return fc
 
+
+    def _run_fits_speculative(self, fits, max_rules, collect_ties=False):
+        """Greedy loop with host-verified device speculation: each round
+        trip advances up to TWO iterations (see :func:`_spec_step`).
+
+        Exactness: every committed rule comes from the host's float64
+        replay over the probe pools — identical to the classic loop. The
+        device's guess only decides whether the second probe's pools are
+        usable; a miss rolls back to the checkpointed state and costs one
+        extra round trip."""
+        f_true = len(fits)
+        pos_np = np.stack([x["pos_mask"] for x in fits])
+        neg_np = np.stack([x["neg_mask"] for x in fits])
+        tpos = np.stack([x["test_pos_mask"] for x in fits])
+        tneg = np.stack([x["test_neg_mask"] for x in fits])
+        ps_np = np.array([x["p"] for x in fits], np.float64)
+        is_disj_np = np.array(
+            [x["model_type"] == "disjunction" for x in fits], bool)
+        (f, pos_np, neg_np, tpos, tneg, ps_np, is_disj_np) = _pad_fit_arrays(
+            f_true, pos_np, neg_np, tpos, tneg, ps_np, is_disj_np)
+
+        # Per-fit risk-index tables on device (the guess's tiebreak input).
+        # Fold lookups are shared across a fold's fits, so a handful of
+        # tables serve the whole grid; fits with opaque lookups simply
+        # never speculate successfully (has_tab False -> guaranteed miss).
+        tabs, tab_index = [], {}
+        tab_id = np.zeros(f, np.int32)
+        has_tab = np.zeros(f, bool)
+        for i in range(f_true):
+            lk = fits[i]["risk_lookup"]
+            bk = getattr(lk, "by_kmer", None)
+            ba = getattr(lk, "by_anti", None)
+            if bk is None or ba is None:
+                continue
+            key = id(lk)
+            if key not in tab_index:
+                # Table SHAPE is 2x the bucketed matrix width (shape
+                # hygiene: same-bucket datasets must share the compiled
+                # program); the virtual-index layout inside still splits
+                # at the true n_kmers.
+                kp = int(self.matrix.shape[1])
+                t = np.zeros(2 * kp, np.int32)
+                t[: self.n_kmers] = np.asarray(bk, np.int64).astype(np.int32)
+                t[self.n_kmers : 2 * self.n_kmers] = np.asarray(
+                    ba, np.int64).astype(np.int32)
+                tab_index[key] = len(tabs)
+                tabs.append(t)
+            tab_id[i] = tab_index[key]
+            has_tab[i] = True
+        if not tabs:
+            tabs = [np.zeros(2 * int(self.matrix.shape[1]), np.int32)]
+        tbb = 1
+        while tbb < len(tabs):
+            tbb *= 2
+        risk_tabs = jnp.asarray(
+            np.stack(tabs + [tabs[0]] * (tbb - len(tabs))))
+
+        pos1 = jnp.array(pos_np)
+        neg1 = jnp.array(neg_np)
+        conj1 = jnp.array(np.full_like(pos_np, np.uint32(0xFFFFFFFF)))
+        pos2 = jnp.array(pos_np)
+        neg2 = jnp.array(neg_np)
+        conj2 = jnp.array(np.full_like(pos_np, np.uint32(0xFFFFFFFF)))
+        tpos_d = jnp.asarray(tpos)
+        tneg_d = jnp.asarray(tneg)
+        ps_dev = jnp.asarray(ps_np.astype(np.float32))
+        is_disj_d = jnp.asarray(is_disj_np)
+        tab_id_d = jnp.asarray(tab_id)
+        has_tab_d = jnp.asarray(has_tab)
+
+        n_pos = np.bitwise_count(pos_np).sum(-1).astype(np.int64)
+        n_neg = np.bitwise_count(neg_np).sum(-1).astype(np.int64)
+        n_tpos = np.bitwise_count(tpos).sum(-1).astype(np.int64)
+        n_tneg = np.bitwise_count(tneg).sum(-1).astype(np.int64)
+
+        rules = np.full((f, max_rules), -1, np.int64)
+        errors = np.zeros((f, max_rules + 1), np.int64)
+        errors[:, 0] = np.where(is_disj_np, n_tpos, n_tneg)
+        err_recorded = np.zeros(f, np.int64)
+        ties = [[] for _ in range(f)] if collect_ties else None
+        L = np.zeros(f, np.int64)
+        done = ~(n_neg > 0)
+        if max_rules == 0:
+            done[:] = True
+
+        use_prev = np.ones(f, bool)
+        chosenA = np.zeros(f, np.int32)
+        use_absA = np.zeros(f, bool)
+        validA = np.zeros(f, bool)
+        pend_len = np.zeros(f, np.int64)
+
+        hit_m = max(4, min(16, self.hit_budget))
+        fc = self._gather_lanes(f)
+        dbg = os.environ.get("GRM_EXACT_DEBUG")
+        dispatches = 0
+        guard = 0
+
+        def parts_of(cols, cn, cp, fi):
+            parts = []
+            for j in range(hit_m):
+                selv = cols[j, fi] >= 0
+                if selv.any():
+                    parts.append((cols[j, fi][selv], cn[j, fi][selv],
+                                  cp[j, fi][selv]))
+            return parts
+
+        while (~done).any() or validA.any():
+            guard += 1
+            if guard > 4 * (max_rules + 2) + 16:
+                raise RuntimeError("speculative SCM loop failed to converge")
+            active = ~done
+            out = _spec_step(
+                self.matrix, pos1, neg1, conj1, pos2, neg2, conj2,
+                jnp.asarray(use_prev), tpos_d, tneg_d, ps_dev, is_disj_d,
+                jnp.asarray(chosenA), jnp.asarray(use_absA),
+                jnp.asarray(validA), jnp.asarray(active),
+                risk_tabs, tab_id_d, has_tab_d,
+                self.n_kmers, self.sb, hit_m, self.cand_budget,
+                excl=self.excl, fc=fc)
+            (pos1, neg1, conj1, pos2, neg2, conj2,
+             err1_d, nn1_d, np1_d, gmax1_d, hc1_d, cols1_d, cn1_d, cp1_d,
+             cc1_d, sbmax1_d, guess_d, gvalid_d,
+             err2_d, nn2_d, np2_d, gmax2_d, hc2_d, cols2_d, cn2_d, cp2_d,
+             cc2_d, sbmax2_d) = out
+            (err1, nn1, np1v, gmax1, hc1, cols1, cn1, cp1, cc1, guess,
+             gvalid, err2, nn2, np2v, gmax2, hc2, cols2, cn2, cp2,
+             cc2) = jax.device_get(
+                (err1_d, nn1_d, np1_d, gmax1_d, hc1_d, cols1_d, cn1_d,
+                 cp1_d, cc1_d, guess_d, gvalid_d, err2_d, nn2_d, np2_d,
+                 gmax2_d, hc2_d, cols2_d, cn2_d, cp2_d, cc2_d))
+            dispatches += 1
+
+            for fi in np.where(validA)[0]:
+                errors[fi, pend_len[fi]] = err1[fi]
+                err_recorded[fi] = max(err_recorded[fi], pend_len[fi])
+
+            act_idx = np.where(active)[0]
+            over1 = (hc1 > hit_m) | (cc1 > self.cand_budget).any(axis=0)
+            pools1 = {}
+            for fi in act_idx:
+                if not over1[fi]:
+                    pools1[int(fi)] = parts_of(cols1, cn1, cp1, fi)
+            if over1[active].any():
+                thresh = self._thresholds(
+                    np.asarray(gmax1, np.float64),
+                    nn1.astype(np.float64), np1v.astype(np.float64),
+                    ps_np, active & over1)
+                pools1.update(self._gather_candidates(
+                    sbmax1_d, neg1, pos1, ps_dev, thresh, active & over1))
+
+            new_chosen = np.zeros(f, np.int32)
+            new_useabs = np.zeros(f, bool)
+            new_valid = np.zeros(f, bool)
+            new_useprev = np.ones(f, bool)
+            new_pend = np.zeros(f, np.int64)
+            hits = misses = 0
+            for fi in act_idx:
+                n_neg[fi] = nn1[fi]
+                n_pos[fi] = np1v[fi]
+                if n_neg[fi] == 0 or L[fi] >= max_rules:
+                    done[fi] = True
+                    continue
+                rule, equiv = self._select_for_fit(
+                    pools1.get(int(fi), []), fits[fi], n_neg[fi],
+                    n_pos[fi], ps_np[fi])
+                if rule is None:
+                    done[fi] = True
+                    continue
+                rules[fi, L[fi]] = rule
+                if collect_ties:
+                    ties[fi].append(equiv)
+                L[fi] += 1
+                hit = (not over1[fi]) and bool(gvalid[fi]) \
+                    and int(guess[fi]) == int(rule)
+                if not hit:
+                    misses += 1
+                    new_useprev[fi] = True  # roll back the guess
+                    new_chosen[fi] = rule % self.n_kmers
+                    new_useabs[fi] = rule >= self.n_kmers
+                    new_valid[fi] = True
+                    new_pend[fi] = L[fi]
+                    continue
+                hits += 1
+                # Guess verified: the speculated apply IS the commit.
+                errors[fi, L[fi]] = err2[fi]
+                err_recorded[fi] = max(err_recorded[fi], L[fi])
+                n_neg[fi] = nn2[fi]
+                n_pos[fi] = np2v[fi]
+                new_useprev[fi] = False  # base = post-guess state
+                if n_neg[fi] == 0 or L[fi] >= max_rules:
+                    done[fi] = True
+                    continue
+                over2_f = (hc2[fi] > hit_m) or (
+                    cc2[:, fi] > self.cand_budget).any()
+                if over2_f:
+                    # Probe again from the committed state next round.
+                    continue
+                rule2, equiv2 = self._select_for_fit(
+                    parts_of(cols2, cn2, cp2, fi), fits[fi], n_neg[fi],
+                    n_pos[fi], ps_np[fi])
+                if rule2 is None:
+                    done[fi] = True
+                    continue
+                rules[fi, L[fi]] = rule2
+                if collect_ties:
+                    ties[fi].append(equiv2)
+                L[fi] += 1
+                new_chosen[fi] = rule2 % self.n_kmers
+                new_useabs[fi] = rule2 >= self.n_kmers
+                new_valid[fi] = True
+                new_pend[fi] = L[fi]
+            if dbg:
+                print("[scm_exact] spec round %d: %d hits, %d misses, "
+                      "%d live" % (dispatches, hits, misses,
+                                   int((~done).sum())), flush=True)
+            chosenA, use_absA, validA = new_chosen, new_useabs, new_valid
+            use_prev, pend_len = new_useprev, new_pend
+
+        for fi in range(f):
+            for jt in range(int(err_recorded[fi]) + 1, max_rules + 1):
+                errors[fi, jt] = errors[fi, jt - 1]
+
+        n_rules = (rules >= 0).sum(axis=1).astype(np.int64)
+        n_test = n_tpos + n_tneg
+        if collect_ties:
+            return (rules[:f_true], n_rules[:f_true], errors[:f_true],
+                    n_test[:f_true], ties[:f_true])
+        return (rules[:f_true], n_rules[:f_true], errors[:f_true],
+                n_test[:f_true])
+
     def run_fits(self, fits, max_rules, collect_ties=False):
         """Greedy SCM for every fit, exact reference selection semantics.
 
@@ -689,6 +1040,8 @@ class ExactScmEngine:
         """
         if self.streamed:
             return self._run_fits_streamed(fits, max_rules, collect_ties)
+        if os.environ.get("GRM_SCM_SPECULATE", "1") != "0":
+            return self._run_fits_speculative(fits, max_rules, collect_ties)
         f_true = len(fits)
         pos_np = np.stack([x["pos_mask"] for x in fits])
         neg_np = np.stack([x["neg_mask"] for x in fits])
@@ -930,23 +1283,26 @@ class ExactScmEngine:
                     pf_p = np.zeros(bucket, np.int32)
                     psb_p = np.zeros(bucket, np.int32)
                     pf_p[:n], psb_p[:n] = pf, psb
-                    ridx, cn, cp, count = _pass2(
+                    return _pass2(
                         compact_d, neg, pos, ps_dev,
                         jnp.asarray(pf_p), jnp.asarray(psb_p), thresh_d,
                         cw, sb, cmax, excl=c_excl_d,
                     )
-                    return (np.asarray(ridx)[:n], np.asarray(cn)[:n],
-                            np.asarray(cp)[:n], np.asarray(count)[:n])
 
                 def run_pairs(pf, psb, cmax):
+                    # Async-dispatch all chunks, ONE fetch (see the
+                    # resident path's run_pairs for why).
                     chunk_p = 64
-                    if len(pf) <= chunk_p:
-                        return run_pairs_chunk(pf, psb, cmax)
-                    parts = [run_pairs_chunk(pf[lo:lo + chunk_p],
-                                             psb[lo:lo + chunk_p], cmax)
-                             for lo in range(0, len(pf), chunk_p)]
-                    return tuple(np.concatenate([p[i] for p in parts])
-                                 for i in range(4))
+                    spans = list(range(0, len(pf), chunk_p))
+                    devs = [run_pairs_chunk(pf[lo:lo + chunk_p],
+                                            psb[lo:lo + chunk_p], cmax)
+                            for lo in spans]
+                    host = jax.device_get(devs)
+                    lens = [len(pf[lo:lo + chunk_p]) for lo in spans]
+                    return tuple(np.concatenate(
+                        [np.asarray(part[i])[:n]
+                         for part, n in zip(host, lens)])
+                        for i in range(4))
 
                 def remap(ridx_row):
                     """Compact rule idx -> global rule idx (keeps -1 pads)."""

@@ -315,4 +315,6 @@ def test_scm_e2e_round_trip_budget(tmp_path, monkeypatch):
     monkeypatch.undo()
 
     assert dev == host
-    assert len(fetches) < 15, "device round trips regressed: %d" % len(fetches)
+    # Speculation advances two greedy iterations per round trip (verified
+    # on the host, misses roll back) — the budget is now single digits.
+    assert len(fetches) < 10, "device round trips regressed: %d" % len(fetches)

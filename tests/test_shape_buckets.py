@@ -48,11 +48,12 @@ def test_second_dataset_in_same_bucket_compiles_nothing(tmp_path,
                   bound_max_genome_size=3000, engine="device")
     out_a = learn_SCM(dataset_file=ds_a, **kwargs)
 
-    # Every exact-engine program is now compiled for the bucketed shapes.
-    tracked = [scm_exact._fused_step, scm_exact._pass1, scm_exact._pass2,
+    # Every exact-engine program is now compiled for the bucketed shapes
+    # (the speculative double-step is the learn path's program).
+    tracked = [scm_exact._spec_step, scm_exact._pass1, scm_exact._pass2,
                scm_exact._hit_sbs]
     before = [t._cache_size() for t in tracked]
-    assert before[0] >= 1  # the fused step actually ran
+    assert before[0] >= 1  # the speculative step actually ran
 
     out_b = learn_SCM(dataset_file=ds_b, **kwargs)
     after = [t._cache_size() for t in tracked]

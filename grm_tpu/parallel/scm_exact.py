@@ -1040,7 +1040,13 @@ class ExactScmEngine:
         """
         if self.streamed:
             return self._run_fits_streamed(fits, max_rules, collect_ties)
-        if os.environ.get("GRM_SCM_SPECULATE", "1") != "0":
+        # Speculation doubles the fused program; past ~half of HBM the
+        # remote compile helper dies on it (the single-probe program at
+        # the 8 GB isoniazid matrix already sits at its edge), and the
+        # e2e there is load-dominated anyway — classic loop instead.
+        spec_max = int(os.environ.get("GRM_SPECULATE_MAX_BYTES", 4 << 30))
+        if (os.environ.get("GRM_SCM_SPECULATE", "1") != "0"
+                and int(self.matrix.size) * 4 <= spec_max):
             return self._run_fits_speculative(fits, max_rules, collect_ties)
         f_true = len(fits)
         pos_np = np.stack([x["pos_mask"] for x in fits])

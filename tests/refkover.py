@@ -89,6 +89,17 @@ _PATCHES = [
     ("dataset/create.py",
      'kmer_len = len(f.next().split("\\t")[0])',
      'kmer_len = len(next(f).split("\\t")[0])', 1),
+    # -- kmer sequences read back from HDF5 are bytes in Py3; the
+    #    blacklist parser yields str, so .index() would silently find
+    #    nothing and drop the whole blacklist --
+    ("learning/experiments/experiment_scm.py",
+     "kmer_sequences = dataset.kmer_sequences[...].tolist()",
+     "kmer_sequences = [s.decode() if isinstance(s, bytes) else s\n"
+     "                              for s in dataset.kmer_sequences[...]]", 1),
+    ("learning/experiments/experiment_cart.py",
+     "kmer_sequences = dataset.kmer_sequences[...].tolist()",
+     "kmer_sequences = [s.decode() if isinstance(s, bytes) else s\n"
+     "                              for s in dataset.kmer_sequences[...]]", 1),
     # -- kmer sequences read back from HDF5 are bytes in Py3 --
     ("learning/common/rules.py",
      'return ("Absence(" if self.type == "absence" else "Presence(") + self.kmer_sequence + ")"',

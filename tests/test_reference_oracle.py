@@ -383,3 +383,80 @@ def test_reference_cart_equiv_tie_parity(tmp_path, ref):
     assert max(len(v) for v in expected["equiv"].values()) >= 4
     assert host == expected
     assert dev == expected
+
+
+def test_reference_split_with_ids_parity(tmp_path, ref):
+    """Explicit-id splits (reference split.py:31-83): same idx order, fold
+    assignment, and risk tables."""
+    dense, labels = _tied_dense(7)
+    tsv, meta = _write_tsv(tmp_path, dense, labels, "sid")
+    grm_ds = tmp_path / "sid_grm.h5"
+    ref_ds = tmp_path / "sid_ref.h5"
+    from_tsv(tsv, grm_ds, phenotype_description="synthetic",
+             phenotype_metadata_path=meta, gzip=0)
+    ref.dataset.create.from_tsv(
+        str(tsv), str(ref_ds), phenotype_description="synthetic",
+        phenotype_metadata_path=str(meta), gzip=0)
+    ids = [_s(x) for x in
+           __import__("h5py").File(grm_ds)["genome_identifiers"][...]]
+    train_f = tmp_path / "train_ids.txt"
+    test_f = tmp_path / "test_ids.txt"
+    train_f.write_text("\n".join(ids[:16]) + "\n")
+    test_f.write_text("\n".join(ids[16:]) + "\n")
+
+    from grm_tpu.dataset.split import split_with_ids
+
+    split_with_ids(grm_ds, "sp", train_f, test_f, random_seed=3, n_folds=3)
+    ref.dataset.split.split_with_ids(
+        str(ref_ds), "sp", str(train_f), str(test_f), random_seed=3,
+        n_folds=3)
+    with h5py.File(grm_ds) as fg, h5py.File(ref_ds) as fr:
+        sg, sr = fg["splits/sp"], fr["splits/sp"]
+        for key in ("train_genome_idx", "test_genome_idx", "unique_risks",
+                    "unique_risk_by_kmer", "unique_risk_by_anti_kmer"):
+            np.testing.assert_array_equal(sg[key][...], sr[key][...],
+                                          err_msg=key)
+        for fold in sg["folds"]:
+            for key in ("train_genome_idx", "test_genome_idx",
+                        "unique_risks", "unique_risk_by_kmer"):
+                np.testing.assert_array_equal(
+                    sg["folds"][fold][key][...],
+                    sr["folds"][fold][key][...],
+                    err_msg="%s/%s" % (fold, key))
+
+
+def test_reference_scm_blacklist_parity(tmp_path, ref):
+    """k-mer blacklists route through _find_rule_blacklist
+    (experiment_scm.py:632-671) — presence AND absence rule indices —
+    and must exclude the same rules in both implementations."""
+    rng = np.random.RandomState(14)
+    n_genomes, n_kmers = 24, 50
+    dense = (rng.rand(n_genomes, n_kmers) > 0.5).astype(np.uint8)
+    labels = (rng.rand(n_genomes) > 0.5).astype(np.uint8)
+    dense[:, 7] = labels  # perfect marker, to be blacklisted
+    col = labels.copy()
+    col[rng.choice(n_genomes, 3, replace=False)] ^= 1
+    dense[:, 20] = col  # runner-up
+    grm_ds, ref_ds = _parallel_artifacts(tmp_path, ref, dense, labels,
+                                         "sbl", seed=14, n_folds=2)
+    seqs = [_s(x) for x in h5py.File(grm_ds)["kmer_sequences"][...]]
+    kbc = h5py.File(grm_ds)["kmer_by_matrix_column"][...]
+    marker_kmer = seqs[int(kbc[7])]
+    bl = tmp_path / "bl.txt"
+    bl.write_text(marker_kmer + "\n")
+    kwargs = dict(
+        split_name="sp", model_type=["conjunction"], p=[1.0],
+        kmer_blacklist_file=str(bl), max_rules=3, max_equiv_rules=100,
+        parameter_selection="cv", n_cpu=1, random_seed=1,
+        authorized_rules="", bound_delta=0.05,
+        bound_max_genome_size=n_kmers)
+    expected = _scm_fingerprint(ref.learning.experiments.experiment_scm
+                                .learn_SCM(dataset_file=str(ref_ds),
+                                           **kwargs))
+    host = _scm_fingerprint(learn_SCM(dataset_file=grm_ds, engine="host",
+                                      **kwargs))
+    dev = _scm_fingerprint(learn_SCM(dataset_file=grm_ds, engine="device",
+                                     **kwargs))
+    assert all(seq != marker_kmer for seq, _ in expected["rules"])
+    assert host == expected
+    assert dev == expected

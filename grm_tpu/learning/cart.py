@@ -22,6 +22,7 @@ from math import ceil
 
 import numpy as np
 
+from ..utils import unpack_binary_bytes_from_ints
 from .tree import ProbabilisticTreeNode
 
 __all__ = [
@@ -547,18 +548,27 @@ class DecisionTreeClassifier:
                 )
             # Phase 1: select every node's winning rule (host, no fetch).
             selections = []
+            bits_by_node = {}
             for node_i, node in enumerate(splittable):
-                selections.append(_select_best_rule(
-                    node,
-                    None if device_results is None
-                    else device_results[node_i],
-                ))
+                dr = None if device_results is None \
+                    else device_results[node_i]
+                selections.append(_select_best_rule(node, dr))
+                # Exact-engine payloads may carry the winner's PACKED
+                # column bits (the extraction pass gathers them in-pass),
+                # sparing this node the phase-2 fetch.
+                if (isinstance(dr, tuple) and dr[0] == "exact"
+                        and isinstance(dr[1], dict)
+                        and dr[1].get("winner_bits") is not None
+                        and selections[-1][0] == dr[1].get("winner")):
+                    bits_by_node[node_i] = dr[1]["winner_bits"]
             # Phase 2: ONE batched column fetch for the whole frontier —
             # per-node fetches each pay a device round trip (or, on the
             # HDF5 path, a full gzip-chunk inflate per packed row).
             # Device-engine trees yield the fetch so the forest driver
-            # batches it across ALL trees of the round.
-            sel_cols = [s for s, _ in selections if s is not None]
+            # batches it across ALL trees of the round. Nodes whose
+            # payload shipped winner bits don't join the fetch.
+            sel_cols = [s for node_i, (s, _) in enumerate(selections)
+                        if s is not None and node_i not in bits_by_node]
             if not sel_cols:
                 col_block = None
             elif use_device:
@@ -568,14 +578,24 @@ class DecisionTreeClassifier:
                 col_block = rule_classifications.get_columns(
                     np.array(sel_cols))
             col_pos = 0
+            n_rows = rule_classifications.shape[0]
+            n_kmers_total = rule_classifications.shape[1] // 2
             # Phase 3: dispatch children.
             nodes_to_split = deque()
             for node_i, node in enumerate(splittable):
                 selected_rule_idx, equivalent_rule_idx = selections[node_i]
                 if selected_rule_idx is None:
                     continue
-                rule_preds = col_block[:, col_pos]
-                col_pos += 1
+                if node_i in bits_by_node:
+                    packed = np.asarray(bits_by_node[node_i],
+                                        np.uint32)[:, None]
+                    rule_preds = unpack_binary_bytes_from_ints(
+                        packed)[:n_rows, 0]
+                    if selected_rule_idx >= n_kmers_total:
+                        rule_preds = 1 - rule_preds
+                else:
+                    rule_preds = col_block[:, col_pos]
+                    col_pos += 1
                 left_idx, right_idx = _dispatch_examples(node, rule_preds)
 
                 node.rule = rules[selected_rule_idx]

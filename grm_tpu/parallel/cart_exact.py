@@ -139,7 +139,7 @@ def _tuple_scatter_chunk(chunk, md, radix, n_node, priors, totals, active,
     rowbase = (jnp.arange(n, dtype=jnp.int32) * s)[:, None]
 
     def body(tab, b):
-        ccounts, occ, col, valid = at(b)
+        ccounts, occ, col, valid, _mb = at(b)
         score = _scores_f32(ccounts, n_node, priors, totals, criterion)
         hit = valid & (score <= thresh[:, None])
         key = _mixed_radix_key(ccounts, radix)
@@ -161,10 +161,11 @@ _COL_SENT = np.int32(0x7FFFFFFF)
 
 
 @partial(jax.jit, static_argnames=("sb", "t_budget", "criterion"),
-         donate_argnums=(8, 9, 10, 11, 12))
+         donate_argnums=(8, 9, 10, 11, 12, 13))
 def _distinct_chunk(chunk, md, radix, n_node, priors, totals, active,
-                    thresh, keys_tab, occ_tab, cocc_tab, cany_tab, over,
-                    col_base, excl_chunk, sb, t_budget, criterion):
+                    thresh, keys_tab, occ_tab, cocc_tab, cany_tab,
+                    wbits_tab, over, col_base, excl_chunk, sb, t_budget,
+                    criterion):
     """Near-minimum DISTINCT tuple keys by pure reduction (no scatter).
 
     The margin-filtered scatter-table pass cost O(nodes x columns) scatter
@@ -187,11 +188,14 @@ def _distinct_chunk(chunk, md, radix, n_node, priors, totals, active,
     - ``cocc_tab`` — min GLOBAL column among columns at that max
       occurrence (the reference's occurrence-tiebreak winner);
     - ``cany_tab`` — min column over ALL the key's columns (the identity
-      tiebreak of a bare ``fit()``).
+      tiebreak of a bare ``fit()``);
+    - ``wbits_tab`` — the PACKED column bits of ``cocc_tab``'s column, so
+      the tree's per-level winner-column fetch disappears for
+      occurrence-tiebreak nodes.
 
     keys_tab (N, T) int32 ascending distinct keys (S_MAX pad); occ_tab
     (N, T) int32 (-1 pad); cocc_tab/cany_tab (N, T) int32 (_COL_SENT
-    pad); over (N,) bool.
+    pad); wbits_tab (N, T, W) uint32; over (N,) bool.
     """
     n, c = radix.shape
     nsb = chunk.shape[1] // sb
@@ -221,25 +225,51 @@ def _distinct_chunk(chunk, md, radix, n_node, priors, totals, active,
         return (jnp.stack(out_k, 1), jnp.stack(out_o, 1),
                 jnp.stack(out_co, 1), jnp.stack(out_ca, 1), rem)
 
+    def route_bits(keys_cat, occs_cat, coccs_cat, wcat, mkeys, moccs,
+                   mcocc):
+        """Select each merged slot's winner-column bits from whichever
+        input slot supplied its (key, occmax, mincol) triple. Column ids
+        are globally unique, so at most one input slot matches."""
+        out = []
+        for t in range(t_budget):
+            match = ((keys_cat == mkeys[:, t][:, None])
+                     & (occs_cat == moccs[:, t][:, None])
+                     & (coccs_cat == mcocc[:, t][:, None]))
+            idx = jnp.argmax(match, axis=1)  # (N,)
+            out.append(jnp.take_along_axis(
+                wcat, idx[:, None, None], axis=1)[:, 0])
+        return jnp.stack(out, axis=1)  # (N, T, W)
+
     def body(carry, b):
-        keys_tab, occ_tab, cocc_tab, cany_tab, over = carry
-        ccounts, occ, col, valid = at(b)
+        keys_tab, occ_tab, cocc_tab, cany_tab, wbits_tab, over = carry
+        ccounts, occ, col, valid, mb = at(b)
         score = _scores_f32(ccounts, n_node, priors, totals, criterion)
         hit = valid & (score <= thresh[:, None])
         key = jnp.where(hit, _mixed_radix_key(ccounts, radix), sent)
         occm = jnp.where(hit, occ, -1)
         colm = jnp.broadcast_to(col[None, :], (n, sb))
         bkeys, boccs, bcocc, bcany, brem = extract(key, occm, colm, colm)
+        # Winner-column bits for this block's extracted slots (bcocc is
+        # always a column OF THIS BLOCK when it is not the sentinel).
+        loc = jnp.clip(bcocc - col[0], 0, sb - 1)  # (N, T) block-local
+        bbits = jnp.take_along_axis(
+            mb[None, :, :], loc[:, None, :], axis=2
+        ).transpose(0, 2, 1)  # (N, T, W)
+
+        keys_cat = jnp.concatenate([keys_tab, bkeys], axis=1)
+        occs_cat = jnp.concatenate([occ_tab, boccs], axis=1)
+        coccs_cat = jnp.concatenate([cocc_tab, bcocc], axis=1)
+        cany_cat = jnp.concatenate([cany_tab, bcany], axis=1)
+        wcat = jnp.concatenate([wbits_tab, bbits], axis=1)
         mkeys, moccs, mcocc, mcany, mrem = extract(
-            jnp.concatenate([keys_tab, bkeys], axis=1),
-            jnp.concatenate([occ_tab, boccs], axis=1),
-            jnp.concatenate([cocc_tab, bcocc], axis=1),
-            jnp.concatenate([cany_tab, bcany], axis=1))
+            keys_cat, occs_cat, coccs_cat, cany_cat)
+        mbits = route_bits(keys_cat, occs_cat, coccs_cat, wcat, mkeys,
+                           moccs, mcocc)
         over = over | brem | mrem
-        return (mkeys, moccs, mcocc, mcany, over), None
+        return (mkeys, moccs, mcocc, mcany, mbits, over), None
 
     carry, _ = jax.lax.scan(
-        body, (keys_tab, occ_tab, cocc_tab, cany_tab, over),
+        body, (keys_tab, occ_tab, cocc_tab, cany_tab, wbits_tab, over),
         jnp.arange(nsb))
     return carry
 
@@ -271,7 +301,7 @@ def _winner_chunk(chunk, md, radix, tset, occmax, active, best, count,
 
     def body(carry, b):
         best, count = carry
-        ccounts, occ, col, valid = at(b)
+        ccounts, occ, col, valid, _mb = at(b)
         key = _mixed_radix_key(ccounts, radix)
         match = _tuple_match(key, tset, tmax)
         occ_ok = (occmax[:, None] < 0) | (occ == occmax[:, None])
@@ -374,12 +404,14 @@ def _dense_masks(masks, train_masks):
 
 def _chunk_blocks(chunk, md, n, c, sb, col_base, excl_chunk, active):
     """Iterator body shared by the streamed sweeps: per in-chunk block,
-    (class counts, occ, GLOBAL col, valid)."""
+    (class counts, occ, GLOBAL col, valid, packed block)."""
     def at(b):
         ccounts, occ, col = _block_counts(chunk, md, n, c, b, sb)
         valid = active[:, None] & ~jax.lax.dynamic_slice(
             excl_chunk, (b * sb,), (sb,))[None, :]
-        return ccounts, occ, col + col_base, valid
+        mb = jax.lax.dynamic_slice(
+            chunk, (0, b * sb), (chunk.shape[0], sb))
+        return ccounts, occ, col + col_base, valid, mb
     return at
 
 
@@ -391,7 +423,7 @@ def _gather1_chunk(chunk, md, n_node, priors, totals, active, gmin,
     at = _chunk_blocks(chunk, md, n, c, sb, jnp.int32(0), excl_chunk, active)
 
     def sweep(g, b):
-        ccounts, _, _, valid = at(b)
+        ccounts, _, _, valid, _mb = at(b)
         score = _scores_f32(ccounts, n_node, priors, totals, criterion)
         score = jnp.where(valid, score, jnp.inf)
         return jnp.minimum(g, score.min(axis=1)), None
@@ -412,7 +444,7 @@ def _gather2_chunk(chunk, md, n_node, priors, totals, active, thresh,
 
     def sweep(carry, b):
         cursor, cols, cnts, occs = carry
-        ccounts, occ, col, valid = at(b)
+        ccounts, occ, col, valid, _mb = at(b)
         score = _scores_f32(ccounts, n_node, priors, totals, criterion)
         score = jnp.where(valid, score, jnp.inf)
         hit = score <= thresh[:, None]
@@ -443,7 +475,7 @@ def _equiv_chunk(chunk, md, radix, tset, occmax, active, cursor, cols,
 
     def sweep(carry, b):
         cursor, cols = carry
-        ccounts, occ, col, valid = at(b)
+        ccounts, occ, col, valid, _mb = at(b)
         key = _mixed_radix_key(ccounts, radix)
         match = _tuple_match(key, tset, tmax)
         occ_ok = (occmax[:, None] < 0) | (occ == occmax[:, None])
@@ -795,21 +827,24 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
     # scatter updates, 7-15 s/level; this is reduction-only like pass 1).
     t_budget = max(1, min(budget, int(_os.environ.get(
         "GRM_TUPLE_DISTINCT_BUDGET", 16))))
+    w_words = masks_t.shape[2]
     keys_tab = jnp.full((nb, t_budget), S_MAX, jnp.int32)
     occ_tab = jnp.full((nb, t_budget), -1, jnp.int32)
     cocc_tab = jnp.full((nb, t_budget), _COL_SENT, jnp.int32)
     cany_tab = jnp.full((nb, t_budget), _COL_SENT, jnp.int32)
+    wbits_tab = jnp.zeros((nb, t_budget, w_words), jnp.uint32)
     over_d = jnp.zeros((nb,), bool)
     for chunk, exc, base in stream.chunks():
-        keys_tab, occ_tab, cocc_tab, cany_tab, over_d = _distinct_chunk(
+        (keys_tab, occ_tab, cocc_tab, cany_tab, wbits_tab,
+         over_d) = _distinct_chunk(
             chunk, md, radix_d, n_node_d, priors_d, totals_d, active_d,
-            thresh, keys_tab, occ_tab, cocc_tab, cany_tab, over_d, base,
-            exc, sb, t_budget, crit)
+            thresh, keys_tab, occ_tab, cocc_tab, cany_tab, wbits_tab,
+            over_d, base, exc, sb, t_budget, crit)
     if sync:
         jax.device_get(over_d[:1])
         _mark("pass2_sync")
-    keys, occs, coccs, canys, over_np = jax.device_get(
-        (keys_tab, occ_tab, cocc_tab, cany_tab, over_d))
+    keys, occs, coccs, canys, wbits, over_np = jax.device_get(
+        (keys_tab, occ_tab, cocc_tab, cany_tab, wbits_tab, over_d))
     _mark("extract_fetch")
 
     # Escalation: nodes with more distinct near-min tuples than the
@@ -909,10 +944,16 @@ def _run_tuple_regime(out, t_idx, matrix, masks, train_masks, n_node,
         # min col at max occurrence over the winning tuples (reference
         # experiment_cart.py:82-94 then best_rules_idx[0]).
         if occ_tiebreak[ni]:
-            wincol = int(tcocc[winset].min())
+            slots = np.where(pres)[0][winset]
+            best_j = int(np.argmin(tcocc[winset]))
+            wincol = int(tcocc[winset][best_j])
+            out[ni] = {"winner": wincol, "equiv": None,
+                       # packed winner-column bits: the tree skips its
+                       # per-level column fetch for this node
+                       "winner_bits": wbits[i, slots[best_j]].copy()}
         else:
             wincol = int(tcany[winset].min())
-        out[ni] = {"winner": wincol, "equiv": None}
+            out[ni] = {"winner": wincol, "equiv": None}
         if need_equiv[ni]:
             if defer_equiv[ni]:
                 out[ni]["equiv_spec"] = (tkeys[winset].copy(), occmax)

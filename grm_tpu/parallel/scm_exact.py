@@ -681,7 +681,7 @@ class ExactScmEngine:
         hits_m = self.hit_budget
         while True:
             hits, hcount = _hit_sbs(sbmax, thresh_dev, hits_m)
-            hits, hcount = np.asarray(hits), np.asarray(hcount)
+            hits, hcount = jax.device_get((hits, hcount))  # ONE round trip
             if (hcount[active] <= hits_m).all():
                 break
             hits_m = min(int(sbmax.shape[1]), hits_m * 16)

@@ -318,3 +318,25 @@ def test_scm_e2e_round_trip_budget(tmp_path, monkeypatch):
     # Speculation advances two greedy iterations per round trip (verified
     # on the host, misses roll back) — the budget is now single digits.
     assert len(fetches) < 10, "device round trips regressed: %d" % len(fetches)
+
+
+def test_speculative_and_classic_loops_agree(tmp_path, monkeypatch):
+    """GRM_SCM_SPECULATE=0 (classic one-iteration-per-round-trip loop)
+    and the speculative double-step must produce identical learns on
+    tie-rich data — speculation only changes WHICH precomputed results
+    are consumed, never the selection."""
+    ds = _tied_dataset(tmp_path, seed=21, name="specvs")
+    split_with_proportion(ds, "sp", train_prop=0.7, random_seed=21,
+                          n_folds=3)
+    kwargs = dict(
+        dataset_file=ds, split_name="sp",
+        model_type=["conjunction", "disjunction"], p=[0.5, 1.0, 999999.0],
+        max_rules=6, max_equiv_rules=50, parameter_selection="cv",
+        random_seed=9,
+    )
+    host = _model_fingerprint(learn_SCM(engine="host", **kwargs))
+    spec = _model_fingerprint(learn_SCM(engine="device", **kwargs))
+    monkeypatch.setenv("GRM_SCM_SPECULATE", "0")
+    classic = _model_fingerprint(learn_SCM(engine="device", **kwargs))
+    assert spec == host
+    assert classic == host

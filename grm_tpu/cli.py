@@ -24,7 +24,11 @@ from time import time
 
 import numpy as np
 
-# The reference's default p-value grid (bin/kover/kover:460, src/kover.py:183-194).
+# The reference GUI's default p grid (src/kover.py:183-194; 10 values) —
+# the workflow the published results ran through. The bundled kover CLI's
+# own --p default is an 8-value subset (bin/kover/kover:460); this CLI
+# follows the GUI default so default invocations match the published
+# pipeline.
 DEFAULT_P = [0.1, 0.178, 0.316, 0.562, 1.0, 1.778, 3.162, 5.623, 10.0,
              999999.0]
 
@@ -752,12 +756,14 @@ def _cmd_collect_amr(argv):
         print("Error: no --amr-metadata given and no amr_database setting "
               "persisted (grm settings set amr_database <path>).")
         sys.exit(1)
-    if args.amr_metadata:
-        # Persist the last-used database path, like the GUI's path
-        # selector (src/app.py:213-223).
-        set_setting("amr_database", str(args.amr_metadata))
+    amr_path = os.path.abspath(amr_path)
 
     db = AmrDatabase.load(amr_path)
+    if args.amr_metadata:
+        # Persist the last-used database path AFTER a successful load —
+        # absolute, like the GUI's file-dialog paths (src/app.py:213-223)
+        # — so bare invocations from any cwd keep working.
+        set_setting("amr_database", amr_path)
     if args.list_datasets:
         listing = db.dataset_list(min_group_count=50)
         for _, row in listing.iterrows():

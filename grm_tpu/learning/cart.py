@@ -177,6 +177,29 @@ def score_candidates_f64(criterion, altered_priors, n_total_class_examples,
     return vals
 
 
+def device_excl_from_blacklist(rule_blacklist, n_kmers):
+    """Map a rule blacklist to a device column-exclusion mask.
+
+    Returns (excl or None, ok). ok means every entry is a presence rule
+    (< K) — the CART CLI blacklist contract (experiment_cart.py:490-518
+    appends presence indices only) — or a paired presence/absence set
+    (the SCM contract; the absence half is redundant for a presence-only
+    scorer). Shared by the grow path and the deferred equivalence
+    resolver so grow-time and resolve-time exclusion can never drift.
+    """
+    if rule_blacklist is None or not len(rule_blacklist):
+        return None, True
+    bl = set(int(r) for r in rule_blacklist)
+    pres = {r for r in bl if r < n_kmers}
+    extra = bl - pres
+    ok = extra <= {r + n_kmers for r in pres}
+    if not ok:
+        return None, False
+    excl = np.zeros(n_kmers, bool)
+    excl[sorted(pres)] = True
+    return excl, True
+
+
 def service_frontier_request(request):
     """Score one tree's frontier request (the non-batched drive path)."""
     if isinstance(request, ColumnFetchRequest):
@@ -481,22 +504,11 @@ class DecisionTreeClassifier:
         min_samples_split = max(self.min_samples_split, 2)
         # CART scores the K presence rules only (reference cart.py:124-129),
         # so a blacklist maps to exact column exclusion whenever its indices
-        # are presence rules (< K) — the CART CLI blacklist contract
-        # (experiment_cart.py:490-518 appends presence indices only) — or a
-        # paired presence/absence set (the SCM contract; the absence half is
-        # redundant for a presence-only scorer). The mask shards with the
-        # k-mer columns on meshes. Anything else takes the host scorer.
-        device_excl = None
-        blacklist_ok = True
-        if len(rule_blacklist):
-            n_kmers = rule_classifications.shape[1] // 2
-            bl = set(int(r) for r in rule_blacklist)
-            pres = {r for r in bl if r < n_kmers}
-            extra = bl - pres
-            blacklist_ok = extra <= {r + n_kmers for r in pres}
-            if blacklist_ok:
-                device_excl = np.zeros(n_kmers, bool)
-                device_excl[sorted(pres)] = True
+        # are presence rules (< K) or a paired presence/absence set — see
+        # device_excl_from_blacklist. The mask shards with the k-mer
+        # columns on meshes. Anything else takes the host scorer.
+        device_excl, blacklist_ok = device_excl_from_blacklist(
+            rule_blacklist, rule_classifications.shape[1] // 2)
         use_device = (
             self.engine in ("device", "device-argmax") and blacklist_ok
         )

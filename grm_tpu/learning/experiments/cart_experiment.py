@@ -538,14 +538,10 @@ def _resolve_deferred_equiv(dataset, split_name, tree, rule_blacklist, mesh):
         return
     from ...parallel.cart_exact import resolve_equiv_specs
 
-    excl = None
-    if rule_blacklist is not None and len(rule_blacklist):
-        n_kmers = dataset.kmer_count
-        bl = set(int(r) for r in rule_blacklist)
-        pres = {r for r in bl if r < n_kmers}
-        if (bl - pres) <= {r + n_kmers for r in pres}:
-            excl = np.zeros(n_kmers, bool)
-            excl[sorted(pres)] = True
+    from ..cart import device_excl_from_blacklist
+
+    excl, _ = device_excl_from_blacklist(rule_blacklist,
+                                         dataset.kmer_count)
     train_idx = dataset.get_split(split_name).train_genome_idx
     specs = [(nd.rule.equivalent_rules_idx.keys,
               nd.rule.equivalent_rules_idx.occmax) for nd in nodes]

@@ -52,12 +52,23 @@ class LazyKmerRuleList:
         self._n_kmers = dataset.kmer_count
         self.n_rules = self._n_kmers * 2
 
+    def _cache_tag(self):
+        """(path, mtime) — a rebuilt artifact at the same path must not
+        serve stale cached chunks/sequences."""
+        import os
+
+        path = str(self._dataset.path)
+        try:
+            return (path, os.path.getmtime(path))
+        except OSError:
+            return (path, 0)
+
     def _read_blocked(self, f, name, idx):
         global _block_cache_bytes
         ds = f[name]
         chunk = ds.chunks[0] if ds.chunks else ds.shape[0]
         lo = (int(idx) // chunk) * chunk
-        key = (str(self._dataset.path), name, lo)
+        key = self._cache_tag() + (name, lo)
         blk = _BLOCK_CACHE.get(key)
         if blk is None:
             blk = ds[lo: lo + chunk]
@@ -74,7 +85,7 @@ class LazyKmerRuleList:
         return blk[int(idx) - lo]
 
     def _sequence(self, kmer_idx):
-        key = (str(self._dataset.path), int(kmer_idx))
+        key = self._cache_tag() + (int(kmer_idx),)
         seq = _SEQ_CACHE.get(key)
         if seq is None:
             with self._dataset.open() as f:

@@ -134,3 +134,45 @@ def test_scm_bound_quirk():
         * (h * ln(2 * Z) + ln(pi ** 6 * (h + 1) ** 2 * (r + 1) ** 2 * (mz + 1) ** 2 / (216 * 0.05)))
     )
     assert b1 == pytest.approx(want1)
+
+
+def test_lazy_sequence_cache_invalidates_on_rebuild(tmp_path):
+    """The process-wide sequence/chunk caches key on (path, mtime): a
+    dataset REBUILT at the same path must not serve stale sequences."""
+    import os
+    import time
+
+    import numpy as np
+
+    from grm_tpu.dataset import GrmDataset, from_tsv
+    from grm_tpu.learning.rules import LazyKmerRuleList
+
+    def write(tag):
+        n, nk, k = 6, 8, 6
+        ids = ["g%d" % i for i in range(n)]
+        kmers = [tag * 3 + "".join("ACGT"[(i >> (2 * j)) & 3]
+                                   for j in range(k - 3))
+                 for i in range(nk)]
+        lines = ["kmers\t" + "\t".join(ids)]
+        for r in range(nk):
+            lines.append(kmers[r] + "\t" + "\t".join("1" for _ in ids))
+        (tmp_path / "m.tsv").write_text("\n".join(lines) + "\n")
+        (tmp_path / "meta.tsv").write_text(
+            "\n".join("%s\t%d" % (g, i % 2)
+                      for i, g in enumerate(ids)) + "\n")
+        out = tmp_path / "same_path.h5"
+        if out.exists():
+            os.unlink(out)
+        from_tsv(tmp_path / "m.tsv", out, phenotype_description="x",
+                 phenotype_metadata_path=tmp_path / "meta.tsv", gzip=0)
+        return out, kmers[0][:3]
+
+    ds_path, tag_a = write("A")
+    rules = LazyKmerRuleList(GrmDataset(ds_path))
+    assert rules[0].kmer_sequence.startswith(tag_a)
+
+    time.sleep(0.02)  # ensure a distinct mtime
+    ds_path, tag_c = write("C")
+    os.utime(ds_path)  # robust against coarse mtime resolution
+    rules2 = LazyKmerRuleList(GrmDataset(ds_path))
+    assert rules2[0].kmer_sequence.startswith(tag_c)
